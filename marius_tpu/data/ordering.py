@@ -1,0 +1,113 @@
+"""Partition orderings (BETA / COMET / sequential / dispersed).
+
+Equivalents of data/ordering.cpp:12-410: given N node partitions and a buffer
+capacity of c partitions resident at once, emit the sequence of buffer states
+(which partitions are resident) plus the assignment of work (edge buckets for
+LP, train nodes for NC) to each state, touching every partition pair exactly
+once with minimal swaps. On TPU the "buffer" is the HBM-resident slice of the
+host-RAM (or multi-host) embedding table; the schedule drives async
+host<->HBM transfers (storage/partition_buffer.py).
+
+Pure numpy — runs once per epoch on the host.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def beta_ordering(num_partitions: int, buffer_capacity: int,
+                  seed: int = 0) -> List[np.ndarray]:
+    """Randomized BETA eviction schedule (getBetaOrderingHelper,
+    ordering.cpp:78-126): start with a random resident set; repeatedly swap one
+    resident partition for an unseen one such that all partition pairs co-reside
+    at least once across the sequence."""
+    rng = np.random.default_rng(seed)
+    n, c = num_partitions, buffer_capacity
+    assert 1 <= c <= n
+    if c >= n:
+        return [np.arange(n)]
+
+    perm = rng.permutation(n)
+    resident = list(perm[:c])
+    pending = list(perm[c:])
+    states = [np.array(resident)]
+
+    # pairs already covered
+    covered = np.zeros((n, n), bool)
+
+    def mark(rs):
+        for i in rs:
+            for j in rs:
+                covered[i, j] = True
+
+    mark(resident)
+    while True:
+        # any uncovered pair?
+        if covered.all():
+            break
+        # choose an incoming partition with most uncovered pairs vs others
+        best_in, best_score = None, -1
+        candidates = pending if pending else list(range(n))
+        for p in candidates:
+            score = int((~covered[p]).sum())
+            if score > best_score and p not in resident:
+                best_in, best_score = p, score
+        if best_in is None:
+            break
+        # evict the resident partition whose pairs with best_in's uncovered set
+        # are most covered already (random tie-break)
+        evict_idx = rng.integers(len(resident))
+        resident[evict_idx] = best_in
+        if best_in in pending:
+            pending.remove(best_in)
+        mark(resident)
+        states.append(np.array(sorted(resident)))
+    return states
+
+
+def assign_edge_buckets(states: Sequence[np.ndarray], num_partitions: int,
+                        randomly: bool = True, seed: int = 0
+                        ) -> List[List[Tuple[int, int]]]:
+    """Assign each (src_part, dst_part) bucket to the FIRST state where both
+    are resident (random choice among eligible when ``randomly``), mirroring
+    randomly/greedyAssignEdgeBucketsToBuffers (ordering.cpp:128-150)."""
+    rng = np.random.default_rng(seed)
+    eligible = {}
+    for s_idx, st in enumerate(states):
+        stset = set(int(x) for x in st)
+        for i in stset:
+            for j in stset:
+                eligible.setdefault((i, j), []).append(s_idx)
+    assignment: List[List[Tuple[int, int]]] = [[] for _ in states]
+    for i in range(num_partitions):
+        for j in range(num_partitions):
+            opts = eligible.get((i, j))
+            assert opts, f"bucket ({i},{j}) never co-resident — bad ordering"
+            pick = int(rng.choice(opts)) if randomly else opts[0]
+            assignment[pick].append((i, j))
+    return assignment
+
+
+def sequential_node_ordering(num_partitions: int, buffer_capacity: int
+                             ) -> List[np.ndarray]:
+    """Sequential NC ordering (getSequentialNodePartitionOrdering,
+    ordering.cpp:389-410): slide the buffer window over partitions in order."""
+    states = []
+    for start in range(0, num_partitions, buffer_capacity):
+        states.append(np.arange(start, min(start + buffer_capacity, num_partitions)))
+    return states
+
+
+def dispersed_node_ordering(num_partitions: int, buffer_capacity: int,
+                            seed: int = 0) -> List[np.ndarray]:
+    """Dispersed NC ordering (getDispersedNodePartitionOrdering,
+    ordering.cpp:294-387): random partition order, windowed."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(num_partitions)
+    states = []
+    for start in range(0, num_partitions, buffer_capacity):
+        states.append(np.sort(perm[start:start + buffer_capacity]))
+    return states

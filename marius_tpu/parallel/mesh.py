@@ -1,0 +1,44 @@
+"""Device mesh construction for data / node-shard parallelism.
+
+The reference's only scale-out is single-node multi-GPU data parallelism with
+NCCL all_reduce (nn/model.cpp:136-159) plus host-RAM staleness for embeddings.
+Here scaling is expressed once, declaratively: a jax.sharding.Mesh with a
+``data`` axis (batch parallelism; dense grads psum over it) and a ``node`` axis
+(embedding-table row sharding; gathers/updates ride ICI collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+NODE_AXIS = "node"
+
+
+def make_mesh(num_data: Optional[int] = None, num_node: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_node
+    assert num_data * num_node == len(devices), \
+        f"mesh {num_data}x{num_node} != {len(devices)} devices"
+    arr = np.asarray(devices).reshape(num_data, num_node)
+    return Mesh(arr, (DATA_AXIS, NODE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh, axis: str = NODE_AXIS) -> NamedSharding:
+    """Shard dim 0 (table rows) over an axis."""
+    return NamedSharding(mesh, P(axis, None))
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))

@@ -1,0 +1,92 @@
+"""Checkpoint save/load for model parameters, optimizer state, and embeddings.
+
+Parity with the reference Checkpointer (storage/checkpointer.cpp:12-116):
+`save` writes dense params + optimizer state + embedding table + Adagrad state
++ a small metadata file; `create_checkpoint` snapshots into checkpoint_<n>/
+via tmp-dir + atomic rename; `load` restores everything for resume. The
+reference writes torch archives + raw binaries; here each pytree leaf is a raw
+.npy inside the checkpoint dir (flat, inspectable, mmap-able), with the tree
+structure in meta.yaml.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import yaml
+
+
+def _is_prng_key(leaf) -> bool:
+    return hasattr(leaf, "dtype") and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+
+
+def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
+                       for p in path) or "value"
+        if _is_prng_key(leaf):
+            leaf = jax.random.key_data(leaf)
+        out[key.replace("[", "").replace("]", "").replace("'", "")] = np.asarray(leaf)
+    return out
+
+
+def save_state(directory: str, state, metadata: Optional[Dict[str, Any]] = None) -> None:
+    """Write a TrainState (or any pytree) to `directory` atomically."""
+    parent = os.path.dirname(os.path.abspath(directory)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".ckpt_tmp_")
+    try:
+        leaves = _flatten_with_paths(state)
+        for name, arr in leaves.items():
+            np.save(os.path.join(tmp, name.replace("/", "__") + ".npy"), arr)
+        meta = dict(metadata or {})
+        meta["leaf_names"] = sorted(leaves.keys())
+        with open(os.path.join(tmp, "meta.yaml"), "w") as f:
+            yaml.safe_dump(meta, f)
+        if os.path.exists(directory):
+            shutil.rmtree(directory)
+        os.rename(tmp, directory)
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def load_state(directory: str, template) -> Tuple[Any, Dict[str, Any]]:
+    """Restore a pytree saved by save_state into the structure of `template`."""
+    with open(os.path.join(directory, "meta.yaml")) as f:
+        meta = yaml.safe_load(f)
+    leaves = _flatten_with_paths(template)
+    restored = {}
+    for name in leaves:
+        path = os.path.join(directory, name.replace("/", "__") + ".npy")
+        restored[name] = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for p, leaf in flat:
+        key = "/".join(str(x.key) if hasattr(x, "key") else str(getattr(x, "idx", x))
+                       for x in p) or "value"
+        key = key.replace("[", "").replace("]", "").replace("'", "")
+        arr = restored[key]
+        if _is_prng_key(leaf):
+            new_leaves.append(jax.random.wrap_key_data(arr))
+        else:
+            new_leaves.append(arr.astype(np.asarray(leaf).dtype).reshape(np.asarray(leaf).shape))
+    state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return state, meta
+
+
+def create_checkpoint(model_dir: str, state, epoch: int,
+                      metadata: Optional[Dict[str, Any]] = None) -> str:
+    """Interval checkpoint: <model_dir>/checkpoint_<epoch>/ (checkpointer.cpp:18-37)."""
+    meta = dict(metadata or {})
+    meta["epochs_processed"] = int(epoch)
+    target = os.path.join(model_dir, f"checkpoint_{epoch}")
+    save_state(target, state, meta)
+    return target

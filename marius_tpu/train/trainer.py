@@ -1,0 +1,206 @@
+"""Trainers: compiled whole-epoch training loops.
+
+The reference hides host latency behind a 5-stage thread pipeline with bounded
+staleness (pipeline/pipeline_gpu.cpp:222-246) around a per-batch hot loop
+(trainer.cpp:94-161). The TPU-native design removes the host from the loop
+entirely: one jitted function runs the WHOLE epoch as `lax.scan` over
+fixed-shape batches — shuffling, negative sampling, unique-id dedup, forward,
+backward, dense Adam and row-sparse Adagrad updates all stay in HBM. The state
+is donated, so embeddings are updated in place across epochs.
+
+SynchronousTrainer semantics (no staleness) with pipeline-beating throughput:
+batch boundaries cost nothing because XLA schedules across them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marius_tpu.data.samplers.negative import NegativeSamplingConfig, sample_negatives
+from marius_tpu.nn.model import LINK_PREDICTION, Model, lp_batch_loss
+from marius_tpu.nn.optimizers import OptState, apply_optimizer, init_optimizer
+from marius_tpu.nn.encoder import encoder_forward
+from marius_tpu.ops.edge_keys import EdgeKeySet, filter_mask_sampled
+from marius_tpu.ops.unique import unique_padded
+from marius_tpu.parallel.embedding_table import (
+    EmbeddingTable,
+    gather_rows,
+    init_embedding_table,
+    sparse_adagrad_update,
+)
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrainState:
+    table: Optional[EmbeddingTable]
+    params: Any
+    opt_state: OptState
+    key: Array
+    epoch: Array  # int32 scalar
+
+
+def init_train_state(key: jax.Array, model: Model, params: Any,
+                     num_nodes: int, dtype=jnp.float32) -> TrainState:
+    k_table, k_state = jax.random.split(key)
+    table = None
+    if model.has_embeddings:
+        table = init_embedding_table(k_table, num_nodes, model.encoder.embedding_dim, dtype=dtype)
+    return TrainState(
+        table=table,
+        params=params,
+        opt_state=init_optimizer(model.dense_optimizer, params),
+        key=k_state,
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def pad_edges(edges: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int, int]:
+    """Pad an (E, k) edge array to num_batches*batch_size rows."""
+    e = np.asarray(edges, np.int32)
+    num = e.shape[0]
+    nb = -(-num // batch_size)
+    padded = np.zeros((nb * batch_size, e.shape[1]), np.int32)
+    padded[:num] = e
+    return padded, num, nb
+
+
+class LinkPredictionTrainer:
+    """Shallow-encoder (embedding table) link-prediction training.
+
+    One compiled epoch function: shuffle -> scan(batches) with donated state.
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        num_nodes: int,
+        num_relations: int,
+        train_edges: np.ndarray,
+        neg_config: NegativeSamplingConfig,
+        batch_size: int = 1000,
+        seed: int = 0,
+        train_filter_keys: Optional[Tuple[EdgeKeySet, EdgeKeySet]] = None,
+        dtype=jnp.float32,
+    ):
+        assert model.learning_task == LINK_PREDICTION
+        assert batch_size % neg_config.num_chunks == 0, \
+            "batch_size must be divisible by num_chunks (static chunking)"
+        self.model = model
+        self.num_nodes = num_nodes
+        self.num_relations = num_relations
+        self.neg_config = neg_config
+        self.batch_size = batch_size
+        self.train_filter_keys = train_filter_keys
+
+        padded, self.num_edges, self.num_batches = pad_edges(train_edges, batch_size)
+        self.edges = jnp.asarray(padded)
+        self.has_rels = padded.shape[1] == 3
+
+        key = jax.random.key(seed)
+        from marius_tpu.nn.model import init_model_params
+        params = init_model_params(jax.random.fold_in(key, 1), model, dtype)
+        self.state = init_train_state(jax.random.fold_in(key, 2), model, params,
+                                      num_nodes, dtype)
+
+        # unique-id capacity for a batch: 2B endpoints + both negative blocks
+        c, n = neg_config.num_chunks, neg_config.negatives_per_positive
+        self.unique_cap = 2 * batch_size + 2 * c * n
+
+        self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _batch_step(self, state: TrainState, edges_b: Array, mask_b: Array):
+        model = self.model
+        cfg = self.neg_config
+        num_nodes = self.num_nodes
+        c, nneg = cfg.num_chunks, cfg.negatives_per_positive
+
+        key, k_dst, k_src = jax.random.split(state.key, 3)
+
+        dst_negs = sample_negatives(k_dst, cfg, edges_b, num_nodes, inverse=False).ids
+        src_negs = sample_negatives(k_src, cfg, edges_b, num_nodes, inverse=True).ids
+
+        src = jnp.where(mask_b, edges_b[:, 0], num_nodes)
+        dst = jnp.where(mask_b, edges_b[:, -1], num_nodes)
+        rel = edges_b[:, 1] if self.has_rels else None
+
+        all_ids = jnp.concatenate([src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
+        uniq = unique_padded(all_ids, size=self.unique_cap, fill_value=num_nodes)
+        b = self.batch_size
+        inv_src = uniq.inverse[:b]
+        inv_dst = uniq.inverse[b:2 * b]
+        inv_dst_negs = uniq.inverse[2 * b:2 * b + c * nneg].reshape(c, nneg)
+        inv_src_negs = uniq.inverse[2 * b + c * nneg:].reshape(c, nneg)
+
+        dst_filter = src_filter = None
+        if self.train_filter_keys is not None:
+            dst_keys, src_keys = self.train_filter_keys
+            dst_filter = filter_mask_sampled(dst_keys, src, rel, dst_negs)
+            src_filter = filter_mask_sampled(src_keys, dst, rel, src_negs)
+
+        x0 = gather_rows(state.table.values, uniq.ids)
+
+        def loss_fn(x, dense_params):
+            encoded = encoder_forward(model.encoder, dense_params["encoder"], x, None)
+            loss, _ = lp_batch_loss(
+                model, dense_params, encoded, inv_src, inv_dst, rel,
+                inv_dst_negs, inv_src_negs if model.decoder.use_inverse_relations else None,
+                mask_b, dst_filter, src_filter)
+            return loss
+
+        loss, (gx, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(x0, state.params)
+
+        new_params, new_opt_state = apply_optimizer(
+            model.dense_optimizer, state.params, state.opt_state, gdense)
+        new_table = sparse_adagrad_update(state.table, uniq.ids, gx, model.sparse_lr)
+
+        return TrainState(table=new_table, params=new_params,
+                          opt_state=new_opt_state, key=key, epoch=state.epoch), loss
+
+    def _build_epoch_fn(self):
+        nb, b = self.num_batches, self.batch_size
+        num_edges = self.num_edges
+
+        def epoch_fn(state: TrainState, edges: Array):
+            k_perm = jax.random.fold_in(jax.random.key(12345), state.epoch)
+            perm = jax.random.permutation(k_perm, nb * b)
+            shuffled = jnp.take(edges, perm, axis=0)
+            masks = perm < num_edges
+
+            def body(carry, xs):
+                edges_b, mask_b = xs
+                return self._batch_step(carry, edges_b, mask_b)
+
+            state, losses = jax.lax.scan(
+                body, state,
+                (shuffled.reshape(nb, b, shuffled.shape[1]), masks.reshape(nb, b)))
+            state = dataclasses.replace(state, epoch=state.epoch + 1)
+            return state, jnp.sum(losses)
+
+        return epoch_fn
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        self.state, total_loss = self._epoch_fn(self.state, self.edges)
+        total_loss = float(total_loss)  # blocks until done
+        dt = time.perf_counter() - t0
+        return {
+            "loss": total_loss,
+            "epoch_time_s": dt,
+            "edges_per_sec": self.num_edges / dt,
+            "num_edges": self.num_edges,
+        }
+
+    def train(self, num_epochs: int):
+        return [self.train_epoch() for _ in range(num_epochs)]

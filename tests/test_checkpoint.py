@@ -1,0 +1,47 @@
+"""Checkpoint save/load roundtrip (checkpointer.cpp parity), incl. PRNG keys."""
+
+import os
+
+import numpy as np
+
+from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+from marius_tpu.storage import checkpoint as ckpt
+from marius_tpu.train.trainer import LinkPredictionTrainer
+from tests.test_lp_e2e import _model, generate_random_lp_dataset, NUM_NODES, NUM_RELS
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    train, _, _ = generate_random_lp_dataset()
+    trainer = LinkPredictionTrainer(
+        _model(), NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=10),
+        batch_size=100, seed=0)
+    trainer.train(1)
+
+    d = str(tmp_path / "ckpt")
+    ckpt.save_state(d, trainer.state, {"note": "test"})
+    restored, meta = ckpt.load_state(d, trainer.state)
+    assert meta["note"] == "test"
+    np.testing.assert_array_equal(
+        np.asarray(restored.table.values), np.asarray(trainer.state.table.values))
+    np.testing.assert_array_equal(
+        np.asarray(restored.table.state), np.asarray(trainer.state.table.state))
+    assert int(restored.epoch) == int(trainer.state.epoch)
+
+    # restored state must be usable: continue training one more epoch
+    trainer.state = restored
+    stats = trainer.train(1)
+    assert np.isfinite(stats[0]["loss"])
+
+
+def test_interval_checkpoints(tmp_path):
+    train, _, _ = generate_random_lp_dataset()
+    trainer = LinkPredictionTrainer(
+        _model(), NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=10),
+        batch_size=100, seed=0)
+    trainer.train(1)
+    path = ckpt.create_checkpoint(str(tmp_path), trainer.state, epoch=3)
+    assert os.path.basename(path) == "checkpoint_3"
+    _, meta = ckpt.load_state(path, trainer.state)
+    assert meta["epochs_processed"] == 3
