@@ -51,6 +51,9 @@ class LinkPredictionEvaluator:
         filtered: bool = True,
         neg_config: Optional[NegativeSamplingConfig] = None,
         seed: int = 7,
+        graph=None,                 # DeviceGraph, required for GNN encoders
+        nbr_configs=(),             # eval-time NeighborSamplingConfigs
+        features=None,              # (N+1, F) device array with sentinel row
     ):
         self.model = model
         self.num_nodes = num_nodes
@@ -59,6 +62,9 @@ class LinkPredictionEvaluator:
         self.filtered = filtered
         self.neg_config = neg_config or NegativeSamplingConfig()
         self.seed = seed
+        self.graph = graph
+        self.nbr_configs = tuple(nbr_configs)
+        self.features = features
 
         padded, self.num_edges, self.num_batches = pad_edges(eval_edges, batch_size)
         self.edges = jnp.asarray(padded)
@@ -82,9 +88,7 @@ class LinkPredictionEvaluator:
         num_nodes = self.num_nodes
         cfg = self.neg_config
 
-        def eval_fn(table_values: Array, params, edges: Array):
-            encoded = encoder_forward(model.encoder, params["encoder"], table_values, None)
-
+        def eval_fn(encoded: Array, params, edges: Array):
             def body(stats, xs):
                 edges_b, mask_b, idx = xs
                 src = edges_b[:, 0]
@@ -155,9 +159,16 @@ class LinkPredictionEvaluator:
         return eval_fn
 
     # ------------------------------------------------------------------
-    def evaluate(self, state: TrainState) -> Dict[str, float]:
+    def evaluate(self, state: TrainState, encoded: Optional[Array] = None) -> Dict[str, float]:
         t0 = time.perf_counter()
-        stats = self._eval_fn(state.table.values, state.params, self.edges)
+        if encoded is None:
+            from marius_tpu.train.graph_encoder import encode_all_nodes
+            table_values = state.table.values if state.table is not None else None
+            encoded = encode_all_nodes(
+                self.model, state.params, table_values, graph=self.graph,
+                nbr_configs=self.nbr_configs, features=self.features,
+                batch_size=self.batch_size)
+        stats = self._eval_fn(encoded, state.params, self.edges)
         stats = jax.device_get(stats)
         dt = time.perf_counter() - t0
         reporter = LinkPredictionReporter(HITS_KS)

@@ -1,0 +1,216 @@
+"""Node-classification training: compiled epochs with on-device GNN sampling.
+
+Parity with the reference NC path (marius.cpp NODE_CLASSIFICATION task,
+dataloader.cpp nodeSample :473-496, model.cpp forward_nc :246-250 +
+NodeClassificationReporter): batches of train nodes, multi-hop neighbor
+sampling, GNN encoder, CE loss over class logits. TPU-native: the sampler
+(data/samplers/neighbor.py) runs inside the jitted scan, features live in HBM,
+and the optional learnable embedding block uses the same fused sparse Adagrad
+as link prediction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marius_tpu.data.graph import DeviceGraph
+from marius_tpu.data.samplers.neighbor import (
+    NeighborSamplingConfig,
+    estimate_hop_caps,
+    sample_neighbor_batch,
+)
+from marius_tpu.nn.encoder import encoder_forward
+from marius_tpu.nn.model import Model, init_model_params, nc_batch_loss
+from marius_tpu.nn.optimizers import apply_optimizer
+from marius_tpu.parallel.embedding_table import gather_rows, sparse_adagrad_update
+from marius_tpu.reporting.metrics import categorical_accuracy_statistics
+from marius_tpu.reporting.reporters import NodeClassificationReporter
+from marius_tpu.train.trainer import TrainState, init_train_state
+
+Array = jax.Array
+
+
+def _pad_ids(ids: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int, int]:
+    ids = np.asarray(ids, np.int32)
+    num = ids.shape[0]
+    nb = -(-num // batch_size)
+    padded = np.zeros(nb * batch_size, np.int32)
+    padded[:num] = ids
+    return padded, num, nb
+
+
+class NodeClassificationTrainer:
+    """GNN node classification with one compiled scan per epoch."""
+
+    def __init__(
+        self,
+        model: Model,
+        graph: DeviceGraph,
+        features: Optional[np.ndarray],     # (N, F) float32 or None
+        labels: np.ndarray,                 # (N,) int
+        train_nodes: np.ndarray,
+        nbr_configs: Sequence[NeighborSamplingConfig],
+        batch_size: int = 1000,
+        hop_caps: Optional[Sequence[int]] = None,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        self.graph = graph
+        self.batch_size = batch_size
+        self.nbr_configs = tuple(nbr_configs)
+        self.hop_caps = tuple(hop_caps or estimate_hop_caps(
+            batch_size, nbr_configs, graph.num_nodes))
+
+        num_nodes = graph.num_nodes
+        # sentinel row at index N so clamped padded gathers read zeros
+        if features is not None:
+            f = np.zeros((num_nodes + 1, features.shape[1]), np.float32)
+            f[:num_nodes] = features
+            self.features = jnp.asarray(f)
+        else:
+            self.features = None
+        lab = np.zeros(num_nodes + 1, np.int32)
+        lab[:num_nodes] = np.asarray(labels, np.int32)
+        self.labels = jnp.asarray(lab)
+
+        padded, self.num_train, self.num_batches = _pad_ids(train_nodes, batch_size)
+        self.train_nodes = jnp.asarray(padded)
+
+        key = jax.random.key(seed)
+        params = init_model_params(jax.random.fold_in(key, 1), model, dtype)
+        self.state = init_train_state(jax.random.fold_in(key, 2), model, params,
+                                      num_nodes, dtype)
+        self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _encode_batch(self, params, table_values, key, seeds, seed_mask, train: bool):
+        nb = sample_neighbor_batch(key, self.graph, seeds, seed_mask,
+                                   self.nbr_configs, self.hop_caps)
+        outer_ids = nb.node_ids[0]
+        feats = None
+        if self.features is not None:
+            feats = self.features[jnp.minimum(outer_ids, self.graph.num_nodes)]
+        emb = outer_uniq = None
+        if table_values is not None:
+            outer_uniq = outer_ids  # hop sets are already unique & padded with N
+            emb = gather_rows(table_values, outer_uniq)
+        return nb, feats, emb, outer_uniq
+
+    def _batch_step(self, state: TrainState, seeds: Array, mask_b: Array):
+        model = self.model
+        key, k_s = jax.random.split(state.key)
+
+        table_values = state.table.values if state.table is not None else None
+        nb, feats, emb0, outer_ids = self._encode_batch(
+            state.params, table_values, k_s, seeds, mask_b, True)
+        labels_b = self.labels[jnp.minimum(seeds, self.graph.num_nodes)]
+
+        def loss_fn(emb, dense_params):
+            logits = encoder_forward(
+                model.encoder, dense_params["encoder"], emb, feats, nb,
+                degrees=self.graph.degrees, train=True,
+                dropout_key=jax.random.fold_in(k_s, 99))
+            return nc_batch_loss(model, logits, labels_b, mask_b & nb.seed_mask)
+
+        if emb0 is not None:
+            loss, (g_emb, g_dense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                emb0, state.params)
+            new_table = sparse_adagrad_update(state.table, outer_ids, g_emb, model.sparse_lr)
+        else:
+            loss, g_dense = jax.value_and_grad(loss_fn, argnums=1)(None, state.params)
+            new_table = state.table
+
+        new_params, new_opt = apply_optimizer(
+            model.dense_optimizer, state.params, state.opt_state, g_dense)
+        return TrainState(table=new_table, params=new_params, opt_state=new_opt,
+                          key=key, epoch=state.epoch), loss
+
+    def _build_epoch_fn(self):
+        nb, b = self.num_batches, self.batch_size
+        num_train = self.num_train
+
+        def epoch_fn(state: TrainState, train_nodes: Array):
+            k_perm = jax.random.fold_in(jax.random.key(54321), state.epoch)
+            perm = jax.random.permutation(k_perm, nb * b)
+            shuffled = jnp.take(train_nodes, perm)
+            masks = perm < num_train
+
+            def body(carry, xs):
+                return self._batch_step(carry, xs[0], xs[1])
+
+            state, losses = jax.lax.scan(
+                body, state, (shuffled.reshape(nb, b), masks.reshape(nb, b)))
+            return dataclasses.replace(state, epoch=state.epoch + 1), jnp.sum(losses)
+
+        return epoch_fn
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        self.state, total_loss = self._epoch_fn(self.state, self.train_nodes)
+        total_loss = float(total_loss)
+        dt = time.perf_counter() - t0
+        return {"loss": total_loss, "epoch_time_s": dt,
+                "nodes_per_sec": self.num_train / dt, "num_nodes": self.num_train}
+
+    def train(self, num_epochs: int):
+        return [self.train_epoch() for _ in range(num_epochs)]
+
+
+class NodeClassificationEvaluator:
+    """Accuracy over a node split, compiled as one scan (evaluator.cpp NC path)."""
+
+    def __init__(self, trainer: NodeClassificationTrainer, eval_nodes: np.ndarray,
+                 batch_size: Optional[int] = None, seed: int = 11):
+        self.trainer = trainer
+        self.batch_size = batch_size or trainer.batch_size
+        padded, self.num_eval, self.num_batches = _pad_ids(eval_nodes, self.batch_size)
+        self.eval_nodes = jnp.asarray(padded)
+        self.seed = seed
+        self._eval_fn = jax.jit(self._build_eval_fn())
+
+    def _build_eval_fn(self):
+        tr = self.trainer
+        model = tr.model
+        nb_, b = self.num_batches, self.batch_size
+
+        def eval_fn(table_values, params, eval_nodes):
+            def body(acc, xs):
+                seeds, mask_b, idx = xs
+                k = jax.random.fold_in(jax.random.key(self.seed), idx)
+                nbatch, feats, emb, _ = tr._encode_batch(
+                    params, table_values, k, seeds, mask_b, False)
+                logits = encoder_forward(
+                    model.encoder, params["encoder"], emb, feats, nbatch,
+                    degrees=tr.graph.degrees, train=False)
+                labels_b = tr.labels[jnp.minimum(seeds, tr.graph.num_nodes)]
+                stats = categorical_accuracy_statistics(
+                    logits, labels_b, mask_b & nbatch.seed_mask)
+                return {k2: acc[k2] + v for k2, v in stats.items()}, None
+
+            zero = {"correct": jnp.zeros((), jnp.float32),
+                    "count": jnp.zeros((), jnp.float32)}
+            acc, _ = jax.lax.scan(
+                body, zero,
+                (eval_nodes.reshape(nb_, b),
+                 (jnp.arange(nb_ * b) < self.num_eval).reshape(nb_, b),
+                 jnp.arange(nb_)))
+            return acc
+
+        return eval_fn
+
+    def evaluate(self, state: TrainState) -> Dict[str, float]:
+        table_values = state.table.values if state.table is not None else None
+        stats = jax.device_get(self._eval_fn(table_values, state.params, self.eval_nodes))
+        reporter = NodeClassificationReporter()
+        reporter.add_statistics(stats)
+        res = reporter.results()
+        reporter.report()
+        return res

@@ -91,6 +91,10 @@ class LinkPredictionTrainer:
         seed: int = 0,
         train_filter_keys: Optional[Tuple[EdgeKeySet, EdgeKeySet]] = None,
         dtype=jnp.float32,
+        graph=None,                 # DeviceGraph — required when the encoder has GNN stages
+        nbr_configs=(),             # train-time NeighborSamplingConfigs
+        features: Optional[np.ndarray] = None,   # (N, F) for FEATURE layers
+        hop_caps=None,
     ):
         assert model.learning_task == LINK_PREDICTION
         assert batch_size % neg_config.num_chunks == 0, \
@@ -115,6 +119,21 @@ class LinkPredictionTrainer:
         # unique-id capacity for a batch: 2B endpoints + both negative blocks
         c, n = neg_config.num_chunks, neg_config.negatives_per_positive
         self.unique_cap = 2 * batch_size + 2 * c * n
+
+        self.graph = graph
+        self.nbr_configs = tuple(nbr_configs)
+        if self.nbr_configs:
+            assert graph is not None, "GNN encoder needs a DeviceGraph"
+            from marius_tpu.data.samplers.neighbor import estimate_hop_caps
+            self.hop_caps = tuple(hop_caps or estimate_hop_caps(
+                self.unique_cap, self.nbr_configs, num_nodes))
+        else:
+            self.hop_caps = ()
+        self.features = None
+        if features is not None:
+            f = np.zeros((num_nodes + 1, features.shape[1]), np.float32)
+            f[:num_nodes] = features
+            self.features = jnp.asarray(f)
 
         self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
 
@@ -148,21 +167,47 @@ class LinkPredictionTrainer:
             dst_filter = filter_mask_sampled(dst_keys, src, rel, dst_negs)
             src_filter = filter_mask_sampled(src_keys, dst, rel, src_negs)
 
-        x0 = gather_rows(state.table.values, uniq.ids)
+        # With a GNN encoder, the batch's unique nodes become sampling seeds;
+        # raw embeddings are gathered for the outermost hop set instead
+        # (the reference does the same: batch unique ids -> DENSE multi-hop,
+        # dataloader.cpp:417-441 + edgeSample).
+        nbr_batch = None
+        feats = None
+        update_ids = uniq.ids
+        if self.nbr_configs:
+            k_nb, key = jax.random.split(key)
+            from marius_tpu.data.samplers.neighbor import sample_neighbor_batch
+            nbr_batch = sample_neighbor_batch(
+                k_nb, self.graph, uniq.ids, uniq.ids < num_nodes,
+                self.nbr_configs, self.hop_caps)
+            outer = nbr_batch.node_ids[0]
+            update_ids = outer
+            if self.features is not None:
+                feats = self.features[jnp.minimum(outer, num_nodes)]
+            x0 = gather_rows(state.table.values, outer) if model.has_embeddings else None
+        else:
+            x0 = gather_rows(state.table.values, uniq.ids)
+
+        degrees = self.graph.degrees if self.graph is not None else None
 
         def loss_fn(x, dense_params):
-            encoded = encoder_forward(model.encoder, dense_params["encoder"], x, None)
+            encoded = encoder_forward(model.encoder, dense_params["encoder"], x,
+                                      feats, nbr_batch, degrees=degrees, train=True)
             loss, _ = lp_batch_loss(
                 model, dense_params, encoded, inv_src, inv_dst, rel,
                 inv_dst_negs, inv_src_negs if model.decoder.use_inverse_relations else None,
                 mask_b, dst_filter, src_filter)
             return loss
 
-        loss, (gx, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(x0, state.params)
+        if x0 is not None:
+            loss, (gx, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(x0, state.params)
+            new_table = sparse_adagrad_update(state.table, update_ids, gx, model.sparse_lr)
+        else:
+            loss, gdense = jax.value_and_grad(loss_fn, argnums=1)(None, state.params)
+            new_table = state.table
 
         new_params, new_opt_state = apply_optimizer(
             model.dense_optimizer, state.params, state.opt_state, gdense)
-        new_table = sparse_adagrad_update(state.table, uniq.ids, gx, model.sparse_lr)
 
         return TrainState(table=new_table, params=new_params,
                           opt_state=new_opt_state, key=key, epoch=state.epoch), loss

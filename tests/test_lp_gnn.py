@@ -1,0 +1,57 @@
+"""Link prediction with a GNN encoder (embedding + GraphSAGE stages), matching
+the reference's gs_1_layer / gs_3_layer e2e config fragments (SURVEY §4)."""
+
+import numpy as np
+
+from marius_tpu.data.graph import build_device_graph
+from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+from marius_tpu.nn.decoders.edge import EdgeDecoder
+from marius_tpu.nn.encoder import EncoderConfig
+from marius_tpu.nn.layers import LayerConfig
+from marius_tpu.nn.model import Model
+from marius_tpu.nn.optimizers import OptimizerConfig
+from marius_tpu.train.evaluator import LinkPredictionEvaluator
+from marius_tpu.train.trainer import LinkPredictionTrainer
+from tests.test_lp_e2e import generate_random_lp_dataset, NUM_NODES, NUM_RELS
+
+DIM = 16
+
+
+def _gnn_lp_model():
+    encoder = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=DIM),),
+        (LayerConfig(layer_type="GNN", gnn_type="GRAPH_SAGE", aggregator="MEAN",
+                     input_dim=DIM, output_dim=DIM, bias=True),),
+    ))
+    return Model(
+        learning_task="LINK_PREDICTION",
+        encoder=encoder,
+        decoder=EdgeDecoder("DISTMULT", NUM_RELS, DIM),
+        loss_type="SOFTMAX_CE",
+        loss_reduction="SUM",
+        dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.05),
+        sparse_lr=0.1,
+    )
+
+
+def test_gnn_lp_trains_and_evaluates():
+    train, valid, test = generate_random_lp_dataset()
+    graph = build_device_graph(train, NUM_NODES, NUM_RELS)
+    nbr = [NeighborSamplingConfig("UNIFORM", max_neighbors=5)]
+    trainer = LinkPredictionTrainer(
+        _gnn_lp_model(), NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+        batch_size=100, seed=0, graph=graph, nbr_configs=nbr)
+    stats = trainer.train(4)
+    assert np.isfinite(stats[-1]["loss"])
+    assert stats[-1]["loss"] < stats[0]["loss"]
+
+    all_edges = np.concatenate([train, valid, test])
+    ev = LinkPredictionEvaluator(
+        trainer.model, NUM_NODES, NUM_RELS, train[:100],
+        all_edges=all_edges, batch_size=100, filtered=True,
+        graph=graph, nbr_configs=nbr)
+    res = ev.evaluate(trainer.state)
+    random_mrr = sum(1.0 / r for r in range(1, NUM_NODES + 1)) / NUM_NODES
+    assert res["mrr"] > 2 * random_mrr, f"GNN LP MRR too low: {res['mrr']}"
