@@ -1,0 +1,65 @@
+"""Headline benchmark: FB15K-237-shaped DistMult link prediction throughput.
+
+Mirrors the reference's flagship config (examples/configuration/fb15k_237.yaml:
+batch 1000, 10 chunks x 500 negatives, d=50 DistMult, dense Adam lr=0.1,
+sparse Adagrad lr=0.1) on a synthetic graph with FB15K-237's exact shape
+(14,541 nodes / 237 relations / 272,115 train edges — throughput is independent
+of edge values). Baseline: 298,699-358,990 edges/s on the reference's 1-GPU
+docs log (docs/examples/config/lp_fb15k237.rst:195,242); vs_baseline uses the
+best (358,990).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_EDGES_PER_SEC = 358_990.0
+
+NUM_NODES = 14_541
+NUM_RELS = 237
+NUM_EDGES = 272_115
+DIM = 50
+BATCH = 1000
+
+
+def main():
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
+    from marius_tpu.nn.model import Model, LINK_PREDICTION
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    rng = np.random.default_rng(0)
+    edges = np.stack([
+        rng.integers(0, NUM_NODES, NUM_EDGES),
+        rng.integers(0, NUM_RELS, NUM_EDGES),
+        rng.integers(0, NUM_NODES, NUM_EDGES),
+    ], axis=1).astype(np.int32)
+
+    enc = EncoderConfig(stages=((LayerConfig(layer_type="EMBEDDING", output_dim=DIM),),))
+    model = Model(
+        learning_task=LINK_PREDICTION,
+        encoder=enc,
+        decoder=EdgeDecoder("DISTMULT", NUM_RELS, DIM),
+    )
+    trainer = LinkPredictionTrainer(
+        model, NUM_NODES, NUM_RELS, edges,
+        NegativeSamplingConfig(num_chunks=10, negatives_per_positive=500),
+        batch_size=BATCH, seed=0)
+
+    trainer.train_epoch()  # warmup: compile + first run
+    eps = max(trainer.train_epoch()["edges_per_sec"] for _ in range(3))
+
+    print(json.dumps({
+        "metric": "fb15k237_distmult_train_edges_per_sec",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

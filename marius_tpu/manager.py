@@ -1,0 +1,263 @@
+"""Driver: config -> storage -> trainer/evaluator -> epoch loop.
+
+Parity with the reference manager (src/cpp/src/marius.cpp): `marius_init` (:38)
+builds the model, storage and dataloaders from one config; `marius_train`
+(:105) runs the epoch loop with eval cadence, interval checkpoints and a final
+save; `marius_eval` (:165) restores a trained model and evaluates;
+`encode_and_export` (:13) writes full-graph encoder outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from marius_tpu.config.schema import MariusConfig, load_config
+from marius_tpu.data.graph import build_device_graph
+from marius_tpu.nn.model import LINK_PREDICTION, NODE_CLASSIFICATION
+from marius_tpu.ops.edge_keys import build_edge_key_set
+from marius_tpu.reporting.logger import get_logger
+from marius_tpu.storage import checkpoint as ckpt
+from marius_tpu.storage.dataset import (
+    load_features,
+    load_labels,
+    load_node_split,
+    load_split,
+    load_stats,
+)
+from marius_tpu.train.evaluator import LinkPredictionEvaluator
+from marius_tpu.train.nc import NodeClassificationEvaluator, NodeClassificationTrainer
+from marius_tpu.train.trainer import LinkPredictionTrainer
+
+
+@dataclasses.dataclass
+class MariusRuntime:
+    """Everything marius_init builds (marius.cpp:38-103 returns the
+    model/storage/dataloader tuple; here one object)."""
+
+    config: MariusConfig
+    trainer: Any
+    valid_evaluator: Optional[Any]
+    test_evaluator: Optional[Any]
+    epochs_processed: int = 0
+
+    @property
+    def state(self):
+        return self.trainer.state
+
+    @state.setter
+    def state(self, s):
+        self.trainer.state = s
+
+
+def _load_lp_data(cfg: MariusConfig):
+    ds = cfg.storage.dataset
+    stats = None
+    if ds.dataset_dir and os.path.exists(os.path.join(ds.dataset_dir, "dataset.yaml")):
+        stats = load_stats(ds.dataset_dir)
+    train = load_split(ds.dataset_dir, "train", stats)
+    valid = test = None
+    try:
+        valid = load_split(ds.dataset_dir, "valid", stats)
+    except FileNotFoundError:
+        pass
+    try:
+        test = load_split(ds.dataset_dir, "test", stats)
+    except FileNotFoundError:
+        pass
+    return train, valid, test
+
+
+def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
+    log = get_logger(cfg.storage.model_dir or None)
+    ds = cfg.storage.dataset
+    model = cfg.model
+
+    if cfg.learning_task == LINK_PREDICTION:
+        train_edges, valid_edges, test_edges = _load_lp_data(cfg)
+        num_nodes, num_rels = ds.num_nodes, max(ds.num_relations, 1)
+        log.info("Loaded dataset: %d nodes, %d relations, %d train edges",
+                 num_nodes, num_rels, len(train_edges))
+
+        graph = None
+        features = None
+        if cfg.train_neighbor_sampling:
+            graph = build_device_graph(train_edges, num_nodes, num_rels)
+        if model.encoder.has_features:
+            features = load_features(ds.dataset_dir)
+
+        train_filter = None
+        if cfg.training.negative_sampling.filtered:
+            train_filter = (build_edge_key_set(train_edges, corrupt_dst=True),
+                            build_edge_key_set(train_edges, corrupt_dst=False))
+
+        trainer = LinkPredictionTrainer(
+            model, num_nodes, num_rels, train_edges,
+            cfg.training.negative_sampling,
+            batch_size=cfg.training.batch_size,
+            seed=cfg.training.seed,
+            train_filter_keys=train_filter,
+            graph=graph,
+            nbr_configs=cfg.train_neighbor_sampling,
+            features=features,
+        )
+
+        all_edges_list = [train_edges] + [e for e in (valid_edges, test_edges) if e is not None]
+        all_edges = np.concatenate(all_edges_list, axis=0)
+        eval_features = trainer.features
+
+        def make_eval(edges):
+            if edges is None or len(edges) == 0:
+                return None
+            return LinkPredictionEvaluator(
+                model, num_nodes, num_rels, edges,
+                all_edges=all_edges,
+                batch_size=cfg.evaluation.batch_size,
+                filtered=cfg.evaluation.negative_sampling.filtered,
+                neg_config=cfg.evaluation.negative_sampling,
+                graph=graph,
+                nbr_configs=cfg.eval_neighbor_sampling,
+                features=eval_features,
+            )
+
+        runtime = MariusRuntime(cfg, trainer, make_eval(valid_edges), make_eval(test_edges))
+
+    elif cfg.learning_task == NODE_CLASSIFICATION:
+        stats = load_stats(ds.dataset_dir)
+        edges = load_split(ds.dataset_dir, "train", stats)
+        features = load_features(ds.dataset_dir) if model.encoder.has_features else None
+        labels = load_labels(ds.dataset_dir)
+        train_nodes = load_node_split(ds.dataset_dir, "train")
+        num_nodes = ds.num_nodes
+        graph = build_device_graph(edges, num_nodes, max(ds.num_relations, 1))
+        log.info("Loaded NC dataset: %d nodes, %d edges, %d train nodes",
+                 num_nodes, graph.num_edges, len(train_nodes))
+
+        trainer = NodeClassificationTrainer(
+            model, graph, features, labels, train_nodes,
+            cfg.train_neighbor_sampling,
+            batch_size=cfg.training.batch_size,
+            seed=cfg.training.seed,
+        )
+
+        def make_nc_eval(split):
+            try:
+                nodes = load_node_split(ds.dataset_dir, split)
+            except FileNotFoundError:
+                return None
+            if len(nodes) == 0:
+                return None
+            return NodeClassificationEvaluator(trainer, nodes,
+                                               batch_size=cfg.evaluation.batch_size)
+
+        runtime = MariusRuntime(cfg, trainer, make_nc_eval("valid"), make_nc_eval("test"))
+    else:
+        raise ValueError(f"Unknown learning task: {cfg.learning_task}")
+
+    # resume (marius.cpp:59-76)
+    t = cfg.training
+    if train and (t.resume_training or t.resume_from_checkpoint):
+        path = t.resume_from_checkpoint or cfg.storage.model_dir
+        state, meta = ckpt.load_state(path, runtime.trainer.state)
+        runtime.trainer.state = state
+        runtime.epochs_processed = int(meta.get("epochs_processed", 0))
+        log.info("Resumed from %s at epoch %d", path, runtime.epochs_processed)
+    elif not train:
+        model_dir = cfg.storage.model_dir
+        if model_dir and os.path.exists(os.path.join(model_dir, "meta.yaml")):
+            state, meta = ckpt.load_state(model_dir, runtime.trainer.state)
+            runtime.trainer.state = state
+            runtime.epochs_processed = int(meta.get("epochs_processed", 0))
+            log.info("Loaded trained model from %s", model_dir)
+
+    return runtime
+
+
+def marius_train(config, model_dir: Optional[str] = None) -> Dict[str, Any]:
+    """Full config-driven training (marius_train, marius.cpp:105-163)."""
+    cfg = config if isinstance(config, MariusConfig) else load_config(config, model_dir)
+    log = get_logger(cfg.storage.model_dir or None)
+    rt = marius_init(cfg, train=True)
+    t = cfg.training
+
+    epoch_stats: List[Dict[str, float]] = []
+    eval_stats: List[Dict[str, float]] = []
+    for epoch in range(rt.epochs_processed, t.num_epochs):
+        stats = rt.trainer.train_epoch()
+        rt.epochs_processed = epoch + 1
+        epoch_stats.append(stats)
+        rate_key = "edges_per_sec" if "edges_per_sec" in stats else "nodes_per_sec"
+        log.info("Epoch %d: loss=%.4f time=%.3fs %s=%.0f", epoch + 1,
+                 stats["loss"], stats["epoch_time_s"], rate_key, stats.get(rate_key, 0))
+
+        if rt.valid_evaluator is not None and (epoch + 1) % max(t.epochs_per_eval, 1) == 0:
+            res = rt.valid_evaluator.evaluate(rt.trainer.state)
+            res["split"] = "valid"
+            res["epoch"] = epoch + 1
+            eval_stats.append(res)
+
+        if t.checkpoint_interval > 0 and (epoch + 1) % t.checkpoint_interval == 0 \
+                and cfg.storage.model_dir:
+            ckpt.create_checkpoint(cfg.storage.model_dir, rt.trainer.state, epoch + 1,
+                                   metadata=_meta(rt))
+            log.info("Checkpoint at epoch %d", epoch + 1)
+
+    final: Dict[str, Any] = {"epochs": epoch_stats, "evals": eval_stats}
+    if rt.test_evaluator is not None:
+        res = rt.test_evaluator.evaluate(rt.trainer.state)
+        res["split"] = "test"
+        final["test"] = res
+
+    if cfg.storage.save_model and cfg.storage.model_dir:
+        os.makedirs(cfg.storage.model_dir, exist_ok=True)
+        ckpt.save_state(cfg.storage.model_dir, rt.trainer.state, metadata=_meta(rt))
+        log.info("Saved model to %s", cfg.storage.model_dir)
+    final["runtime"] = rt
+    return final
+
+
+def marius_eval(config, model_dir: Optional[str] = None) -> Dict[str, Any]:
+    """Evaluate a trained model (marius_eval, marius.cpp:165-185)."""
+    cfg = config if isinstance(config, MariusConfig) else load_config(config, model_dir)
+    rt = marius_init(cfg, train=False)
+    out: Dict[str, Any] = {}
+    if rt.test_evaluator is not None:
+        out["test"] = rt.test_evaluator.evaluate(rt.trainer.state)
+    elif rt.valid_evaluator is not None:
+        out["valid"] = rt.valid_evaluator.evaluate(rt.trainer.state)
+    out["runtime"] = rt
+    return out
+
+
+def encode_and_export(rt: MariusRuntime, path: Optional[str] = None) -> np.ndarray:
+    """Full-graph encoder outputs to <model_dir>/encoded_nodes.bin
+    (encode_and_export, marius.cpp:13-36)."""
+    from marius_tpu.train.graph_encoder import encode_all_nodes
+
+    tr = rt.trainer
+    state = tr.state
+    table_values = state.table.values if state.table is not None else None
+    encoded = np.asarray(encode_all_nodes(
+        rt.config.model, state.params, table_values,
+        graph=getattr(tr, "graph", None),
+        nbr_configs=getattr(tr, "nbr_configs", ()),
+        features=getattr(tr, "features", None),
+        batch_size=rt.config.evaluation.batch_size))
+    out = path or (os.path.join(rt.config.storage.model_dir, "encoded_nodes.bin")
+                   if rt.config.storage.model_dir else None)
+    if out:
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        encoded.astype(np.float32).tofile(out)
+    return encoded
+
+
+def _meta(rt: MariusRuntime) -> Dict[str, Any]:
+    return {
+        "epochs_processed": rt.epochs_processed,
+        "learning_task": rt.config.learning_task,
+        "timestamp": time.time(),
+    }

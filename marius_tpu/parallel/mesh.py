@@ -42,3 +42,25 @@ def row_sharded(mesh: Mesh, axis: str = NODE_AXIS) -> NamedSharding:
 def batch_sharded(mesh: Mesh) -> NamedSharding:
     """Shard dim 0 (batch) over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState on a mesh: embedding table + Adagrad state row-sharded
+    over NODE_AXIS (replicated over DATA_AXIS), dense params/opt replicated.
+
+    This is the TPU replacement for the reference's scale-out: instead of
+    replicating the model per GPU and hogwild-updating a host-RAM table
+    (model.cpp:361-379 broadcast + buffer.cpp:460 indexAdd), the table is ONE
+    logical jax.Array whose rows live across chips; gathers and row-sparse
+    updates become XLA collectives over ICI.
+    """
+    rows = row_sharded(mesh)
+    repl = replicated(mesh)
+
+    def place(path, leaf):
+        names = {getattr(p, "name", None) for p in path}
+        if {"table"} & names and hasattr(leaf, "ndim") and leaf.ndim == 2:
+            return jax.device_put(leaf, rows)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree_util.tree_map_with_path(place, state)

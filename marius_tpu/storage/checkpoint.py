@@ -50,9 +50,25 @@ def save_state(directory: str, state, metadata: Optional[Dict[str, Any]] = None)
         meta["leaf_names"] = sorted(leaves.keys())
         with open(os.path.join(tmp, "meta.yaml"), "w") as f:
             yaml.safe_dump(meta, f)
-        if os.path.exists(directory):
-            shutil.rmtree(directory)
-        os.rename(tmp, directory)
+        if not os.path.exists(directory):
+            os.rename(tmp, directory)
+        else:
+            # overwrite in place: the dir may hold checkpoint_<n>/ subdirs and
+            # logs that must survive a final save (checkpointer.cpp keeps
+            # checkpoints as siblings of model.pt)
+            stale = set()
+            old_meta = os.path.join(directory, "meta.yaml")
+            if os.path.exists(old_meta):
+                with open(old_meta) as f:
+                    stale = {n.replace("/", "__") + ".npy"
+                             for n in (yaml.safe_load(f) or {}).get("leaf_names", [])}
+            for name in os.listdir(tmp):
+                os.replace(os.path.join(tmp, name), os.path.join(directory, name))
+                stale.discard(name)
+            for name in stale:
+                path = os.path.join(directory, name)
+                if os.path.exists(path):
+                    os.remove(path)
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp, ignore_errors=True)

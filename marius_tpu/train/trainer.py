@@ -95,6 +95,8 @@ class LinkPredictionTrainer:
         nbr_configs=(),             # train-time NeighborSamplingConfigs
         features: Optional[np.ndarray] = None,   # (N, F) for FEATURE layers
         hop_caps=None,
+        mesh=None,                  # jax.sharding.Mesh — shard table rows over
+                                    # NODE_AXIS, batches over DATA_AXIS
     ):
         assert model.learning_task == LINK_PREDICTION
         assert batch_size % neg_config.num_chunks == 0, \
@@ -135,6 +137,11 @@ class LinkPredictionTrainer:
             f[:num_nodes] = features
             self.features = jnp.asarray(f)
 
+        self.mesh = mesh
+        if mesh is not None:
+            from marius_tpu.parallel.mesh import shard_train_state
+            self.state = shard_train_state(self.state, mesh)
+
         self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -143,6 +150,17 @@ class LinkPredictionTrainer:
         cfg = self.neg_config
         num_nodes = self.num_nodes
         c, nneg = cfg.num_chunks, cfg.negatives_per_positive
+
+        if self.mesh is not None:
+            # Data-parallel sharding: split the batch's positive edges over the
+            # DATA axis; GSPMD propagates through scoring and inserts psum for
+            # dense grads (the reference's NCCL all_reduce, model.cpp:136-159).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from marius_tpu.parallel.mesh import DATA_AXIS
+            edges_b = jax.lax.with_sharding_constraint(
+                edges_b, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+            mask_b = jax.lax.with_sharding_constraint(
+                mask_b, NamedSharding(self.mesh, P(DATA_AXIS)))
 
         key, k_dst, k_src = jax.random.split(state.key, 3)
 

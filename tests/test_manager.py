@@ -1,0 +1,131 @@
+"""Config-driven end-to-end matrix (the reference's main test strategy,
+SURVEY §4: generate_test_configs.py composes model x storage x training x
+evaluation fragments over a synthetic random graph and runs marius_train)."""
+
+import copy
+
+import pytest
+
+from marius_tpu.config.schema import load_config
+from marius_tpu.manager import encode_and_export, marius_eval, marius_train
+from marius_tpu.tools.preprocess import (
+    generate_random_dataset_lp,
+    generate_random_dataset_nc,
+)
+
+LP_BASE = {
+    "model": {
+        "learning_task": "LINK_PREDICTION",
+        "encoder": {"layers": [[{"type": "EMBEDDING", "output_dim": 16}]]},
+        "decoder": {"type": "DISTMULT", "options": {"input_dim": 16}},
+        "loss": {"type": "SOFTMAX_CE", "options": {"reduction": "SUM"}},
+        "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.1}},
+        "sparse_optimizer": {"type": "ADAGRAD", "options": {"learning_rate": 0.1}},
+    },
+    "storage": {"dataset": {"dataset_dir": ""}, "save_model": False},
+    "training": {
+        "batch_size": 100,
+        "negative_sampling": {"num_chunks": 4, "negatives_per_positive": 16},
+        "num_epochs": 2,
+    },
+    "evaluation": {
+        "batch_size": 100,
+        "negative_sampling": {"filtered": True},
+    },
+}
+
+GS_ENCODER = {
+    "layers": [
+        [{"type": "EMBEDDING", "output_dim": 16}],
+        [{"type": "GNN", "input_dim": 16, "output_dim": 16,
+          "options": {"type": "GRAPH_SAGE", "aggregator": "MEAN"}}],
+    ],
+    "train_neighbor_sampling": [
+        {"type": "UNIFORM", "options": {"max_neighbors": 4}}],
+}
+
+
+def _lp_config(tmp_path, name, **overrides):
+    d = copy.deepcopy(LP_BASE)
+    ds_dir = str(tmp_path / f"ds_{name}")
+    generate_random_dataset_lp(ds_dir, num_nodes=50, num_edges=500, num_relations=5)
+    d["storage"]["dataset"]["dataset_dir"] = ds_dir
+    for path, val in overrides.items():
+        node = d
+        keys = path.split(".")
+        for k in keys[:-1]:
+            node = node[k]
+        node[keys[-1]] = val
+    return d
+
+
+@pytest.mark.parametrize("variant", ["distmult", "distmult_unfiltered", "gs_1_layer"])
+def test_lp_config_matrix(tmp_path, variant):
+    overrides = {}
+    if variant == "distmult_unfiltered":
+        overrides["evaluation.negative_sampling"] = {
+            "filtered": False, "num_chunks": 2, "negatives_per_positive": 8}
+    if variant == "gs_1_layer":
+        overrides["model.encoder"] = copy.deepcopy(GS_ENCODER)
+    raw = _lp_config(tmp_path, variant, **overrides)
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 2
+    assert result["epochs"][1]["loss"] < result["epochs"][0]["loss"] * 1.5
+    assert "test" in result
+    assert 0.0 < result["test"]["mrr"] <= 1.0
+
+
+def test_lp_save_eval_and_export(tmp_path):
+    raw = _lp_config(tmp_path, "save", **{"storage.save_model": True})
+    raw["storage"]["model_dir"] = str(tmp_path / "model_0")
+    train_res = marius_train(load_config(raw))
+    eval_res = marius_eval(load_config(raw))
+    # the restored model must score identically to the trained one
+    assert abs(eval_res["test"]["mrr"] - train_res["test"]["mrr"]) < 1e-5
+    encoded = encode_and_export(eval_res["runtime"])
+    assert encoded.shape == (50, 16)
+
+
+def test_lp_checkpoint_resume(tmp_path):
+    raw = _lp_config(tmp_path, "resume", **{"storage.save_model": True})
+    raw["storage"]["model_dir"] = str(tmp_path / "model_r")
+    raw["training"]["num_epochs"] = 2
+    raw["training"]["checkpoint"] = {"interval": 1}
+    marius_train(load_config(raw))
+    assert (tmp_path / "model_r" / "checkpoint_1" / "meta.yaml").exists()
+
+    raw2 = copy.deepcopy(raw)
+    raw2["training"]["num_epochs"] = 3
+    raw2["training"]["resume_from_checkpoint"] = str(tmp_path / "model_r" / "checkpoint_2")
+    res = marius_train(load_config(raw2))
+    # resumed at epoch 2 -> exactly one more epoch runs
+    assert len(res["epochs"]) == 1
+    assert res["runtime"].epochs_processed == 3
+
+
+def test_nc_config_e2e(tmp_path):
+    ds_dir = str(tmp_path / "ds_nc")
+    generate_random_dataset_nc(ds_dir, num_nodes=60, num_edges=600,
+                               num_classes=4, feature_dim=8)
+    raw = {
+        "model": {
+            "learning_task": "NODE_CLASSIFICATION",
+            "encoder": {
+                "layers": [
+                    [{"type": "FEATURE", "output_dim": 8}],
+                    [{"type": "GNN", "input_dim": 8, "output_dim": 4,
+                      "options": {"type": "GRAPH_SAGE", "aggregator": "MEAN"}}],
+                ],
+                "train_neighbor_sampling": [
+                    {"type": "UNIFORM", "options": {"max_neighbors": 4}}],
+            },
+            "loss": {"type": "CROSS_ENTROPY", "options": {"reduction": "SUM"}},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.01}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds_dir}, "save_model": False},
+        "training": {"batch_size": 30, "num_epochs": 2},
+        "evaluation": {"batch_size": 30},
+    }
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 2
+    assert 0.0 <= result["test"]["accuracy"] <= 1.0
