@@ -25,15 +25,28 @@ def _is_prng_key(leaf) -> bool:
     return hasattr(leaf, "dtype") and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
 
 
+def _path_entry(p) -> str:
+    if hasattr(p, "name"):      # GetAttrKey (dataclass fields)
+        return str(p.name)
+    if hasattr(p, "key"):       # DictKey
+        return str(p.key)
+    if hasattr(p, "idx"):       # SequenceKey
+        return str(p.idx)
+    return str(p)
+
+
+def _path_key(path) -> str:
+    key = "/".join(_path_entry(p) for p in path) or "value"
+    return key.replace("[", "").replace("]", "").replace("'", "")
+
+
 def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     out = {}
     for path, leaf in flat:
-        key = "/".join(str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
-                       for p in path) or "value"
         if _is_prng_key(leaf):
             leaf = jax.random.key_data(leaf)
-        out[key.replace("[", "").replace("]", "").replace("'", "")] = np.asarray(leaf)
+        out[_path_key(path)] = np.asarray(leaf)
     return out
 
 
@@ -86,10 +99,7 @@ def load_state(directory: str, template) -> Tuple[Any, Dict[str, Any]]:
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for p, leaf in flat:
-        key = "/".join(str(x.key) if hasattr(x, "key") else str(getattr(x, "idx", x))
-                       for x in p) or "value"
-        key = key.replace("[", "").replace("]", "").replace("'", "")
-        arr = restored[key]
+        arr = restored[_path_key(p)]
         if _is_prng_key(leaf):
             new_leaves.append(jax.random.wrap_key_data(arr))
         else:

@@ -1,0 +1,212 @@
+"""Edge-list preprocessing: raw delimited/parquet/array input -> binary dataset.
+
+Parity with TorchEdgeListConverter (tools/preprocess/converters/
+torch_converter.py:428-845): read raw edges, optionally remap node/relation
+ids to randomly-assigned dense integers (writing node_mapping.txt /
+relation_mapping.txt), split into train/valid/test, optionally reorder by
+partition buckets, and write <dir>/edges/*.bin + dataset.yaml. numpy/pandas
+only — no torch dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from marius_tpu.storage.dataset import DatasetStats, save_stats
+from marius_tpu.tools.preprocess.partitioner import (
+    partition_edges,
+    write_partition_offsets,
+)
+
+PathOrArray = Union[str, os.PathLike, np.ndarray]
+
+
+@dataclasses.dataclass
+class ConvertResult:
+    stats: DatasetStats
+    node_mapping: Optional[np.ndarray] = None      # (N, 2) raw -> new
+    relation_mapping: Optional[np.ndarray] = None
+
+
+def _read_raw(src: PathOrArray, fmt: str, delim: str, header_length: int,
+              columns: Sequence[int]) -> np.ndarray:
+    if isinstance(src, np.ndarray):
+        return src[:, list(columns)]
+    path = os.fspath(src)
+    if fmt in ("csv", "tsv", "txt", "delimited"):
+        import pandas as pd
+        df = pd.read_csv(path, sep=delim, header=None, skiprows=header_length,
+                         dtype=str, keep_default_na=False)
+        return df.iloc[:, list(columns)].to_numpy()
+    if fmt == "parquet":
+        import pandas as pd
+        df = pd.read_parquet(path)
+        return df.iloc[:, list(columns)].to_numpy()
+    if fmt in ("numpy", "npy"):
+        return np.load(path)[:, list(columns)]
+    if fmt == "bin":
+        flat = np.fromfile(path, np.int32)
+        ncols = max(columns) + 1
+        return flat.reshape(-1, ncols)[:, list(columns)]
+    raise ValueError(f"Unknown input format: {fmt}")
+
+
+def _remap(columns: List[np.ndarray], known_ids: Optional[List[np.ndarray]],
+           rng: np.random.Generator):
+    """Random dense-id remap (map_edge_lists, torch_converter.py:191): unique
+    raw ids get a random permutation of [0, N)."""
+    parts = [c for c in columns if c is not None]
+    if known_ids:
+        parts += [np.asarray(k) for k in known_ids]
+    uniq = np.unique(np.concatenate([p.reshape(-1) for p in parts]))
+    new_ids = rng.permutation(len(uniq)).astype(np.int32)
+    # searchsorted-based lookup: uniq is sorted
+    def apply(col):
+        return new_ids[np.searchsorted(uniq, col)]
+    return uniq, new_ids, apply
+
+
+class EdgeListConverter:
+    """In-memory edge-list converter (TorchEdgeListConverter equivalent)."""
+
+    def __init__(
+        self,
+        output_dir: str,
+        train_edges: PathOrArray,
+        valid_edges: Optional[PathOrArray] = None,
+        test_edges: Optional[PathOrArray] = None,
+        splits: Optional[Sequence[float]] = None,
+        format: str = "csv",
+        header_length: int = 0,
+        delim: str = "\t",
+        src_column: int = 0,
+        dst_column: int = 2,
+        edge_type_column: Optional[int] = 1,
+        remap_ids: bool = True,
+        sequential_train_nodes: bool = False,
+        num_nodes: Optional[int] = None,
+        num_rels: Optional[int] = None,
+        num_partitions: int = 1,
+        partitioned_evaluation: bool = False,
+        known_node_ids: Optional[List[np.ndarray]] = None,
+        seed: int = 0,
+    ):
+        self.output_dir = os.fspath(output_dir)
+        self.inputs = [train_edges, valid_edges, test_edges]
+        self.splits = splits
+        self.format = format.lower()
+        self.header_length = header_length
+        self.delim = delim
+        self.has_rels = edge_type_column is not None
+        self.columns = ([src_column, edge_type_column, dst_column]
+                        if self.has_rels else [src_column, dst_column])
+        self.remap_ids = remap_ids
+        self.sequential_train_nodes = sequential_train_nodes
+        self.num_nodes = num_nodes
+        self.num_rels = num_rels
+        self.num_partitions = num_partitions
+        self.partitioned_evaluation = partitioned_evaluation
+        self.known_node_ids = known_node_ids
+        self.seed = seed
+
+    # ------------------------------------------------------------------
+    def convert(self) -> ConvertResult:
+        rng = np.random.default_rng(self.seed)
+        raw = [None if x is None else
+               _read_raw(x, self.format, self.delim, self.header_length, self.columns)
+               for x in self.inputs]
+
+        node_mapping = rel_mapping = None
+        if self.remap_ids:
+            src_cols = [r[:, 0] for r in raw if r is not None]
+            dst_cols = [r[:, -1] for r in raw if r is not None]
+            uniq_nodes, new_node_ids, node_map = _remap(
+                src_cols + dst_cols, self.known_node_ids, rng)
+            num_nodes = len(uniq_nodes)
+            if self.sequential_train_nodes:
+                # train nodes get ids [0, num_train) (torch_converter.py
+                # sequential_train_nodes): known_node_ids[0] = train nodes
+                assert self.known_node_ids, \
+                    "sequential_train_nodes needs known_node_ids[0] = train nodes"
+                train_ids = np.unique(np.asarray(self.known_node_ids[0]))
+                is_train = np.isin(uniq_nodes, train_ids)
+                new_node_ids = np.empty(len(uniq_nodes), np.int32)
+                new_node_ids[is_train] = np.arange(is_train.sum(), dtype=np.int32)
+                new_node_ids[~is_train] = (
+                    is_train.sum()
+                    + rng.permutation(int((~is_train).sum())).astype(np.int32))
+                node_map = lambda col: new_node_ids[np.searchsorted(uniq_nodes, col)]  # noqa: E731
+            if self.has_rels:
+                rel_cols = [r[:, 1] for r in raw if r is not None]
+                uniq_rels, new_rel_ids, rel_map = _remap(rel_cols, None, rng)
+                num_rels = len(uniq_rels)
+            out = []
+            for r in raw:
+                if r is None:
+                    out.append(None)
+                    continue
+                cols = [node_map(r[:, 0])]
+                if self.has_rels:
+                    cols.append(rel_map(r[:, 1]))
+                cols.append(node_map(r[:, -1]))
+                out.append(np.stack(cols, axis=1).astype(np.int32))
+            raw = out
+            node_mapping = np.stack([uniq_nodes, new_node_ids], axis=1)
+            if self.has_rels:
+                rel_mapping = np.stack([uniq_rels, new_rel_ids], axis=1)
+        else:
+            raw = [None if r is None else r.astype(np.int32) for r in raw]
+            num_nodes = self.num_nodes or int(
+                max(max(r[:, 0].max(), r[:, -1].max()) for r in raw if r is not None)) + 1
+            num_rels = (self.num_rels or
+                        (int(max(r[:, 1].max() for r in raw if r is not None)) + 1
+                         if self.has_rels else 1))
+        if not self.has_rels:
+            num_rels = 1
+
+        train, valid, test = raw
+        if self.splits is not None and valid is None and test is None:
+            perm = rng.permutation(len(train))
+            n_tr = int(self.splits[0] * len(train))
+            n_va = int(self.splits[1] * len(train)) if len(self.splits) > 1 else 0
+            train, valid, test = (train[perm[:n_tr]], train[perm[n_tr:n_tr + n_va]],
+                                  train[perm[n_tr + n_va:]])
+
+        edges_dir = os.path.join(self.output_dir, "edges")
+        nodes_dir = os.path.join(self.output_dir, "nodes")
+        os.makedirs(edges_dir, exist_ok=True)
+        os.makedirs(nodes_dir, exist_ok=True)
+
+        names = {"train": train, "validation": valid, "test": test}
+        for name, edges in names.items():
+            if edges is None or len(edges) == 0:
+                continue
+            if self.num_partitions > 1 and (
+                    name == "train" or self.partitioned_evaluation):
+                edges, sizes = partition_edges(edges, num_nodes, self.num_partitions)
+                write_partition_offsets(
+                    os.path.join(edges_dir, f"{name}_partition_offsets.txt"), sizes)
+            np.ascontiguousarray(edges, np.int32).tofile(
+                os.path.join(edges_dir, f"{name}_edges.bin"))
+
+        if node_mapping is not None:
+            np.savetxt(os.path.join(nodes_dir, "node_mapping.txt"),
+                       node_mapping, fmt="%s", delimiter=",")
+        if rel_mapping is not None:
+            np.savetxt(os.path.join(edges_dir, "relation_mapping.txt"),
+                       rel_mapping, fmt="%s", delimiter=",")
+
+        stats = DatasetStats(
+            num_nodes=int(num_nodes),
+            num_edges=sum(len(e) for e in (train, valid, test) if e is not None),
+            num_relations=int(num_rels),
+            num_train=len(train) if train is not None else 0,
+            num_valid=len(valid) if valid is not None else 0,
+            num_test=len(test) if test is not None else 0,
+        )
+        save_stats(self.output_dir, stats)
+        return ConvertResult(stats, node_mapping, rel_mapping)

@@ -1,0 +1,45 @@
+"""Node-partition bucketing of edge lists for out-of-core training.
+
+Parity with the reference partitioner (tools/preprocess/partitioners/
+torch_partitioner.py:12-46 partition_edges): nodes are divided into
+`num_partitions` contiguous ranges of size ceil(num_nodes/num_partitions);
+edges are stably reordered by (src_partition, dst_partition) so that edge
+bucket (i, j) occupies a contiguous run; the n^2 bucket sizes are returned in
+row-major order and written as <split>_partition_offsets.txt.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def partition_edges(edges: np.ndarray, num_nodes: int, num_partitions: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Reorder edges into row-major (src_bucket, dst_bucket) runs.
+
+    Returns (reordered_edges, bucket_sizes[num_partitions**2]).
+    """
+    partition_size = -(-num_nodes // num_partitions)
+    src_part = edges[:, 0] // partition_size
+    dst_part = edges[:, -1] // partition_size
+    # stable double sort: dst first then src, matching the reference's
+    # torch .sort(stable=True) pair so intra-bucket edge order is preserved
+    order = np.argsort(dst_part, kind="stable")
+    order = order[np.argsort(src_part[order], kind="stable")]
+    reordered = edges[order]
+
+    flat = src_part[order] * num_partitions + dst_part[order]
+    bucket_sizes = np.bincount(flat, minlength=num_partitions ** 2)
+    return reordered, bucket_sizes.astype(np.int64)
+
+
+def write_partition_offsets(path: str, bucket_sizes: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write("\n".join(str(int(s)) for s in bucket_sizes) + "\n")
+
+
+def read_partition_offsets(path: str) -> np.ndarray:
+    with open(path) as f:
+        return np.asarray([int(line) for line in f if line.strip()], np.int64)

@@ -81,67 +81,71 @@ class LinkPredictionEvaluator:
         self._eval_fn = jax.jit(self._build_eval_fn())
 
     # ------------------------------------------------------------------
-    def _build_eval_fn(self):
-        model = self.model
-        decoder = model.decoder
-        nb, b = self.num_batches, self.batch_size
+    def _batch_directions(self, encoded: Array, params, edges_b: Array, idx):
+        """Positive/negative scores for both corruption directions of one
+        batch; shared by the stats scan and the rank-export scan."""
+        decoder = self.model.decoder
         num_nodes = self.num_nodes
         cfg = self.neg_config
+        src = edges_b[:, 0]
+        dst = edges_b[:, -1]
+        rel = edges_b[:, 1] if self.has_rels else None
+
+        src_e = encoded[src]
+        dst_e = encoded[dst]
+
+        directions = []
+        # corrupt dst: anchor = src
+        rels_f = None if rel is None else decoder.select_relations(params["decoder"], rel)
+        adj_src = decoder.apply_relation(src_e, rels_f)
+        pos = decoder.pos_scores(adj_src, dst_e)
+        if self.filtered:
+            neg = decoder.neg_scores(adj_src, encoded[None, :, :], num_chunks=1)
+            fmask = filter_mask_all_nodes(self.dst_keys, src, rel, num_nodes)
+            neg = jnp.where(fmask, -1e9, neg)
+            directions.append((pos, neg, None))
+        else:
+            k = jax.random.fold_in(jax.random.key(self.seed), idx)
+            neg_ids = sample_negatives(
+                jax.random.fold_in(k, 0), cfg, edges_b, num_nodes, inverse=False).ids
+            neg_e = encoded[neg_ids.reshape(-1)].reshape(
+                cfg.num_chunks, cfg.negatives_per_positive, -1)
+            neg = decoder.neg_scores(adj_src, neg_e, cfg.num_chunks)
+            if self.dst_keys is not None:
+                fmask = filter_mask_sampled(self.dst_keys, src, rel, neg_ids)
+                neg = jnp.where(fmask, -1e9, neg)
+            directions.append((pos, neg, None))
+
+        if decoder.use_inverse_relations and rel is not None:
+            inv_rels = decoder.select_relations(params["decoder"], rel, inverse=True)
+            adj_dst = decoder.apply_relation(dst_e, inv_rels)
+            inv_pos = decoder.pos_scores(adj_dst, src_e)
+            if self.filtered:
+                inv_neg = decoder.neg_scores(adj_dst, encoded[None, :, :], num_chunks=1)
+                fmask = filter_mask_all_nodes(self.src_keys, dst, rel, num_nodes)
+                inv_neg = jnp.where(fmask, -1e9, inv_neg)
+                directions.append((inv_pos, inv_neg, None))
+            else:
+                k = jax.random.fold_in(jax.random.key(self.seed), idx)
+                neg_ids = sample_negatives(
+                    jax.random.fold_in(k, 1), cfg, edges_b, num_nodes, inverse=True).ids
+                neg_e = encoded[neg_ids.reshape(-1)].reshape(
+                    cfg.num_chunks, cfg.negatives_per_positive, -1)
+                inv_neg = decoder.neg_scores(adj_dst, neg_e, cfg.num_chunks)
+                if self.src_keys is not None:
+                    fmask = filter_mask_sampled(self.src_keys, dst, rel, neg_ids)
+                    inv_neg = jnp.where(fmask, -1e9, inv_neg)
+                directions.append((inv_pos, inv_neg, None))
+        return directions
+
+    def _build_eval_fn(self):
+        nb, b = self.num_batches, self.batch_size
 
         def eval_fn(encoded: Array, params, edges: Array):
             def body(stats, xs):
                 edges_b, mask_b, idx = xs
-                src = edges_b[:, 0]
-                dst = edges_b[:, -1]
-                rel = edges_b[:, 1] if self.has_rels else None
-
-                src_e = encoded[src]
-                dst_e = encoded[dst]
-
-                directions = []
-                # corrupt dst: anchor = src
-                rels_f = None if rel is None else decoder.select_relations(params["decoder"], rel)
-                adj_src = decoder.apply_relation(src_e, rels_f)
-                pos = decoder.pos_scores(adj_src, dst_e)
-                if self.filtered:
-                    neg = decoder.neg_scores(adj_src, encoded[None, :, :], num_chunks=1)
-                    fmask = filter_mask_all_nodes(self.dst_keys, src, rel, num_nodes)
-                    neg = jnp.where(fmask, -1e9, neg)
-                    directions.append((pos, neg, None))
-                else:
-                    k = jax.random.fold_in(jax.random.key(self.seed), idx)
-                    neg_ids = sample_negatives(
-                        jax.random.fold_in(k, 0), cfg, edges_b, num_nodes, inverse=False).ids
-                    neg_e = encoded[neg_ids.reshape(-1)].reshape(
-                        cfg.num_chunks, cfg.negatives_per_positive, -1)
-                    neg = decoder.neg_scores(adj_src, neg_e, cfg.num_chunks)
-                    if self.dst_keys is not None:
-                        fmask = filter_mask_sampled(self.dst_keys, src, rel, neg_ids)
-                        neg = jnp.where(fmask, -1e9, neg)
-                    directions.append((pos, neg, None))
-
-                if decoder.use_inverse_relations and rel is not None:
-                    inv_rels = decoder.select_relations(params["decoder"], rel, inverse=True)
-                    adj_dst = decoder.apply_relation(dst_e, inv_rels)
-                    inv_pos = decoder.pos_scores(adj_dst, src_e)
-                    if self.filtered:
-                        inv_neg = decoder.neg_scores(adj_dst, encoded[None, :, :], num_chunks=1)
-                        fmask = filter_mask_all_nodes(self.src_keys, dst, rel, num_nodes)
-                        inv_neg = jnp.where(fmask, -1e9, inv_neg)
-                        directions.append((inv_pos, inv_neg, None))
-                    else:
-                        k = jax.random.fold_in(jax.random.key(self.seed), idx)
-                        neg_ids = sample_negatives(
-                            jax.random.fold_in(k, 1), cfg, edges_b, num_nodes, inverse=True).ids
-                        neg_e = encoded[neg_ids.reshape(-1)].reshape(
-                            cfg.num_chunks, cfg.negatives_per_positive, -1)
-                        inv_neg = decoder.neg_scores(adj_dst, neg_e, cfg.num_chunks)
-                        if self.src_keys is not None:
-                            fmask = filter_mask_sampled(self.src_keys, dst, rel, neg_ids)
-                            inv_neg = jnp.where(fmask, -1e9, inv_neg)
-                        directions.append((inv_pos, inv_neg, None))
-
-                for pos_s, neg_s, neg_m in directions:
+                for pos_s, neg_s, neg_m in self._batch_directions(
+                        encoded, params, edges_b, idx):
                     ranks = compute_ranks(pos_s, neg_s, neg_m)
                     s = rank_statistics(ranks, mask_b, HITS_KS)
                     stats = {k: stats[k] + v for k, v in s.items()}
@@ -157,6 +161,45 @@ class LinkPredictionEvaluator:
             return stats
 
         return eval_fn
+
+    def compute_all_ranks(self, state: TrainState, encoded: Optional[Array] = None):
+        """Per-edge (rank, positive score) for every eval edge and corruption
+        direction — the data behind marius_predict's ranks/scores CSV export
+        (LinkPredictionReporter::save, reporting.cpp:97-181).
+
+        Returns (ranks, scores): float arrays of shape (num_directions, E).
+        """
+        if encoded is None:
+            from marius_tpu.train.graph_encoder import encode_all_nodes
+            table_values = state.table.values if state.table is not None else None
+            encoded = encode_all_nodes(
+                self.model, state.params, table_values, graph=self.graph,
+                nbr_configs=self.nbr_configs, features=self.features,
+                batch_size=self.batch_size)
+        nb, b = self.num_batches, self.batch_size
+
+        @jax.jit
+        def ranks_fn(encoded, params, edges):
+            def body(_, xs):
+                edges_b, idx = xs
+                outs = []
+                for pos_s, neg_s, neg_m in self._batch_directions(
+                        encoded, params, edges_b, idx):
+                    outs.append((compute_ranks(pos_s, neg_s, neg_m), pos_s))
+                return None, (jnp.stack([o[0] for o in outs]),
+                              jnp.stack([o[1] for o in outs]))
+
+            _, (ranks, scores) = jax.lax.scan(
+                body, None,
+                (edges.reshape(nb, b, edges.shape[1]), jnp.arange(nb)))
+            return ranks, scores
+
+        ranks, scores = jax.device_get(ranks_fn(encoded, state.params, self.edges))
+        # (nb, D, b) -> (D, nb*b) -> trim padding
+        d = ranks.shape[1]
+        ranks = np.asarray(ranks).transpose(1, 0, 2).reshape(d, -1)
+        scores = np.asarray(scores).transpose(1, 0, 2).reshape(d, -1)
+        return ranks[:, :self.num_edges], scores[:, :self.num_edges]
 
     # ------------------------------------------------------------------
     def evaluate(self, state: TrainState, encoded: Optional[Array] = None) -> Dict[str, float]:

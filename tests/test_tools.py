@@ -1,0 +1,197 @@
+"""Tool-layer tests: converter, partitioner, CLIs, predict, postprocess,
+config generator, db2graph (reference: test/python/preprocessing +
+predict/test_predict.py + postprocessing/test_in_memory_exporter.py)."""
+
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from marius_tpu.storage.dataset import load_split, load_stats
+from marius_tpu.tools.cli import (
+    main as cli_main,
+    marius_config_generator,
+    marius_env_info,
+    marius_postprocess,
+    marius_predict,
+    marius_preprocess,
+    marius_train,
+)
+from marius_tpu.tools.preprocess.converter import EdgeListConverter
+from marius_tpu.tools.preprocess.partitioner import (
+    partition_edges,
+    read_partition_offsets,
+)
+
+
+def _write_raw_triples(path, n=200, nodes=40, rels=4, seed=0, delim="\t"):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for _ in range(n):
+            s, r, d = (rng.integers(0, nodes), rng.integers(0, rels),
+                       rng.integers(0, nodes))
+            f.write(f"n{s}{delim}r{r}{delim}n{d}\n")
+
+
+def test_converter_remap_and_splits(tmp_path):
+    raw = tmp_path / "raw.tsv"
+    _write_raw_triples(raw)
+    out = tmp_path / "ds"
+    result = EdgeListConverter(
+        output_dir=str(out), train_edges=str(raw),
+        splits=(0.8, 0.1, 0.1)).convert()
+    stats = load_stats(str(out))
+    assert stats.num_train == 160 and stats.num_valid == 20
+    train = load_split(str(out), "train", stats)
+    assert train.shape == (160, 3)
+    # remapped ids are dense
+    assert train.min() >= 0
+    assert train[:, [0, 2]].max() < stats.num_nodes
+    assert train[:, 1].max() < stats.num_relations
+    # mapping file written and bijective
+    mapping = result.node_mapping
+    assert len(np.unique(mapping[:, 1])) == stats.num_nodes
+
+
+def test_converter_no_remap(tmp_path):
+    edges = np.random.default_rng(0).integers(0, 30, (100, 3)).astype(np.int64)
+    out = tmp_path / "ds"
+    EdgeListConverter(output_dir=str(out), train_edges=edges, format="numpy",
+                      remap_ids=False, num_nodes=30, num_rels=30,
+                      splits=(1.0,)).convert()
+    train = load_split(str(out), "train")
+    np.testing.assert_array_equal(np.sort(train, axis=0),
+                                  np.sort(edges.astype(np.int32), axis=0))
+
+
+def test_partitioner_buckets():
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, 64, (500, 3)).astype(np.int32)
+    reordered, sizes = partition_edges(edges, num_nodes=64, num_partitions=4)
+    assert sizes.sum() == 500 and len(sizes) == 16
+    psize = 16
+    # bucket runs are contiguous in row-major (src_bucket, dst_bucket) order
+    flat = (reordered[:, 0] // psize) * 4 + reordered[:, -1] // psize
+    assert np.all(np.diff(flat) >= 0)
+    # same multiset of edges
+    np.testing.assert_array_equal(
+        np.sort(edges.view([('', np.int32)] * 3).ravel()),
+        np.sort(reordered.view([('', np.int32)] * 3).ravel()))
+
+
+def test_preprocess_cli_partitioned(tmp_path):
+    raw = tmp_path / "raw.tsv"
+    _write_raw_triples(raw)
+    out = tmp_path / "ds"
+    rc = marius_preprocess(["--edges", str(raw), "--output_directory", str(out),
+                            "--dataset_split", "0.8", "0.1", "0.1",
+                            "--num_partitions", "4"])
+    assert rc == 0
+    sizes = read_partition_offsets(str(out / "edges" / "train_partition_offsets.txt"))
+    assert sizes.sum() == 160
+
+
+def test_sequential_train_nodes(tmp_path):
+    edges = np.random.default_rng(0).integers(0, 50, (300, 2)).astype(np.int64)
+    train_nodes = np.arange(37, 50)  # raw ids of "train" nodes
+    out = tmp_path / "ds"
+    res = EdgeListConverter(
+        output_dir=str(out), train_edges=edges, format="numpy",
+        edge_type_column=None, dst_column=1, splits=(1.0,),
+        sequential_train_nodes=True, known_node_ids=[train_nodes]).convert()
+    mapping = {int(r): int(n) for r, n in res.node_mapping}
+    got = sorted(mapping[t] for t in train_nodes)
+    assert got == list(range(len(train_nodes)))
+
+
+def _train_tiny_model(tmp_path):
+    import yaml
+    from marius_tpu.tools.preprocess import generate_random_dataset_lp
+    ds = str(tmp_path / "ds")
+    generate_random_dataset_lp(ds, num_nodes=40, num_edges=400, num_relations=4)
+    raw = {
+        "model": {
+            "learning_task": "LINK_PREDICTION",
+            "encoder": {"layers": [[{"type": "EMBEDDING", "output_dim": 8}]]},
+            "decoder": {"type": "DISTMULT", "options": {"input_dim": 8}},
+            "loss": {"type": "SOFTMAX_CE"},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.1}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds},
+                    "model_dir": str(tmp_path / "model_0"), "save_model": True},
+        "training": {"batch_size": 40,
+                     "negative_sampling": {"num_chunks": 2,
+                                           "negatives_per_positive": 8},
+                     "num_epochs": 1},
+        "evaluation": {"batch_size": 40,
+                       "negative_sampling": {"filtered": True}},
+    }
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    return cfg_path, ds
+
+
+def test_train_predict_postprocess_cli(tmp_path, capsys):
+    cfg_path, ds = _train_tiny_model(tmp_path)
+    assert marius_train([cfg_path]) == 0
+    out = str(tmp_path / "pred")
+    assert marius_predict(["--config", cfg_path, "--output_dir", out,
+                           "--save_ranks", "--save_scores"]) == 0
+    ranks = np.loadtxt(os.path.join(out, "ranks.csv"), delimiter=",")
+    assert ranks.shape[0] == load_stats(ds).num_test
+    assert os.path.exists(os.path.join(out, "metrics.txt"))
+
+    emb_out = str(tmp_path / "emb")
+    assert marius_postprocess(["--model_dir", str(tmp_path / "model_0"),
+                               "--output_dir", emb_out]) == 0
+    lines = open(os.path.join(emb_out, "embeddings.csv")).readlines()
+    assert len(lines) >= 40  # table has a sentinel row
+
+
+def test_config_generator_roundtrip(tmp_path):
+    from marius_tpu.config.schema import load_config
+    from marius_tpu.tools.preprocess import generate_random_dataset_lp
+    ds = str(tmp_path / "ds")
+    generate_random_dataset_lp(ds, num_nodes=40, num_edges=200, num_relations=4)
+    out = str(tmp_path / "gen.yaml")
+    assert marius_config_generator([ds, "--output", out, "--model", "COMPLEX"]) == 0
+    cfg = load_config(out)
+    assert cfg.model.decoder.decoder_type == "COMPLEX"
+    assert cfg.storage.dataset.num_nodes == 40
+
+
+def test_env_info_cli(capsys):
+    assert marius_env_info([]) == 0
+    assert "marius_tpu" in capsys.readouterr().out
+
+
+def test_db2graph_sqlite(tmp_path):
+    import yaml
+    db = str(tmp_path / "g.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE follows (a TEXT, rel TEXT, b TEXT)")
+    conn.executemany("INSERT INTO follows VALUES (?,?,?)",
+                     [("u1", "follows", "u2"), ("u2", "follows", "u3")])
+    conn.commit()
+    conn.close()
+    cfg = {"db_type": "sqlite", "connection": {"database": db},
+           "edge_queries": ["SELECT a, rel, b FROM follows"]}
+    cfg_path = str(tmp_path / "db.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    rc = cli_main(["db2graph", "--config_path", cfg_path,
+                   "--output_directory", str(tmp_path / "out")])
+    assert rc == 0
+    lines = open(tmp_path / "out" / "edges.txt").read().strip().split("\n")
+    assert lines == ["u1\tfollows\tu2", "u2\tfollows\tu3"]
+
+
+def test_dataset_registry_complete():
+    from marius_tpu.tools.preprocess.datasets import DATASET_REGISTRY
+    expected = {"fb15k", "fb15k_237", "freebase86m", "livejournal", "twitter",
+                "friendster", "ogbl_ppa", "ogbl_collab", "ogbl_citation2",
+                "ogbl_wikikg2", "ogbn_arxiv", "ogbn_products",
+                "ogbn_papers100m", "ogb_mag240m", "ogb_wikikg90mv2"}
+    assert expected <= set(DATASET_REGISTRY)
