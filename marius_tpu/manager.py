@@ -95,16 +95,27 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             train_filter = (build_edge_key_set(train_edges, corrupt_dst=True),
                             build_edge_key_set(train_edges, corrupt_dst=False))
 
-        trainer = LinkPredictionTrainer(
-            model, num_nodes, num_rels, train_edges,
-            cfg.training.negative_sampling,
-            batch_size=cfg.training.batch_size,
-            seed=cfg.training.seed,
-            train_filter_keys=train_filter,
-            graph=graph,
-            nbr_configs=cfg.train_neighbor_sampling,
-            features=features,
-        )
+        if cfg.storage.embeddings_backend == "PARTITION_BUFFER":
+            from marius_tpu.train.buffer_trainer import PartitionBufferLPTrainer
+            trainer = PartitionBufferLPTrainer(
+                model, num_nodes, num_rels, train_edges,
+                cfg.training.negative_sampling,
+                batch_size=cfg.training.batch_size,
+                num_partitions=cfg.storage.num_partitions,
+                buffer_capacity=cfg.storage.buffer_capacity,
+                seed=cfg.training.seed,
+            )
+        else:
+            trainer = LinkPredictionTrainer(
+                model, num_nodes, num_rels, train_edges,
+                cfg.training.negative_sampling,
+                batch_size=cfg.training.batch_size,
+                seed=cfg.training.seed,
+                train_filter_keys=train_filter,
+                graph=graph,
+                nbr_configs=cfg.train_neighbor_sampling,
+                features=features,
+            )
 
         all_edges_list = [train_edges] + [e for e in (valid_edges, test_edges) if e is not None]
         all_edges = np.concatenate(all_edges_list, axis=0)

@@ -1,0 +1,185 @@
+"""Partition buffer: HBM-resident working set over a host-RAM embedding table.
+
+The TPU re-design of the reference's PartitionBuffer (storage/buffer.cpp:
+324-713) + BETA/COMET orderings: the full table (+ Adagrad state) lives in
+host RAM as numpy arrays (optionally memory-mapped files); a `capacity`-
+partition slice lives in HBM as jax.Arrays that the compiled train step
+gathers from and scatters into. The ordering schedule (data/ordering.py)
+drives swaps: evicted partitions are copied device->host, admitted ones
+host->device into the freed slots. JAX's async dispatch overlaps the
+host->device transfer of the next admit with the current state's compute
+(the LookaheadBlock prefetch thread, buffer.cpp:118-220, without the thread).
+
+Id mapping: nodes are range-partitioned (partition p owns rows
+[p*psize, (p+1)*psize)); with `slot[p]` the buffer slot of partition p, the
+buffer-local id of global node g is `slot[g // psize] * psize + g % psize`
+(getGlobalToLocalMap, buffer.cpp:581-633, computed arithmetically instead of
+via an index map tensor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marius_tpu.nn.initialization import InitConfig, initialize_tensor
+from marius_tpu.parallel.embedding_table import ADAGRAD_EPS
+
+
+@dataclasses.dataclass
+class PartitionBuffer:
+    num_nodes: int
+    num_partitions: int
+    capacity: int
+    dim: int
+    host_values: np.ndarray          # (num_partitions * psize, dim)
+    host_state: np.ndarray           # Adagrad accumulator, same shape
+    device_values: Optional[jax.Array] = None   # (capacity * psize, dim)
+    device_state: Optional[jax.Array] = None
+    resident: Optional[np.ndarray] = None       # (capacity,) partition ids, -1 empty
+    part_to_slot: Optional[np.ndarray] = None   # (num_partitions,) slot or -1
+
+    @property
+    def psize(self) -> int:
+        return self.host_values.shape[0] // self.num_partitions
+
+    @property
+    def buffer_rows(self) -> int:
+        return self.capacity * self.psize
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(key, num_nodes: int, dim: int, num_partitions: int,
+               capacity: int, init_config: Optional[InitConfig] = None,
+               dtype=np.float32) -> "PartitionBuffer":
+        psize = -(-num_nodes // num_partitions)
+        padded = num_partitions * psize
+        cfg = init_config or InitConfig("GLOROT_UNIFORM")
+        # full-shape fans, matching chunked init (io.cpp:167-188)
+        values = np.array(initialize_tensor(
+            key, cfg, (padded, dim), jnp.float32, fans=(num_nodes, dim)), dtype)
+        values[num_nodes:] = 0.0
+        return PartitionBuffer(
+            num_nodes=num_nodes, num_partitions=num_partitions,
+            capacity=capacity, dim=dim,
+            host_values=values,
+            host_state=np.zeros((padded, dim), dtype),
+        )
+
+    def part_rows(self, p: int) -> slice:
+        return slice(p * self.psize, (p + 1) * self.psize)
+
+    def part_valid_count(self, p: int) -> int:
+        return max(0, min(self.num_nodes - p * self.psize, self.psize))
+
+    # ------------------------------------------------------------------
+    def load(self, partitions: Sequence[int]) -> None:
+        """Admit an initial resident set (PartitionBuffer::load)."""
+        parts = list(int(p) for p in partitions)
+        assert len(parts) <= self.capacity
+        parts = parts + [-1] * (self.capacity - len(parts))
+        blocks_v, blocks_s = [], []
+        for p in parts:
+            if p < 0:
+                blocks_v.append(np.zeros((self.psize, self.dim), self.host_values.dtype))
+                blocks_s.append(np.zeros((self.psize, self.dim), self.host_state.dtype))
+            else:
+                blocks_v.append(self.host_values[self.part_rows(p)])
+                blocks_s.append(self.host_state[self.part_rows(p)])
+        self.device_values = jnp.asarray(np.concatenate(blocks_v, axis=0))
+        self.device_state = jnp.asarray(np.concatenate(blocks_s, axis=0))
+        self.resident = np.asarray(parts, np.int32)
+        self.part_to_slot = np.full(self.num_partitions, -1, np.int32)
+        for slot, p in enumerate(parts):
+            if p >= 0:
+                self.part_to_slot[p] = slot
+
+    def swap_to_state(self, new_partitions: Sequence[int]) -> None:
+        """Evict partitions not in the new state, admit the new ones into the
+        freed slots (performNextSwap, buffer.cpp:495-541)."""
+        assert self.resident is not None, "call load() first"
+        new_set = set(int(p) for p in new_partitions)
+        old_set = set(int(p) for p in self.resident if p >= 0)
+        evict = sorted(old_set - new_set)
+        admit = sorted(new_set - old_set)
+        if not evict and not admit:
+            return
+
+        # device -> host writeback of evicted slots (AsyncWriteBlock analogue)
+        vals = None
+        if evict:
+            slots = [int(self.part_to_slot[p]) for p in evict]
+            idx = np.concatenate([np.arange(s * self.psize, (s + 1) * self.psize)
+                                  for s in slots])
+            vals = np.asarray(self.device_values[idx])
+            stats = np.asarray(self.device_state[idx])
+            for k, p in enumerate(evict):
+                rows = self.part_rows(p)
+                self.host_values[rows] = vals[k * self.psize:(k + 1) * self.psize]
+                self.host_state[rows] = stats[k * self.psize:(k + 1) * self.psize]
+                self.part_to_slot[p] = -1
+
+        free_slots = [int(s) for s in np.where(
+            ~np.isin(self.resident, list(new_set)))[0]]
+        for p, slot in zip(admit, free_slots):
+            rows = self.part_rows(p)
+            self.device_values = _update_slot(
+                self.device_values, jnp.asarray(self.host_values[rows]),
+                slot * self.psize)
+            self.device_state = _update_slot(
+                self.device_state, jnp.asarray(self.host_state[rows]),
+                slot * self.psize)
+            self.resident[slot] = p
+            self.part_to_slot[p] = slot
+
+    def flush(self) -> None:
+        """Write all resident partitions back to host RAM (unload)."""
+        if self.resident is None:
+            return
+        vals = np.asarray(self.device_values)
+        stats = np.asarray(self.device_state)
+        for slot, p in enumerate(self.resident):
+            if p < 0:
+                continue
+            rows = self.part_rows(int(p))
+            block = slice(slot * self.psize, (slot + 1) * self.psize)
+            self.host_values[rows] = vals[block]
+            self.host_state[rows] = stats[block]
+
+    # ------------------------------------------------------------------
+    def global_to_local(self, ids: np.ndarray) -> np.ndarray:
+        """Map global node ids to buffer-local ids (host-side, vectorized)."""
+        part = ids // self.psize
+        slot = self.part_to_slot[part]
+        assert (slot >= 0).all(), "id in a non-resident partition"
+        return (slot * self.psize + ids % self.psize).astype(np.int32)
+
+    def slot_valid_counts(self) -> np.ndarray:
+        """Valid (non-padding) row count of each resident slot — used to keep
+        in-buffer negative sampling off padding rows."""
+        out = np.zeros(self.capacity, np.int32)
+        for slot, p in enumerate(self.resident):
+            out[slot] = self.part_valid_count(int(p)) if p >= 0 else 0
+        return out
+
+
+@jax.jit
+def _update_slot(buf: jax.Array, block: jax.Array, start: int) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, block, (start, 0))
+
+
+def sparse_adagrad_update_buffer(values: jax.Array, state: jax.Array,
+                                 unique_local_ids: jax.Array, grads: jax.Array,
+                                 lr: float) -> Tuple[jax.Array, jax.Array]:
+    """Row-sparse Adagrad on the device buffer (batch.cpp:62-79 parity);
+    padding ids == buffer_rows scatter out of bounds and are dropped."""
+    safe = jnp.minimum(unique_local_ids, values.shape[0] - 1)
+    new_state_rows = jnp.take(state, safe, axis=0) + grads * grads
+    delta = -lr * grads / (jnp.sqrt(new_state_rows) + ADAGRAD_EPS)
+    values = values.at[unique_local_ids].add(delta, mode="drop")
+    state = state.at[unique_local_ids].set(new_state_rows, mode="drop")
+    return values, state

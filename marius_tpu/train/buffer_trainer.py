@@ -1,0 +1,269 @@
+"""Out-of-core link-prediction training over a partition buffer.
+
+The TPU re-design of the reference's disk-based training loop
+(graph_storage.cpp:335-735 in-memory subgraph + dataloader.cpp:120-183
+setActiveEdges + buffer.cpp swaps): the embedding table lives in host RAM,
+partitioned over the node dimension; a BETA-ordered schedule of buffer states
+brings `capacity` partitions at a time into HBM; each state trains on the edge
+buckets whose src AND dst partitions are resident, with ids remapped to
+buffer-local slots on the host (vectorized numpy, replacing
+updateInMemorySubGraph_'s sort/searchsorted maze, graph_storage.cpp:512-735).
+
+The device step is ONE jitted scan shared by all states (shapes padded to the
+largest state), so XLA compiles once per epoch geometry; host->device admits
+of the next state are dispatched asynchronously and overlap compute.
+
+Negatives are drawn from the resident buffer only (parity: the reference's
+disk mode samples negatives from the in-memory subgraph), skipping padding
+rows via per-slot valid counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marius_tpu.data.ordering import assign_edge_buckets, beta_ordering
+from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+from marius_tpu.nn.model import LINK_PREDICTION, Model, init_model_params, lp_batch_loss
+from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
+from marius_tpu.ops.unique import unique_padded
+from marius_tpu.parallel.embedding_table import EmbeddingTable
+from marius_tpu.storage.partition_buffer import (
+    PartitionBuffer,
+    sparse_adagrad_update_buffer,
+)
+from marius_tpu.tools.preprocess.partitioner import partition_edges
+from marius_tpu.train.trainer import TrainState
+
+Array = jax.Array
+
+
+class PartitionBufferLPTrainer:
+    """Shallow-encoder LP training with an out-of-HBM embedding table."""
+
+    def __init__(
+        self,
+        model: Model,
+        num_nodes: int,
+        num_relations: int,
+        train_edges: np.ndarray,
+        neg_config: NegativeSamplingConfig,
+        batch_size: int = 1000,
+        num_partitions: int = 16,
+        buffer_capacity: int = 8,
+        seed: int = 0,
+        dtype=np.float32,
+    ):
+        assert model.learning_task == LINK_PREDICTION
+        assert model.has_embeddings and not model.encoder.num_gnn_stages, \
+            "partition-buffer training supports shallow (embedding) encoders"
+        assert batch_size % neg_config.num_chunks == 0
+        self.model = model
+        self.num_nodes = num_nodes
+        self.num_relations = num_relations
+        self.neg_config = neg_config
+        self.batch_size = batch_size
+        self.num_partitions = num_partitions
+        self.capacity = min(buffer_capacity, num_partitions)
+        self.seed = seed
+
+        key = jax.random.key(seed)
+        self.buffer = PartitionBuffer.create(
+            jax.random.fold_in(key, 0), num_nodes, model.encoder.embedding_dim,
+            num_partitions, self.capacity, dtype=dtype)
+
+        self.params = init_model_params(jax.random.fold_in(key, 1), model)
+        self.opt_state = init_optimizer(model.dense_optimizer, self.params)
+        self.epoch = 0
+
+        # bucket-grouped edges: one stable sort, then per-bucket slices
+        edges = np.asarray(train_edges, np.int32)
+        self.has_rels = edges.shape[1] == 3
+        reordered, sizes = partition_edges(edges, num_nodes, num_partitions)
+        self.edges_by_bucket = reordered
+        self.bucket_offsets = np.concatenate([[0], np.cumsum(sizes)])
+        self.num_edges = len(edges)
+
+        c, n = neg_config.num_chunks, neg_config.negatives_per_positive
+        self.unique_cap = 2 * batch_size + 2 * c * n
+        self._state_fn = None
+        self._max_batches = 0
+
+    # ------------------------------------------------------------------
+    def _bucket_edges(self, i: int, j: int) -> np.ndarray:
+        b = i * self.num_partitions + j
+        return self.edges_by_bucket[self.bucket_offsets[b]:self.bucket_offsets[b + 1]]
+
+    def _plan_epoch(self):
+        states = beta_ordering(self.num_partitions, self.capacity,
+                               seed=self.seed + self.epoch)
+        assignment = assign_edge_buckets(states, self.num_partitions,
+                                         seed=self.seed + self.epoch)
+        return states, assignment
+
+    # ------------------------------------------------------------------
+    def _build_state_fn(self, num_batches: int):
+        """One compiled function that trains `num_batches` fixed-size batches
+        against the device buffer."""
+        model = self.model
+        cfg = self.neg_config
+        b = self.batch_size
+        c, nneg = cfg.num_chunks, cfg.negatives_per_positive
+        psize = self.buffer.psize
+        buffer_rows = self.buffer.buffer_rows
+        capacity = self.capacity
+
+        def state_fn(values, state, params, opt_state, key, edges, masks, slot_valid):
+            def batch_step(carry, xs):
+                values, state, params, opt_state, key = carry
+                edges_b, mask_b = xs
+                key, k_dst, k_src = jax.random.split(key, 3)
+
+                def in_buffer_negs(k):
+                    k1, k2 = jax.random.split(k)
+                    slots = jax.random.randint(k1, (c, nneg), 0, capacity)
+                    offs = jax.random.randint(k2, (c, nneg), 0, psize)
+                    valid = slot_valid[slots]
+                    return (slots * psize
+                            + offs % jnp.maximum(valid, 1)).astype(jnp.int32)
+
+                dst_negs = in_buffer_negs(k_dst)
+                src_negs = in_buffer_negs(k_src)
+
+                src = jnp.where(mask_b, edges_b[:, 0], buffer_rows)
+                dst = jnp.where(mask_b, edges_b[:, -1], buffer_rows)
+                rel = edges_b[:, 1] if self.has_rels else None
+
+                all_ids = jnp.concatenate(
+                    [src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
+                uniq = unique_padded(all_ids, size=self.unique_cap,
+                                     fill_value=buffer_rows)
+                inv_src = uniq.inverse[:b]
+                inv_dst = uniq.inverse[b:2 * b]
+                inv_dst_negs = uniq.inverse[2 * b:2 * b + c * nneg].reshape(c, nneg)
+                inv_src_negs = uniq.inverse[2 * b + c * nneg:].reshape(c, nneg)
+
+                x0 = jnp.take(values, jnp.minimum(uniq.ids, buffer_rows - 1), axis=0)
+
+                def loss_fn(x, dense_params):
+                    loss, _ = lp_batch_loss(
+                        model, dense_params, x, inv_src, inv_dst, rel,
+                        inv_dst_negs,
+                        inv_src_negs if model.decoder.use_inverse_relations else None,
+                        mask_b, None, None)
+                    return loss
+
+                loss, (gx, gdense) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(x0, params)
+                values, state = sparse_adagrad_update_buffer(
+                    values, state, uniq.ids, gx, model.sparse_lr)
+                params, opt_state = apply_optimizer(
+                    model.dense_optimizer, params, opt_state, gdense)
+                return (values, state, params, opt_state, key), loss
+
+            carry = (values, state, params, opt_state, key)
+            carry, losses = jax.lax.scan(
+                batch_step, carry,
+                (edges.reshape(num_batches, b, edges.shape[-1]),
+                 masks.reshape(num_batches, b)))
+            return carry, jnp.sum(losses)
+
+        return jax.jit(state_fn, donate_argnums=(0, 1, 2, 3))
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        states, assignment = self._plan_epoch()
+        rng = np.random.default_rng(self.seed * 1000 + self.epoch)
+
+        # gather + locally-remap each state's edges on the host
+        state_edges: List[np.ndarray] = []
+        for buckets in assignment:
+            if buckets:
+                e = np.concatenate([self._bucket_edges(i, j) for i, j in buckets])
+            else:
+                e = np.zeros((0, 3 if self.has_rels else 2), np.int32)
+            state_edges.append(e)
+
+        max_batches = max(1, max(-(-len(e) // self.batch_size) for e in state_edges))
+        if self._state_fn is None or max_batches != self._max_batches:
+            self._state_fn = self._build_state_fn(max_batches)
+            self._max_batches = max_batches
+
+        key = jax.random.fold_in(jax.random.key(self.seed + 7), self.epoch)
+        self.buffer.load(states[0])
+        total_loss = 0.0
+        pad_rows = max_batches * self.batch_size
+        for s_idx, (st, edges) in enumerate(zip(states, state_edges)):
+            self.buffer.swap_to_state(st)
+            if len(edges):
+                perm = rng.permutation(len(edges))
+                edges = edges[perm]
+                local = edges.copy()
+                local[:, 0] = self.buffer.global_to_local(edges[:, 0])
+                local[:, -1] = self.buffer.global_to_local(edges[:, -1])
+            else:
+                local = edges
+            padded = np.full((pad_rows, local.shape[-1] if local.ndim == 2 else 3),
+                             0, np.int32)
+            padded[:len(local)] = local
+            masks = np.arange(pad_rows) < len(local)
+
+            (self.buffer.device_values, self.buffer.device_state,
+             self.params, self.opt_state, key), loss = self._state_fn(
+                self.buffer.device_values, self.buffer.device_state,
+                self.params, self.opt_state, key,
+                jnp.asarray(padded), jnp.asarray(masks),
+                jnp.asarray(self.buffer.slot_valid_counts()))
+            total_loss += float(loss)
+
+        self.buffer.flush()
+        self.epoch += 1
+        dt = time.perf_counter() - t0
+        return {
+            "loss": total_loss,
+            "epoch_time_s": dt,
+            "edges_per_sec": self.num_edges / dt,
+            "num_edges": self.num_edges,
+            "num_buffer_states": len(states),
+        }
+
+    def train(self, num_epochs: int):
+        return [self.train_epoch() for _ in range(num_epochs)]
+
+    # ------------------------------------------------------------------
+    # TrainState view for evaluators / checkpointing
+    @property
+    def state(self) -> TrainState:
+        self.buffer.flush()
+        n = self.num_nodes
+        return TrainState(
+            table=EmbeddingTable(
+                values=jnp.asarray(self.buffer.host_values[:n]),
+                state=jnp.asarray(self.buffer.host_state[:n])),
+            params=self.params,
+            opt_state=self.opt_state,
+            key=jax.random.key(self.seed),
+            epoch=jnp.asarray(self.epoch, jnp.int32),
+        )
+
+    @state.setter
+    def state(self, s: TrainState) -> None:
+        n = self.num_nodes
+        self.buffer.host_values[:n] = np.asarray(s.table.values)
+        self.buffer.host_state[:n] = np.asarray(s.table.state)
+        self.buffer.resident = None  # force reload on next epoch
+        self.params = s.params
+        self.opt_state = s.opt_state
+        self.epoch = int(s.epoch)
+
+    # GNN-path attributes the manager probes on trainers
+    graph = None
+    nbr_configs = ()
+    features = None

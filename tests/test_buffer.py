@@ -1,0 +1,135 @@
+"""Partition-buffer + ordering tests (reference: test/cpp/unit/test_buffer.cpp
+swap/admit/evict state machine + test_lp_buffer.py e2e on a small graph)."""
+
+import numpy as np
+import pytest
+
+from marius_tpu.data.ordering import assign_edge_buckets, beta_ordering
+from marius_tpu.storage.partition_buffer import PartitionBuffer
+
+import jax
+
+
+def test_beta_ordering_covers_all_pairs():
+    for n, c in [(8, 4), (16, 8), (4, 2), (5, 3)]:
+        states = beta_ordering(n, c, seed=1)
+        covered = np.zeros((n, n), bool)
+        for st in states:
+            assert len(st) == c
+            for i in st:
+                for j in st:
+                    covered[i, j] = True
+        assert covered.all(), f"uncovered pairs for n={n}, c={c}"
+        # every bucket assignable
+        assignment = assign_edge_buckets(states, n)
+        assert sum(len(a) for a in assignment) == n * n
+
+
+def test_buffer_swap_state_machine():
+    key = jax.random.key(0)
+    buf = PartitionBuffer.create(key, num_nodes=37, dim=4,
+                                 num_partitions=8, capacity=3)
+    assert buf.psize == 5
+    assert buf.part_valid_count(7) == 2  # 37 - 7*5
+
+    buf.load([0, 1, 2])
+    # mutate a resident row on device, then swap it out and verify writeback
+    dev = np.array(buf.device_values)
+    dev[0] = 99.0
+    buf.device_values = jax.numpy.asarray(dev)
+    buf.swap_to_state([1, 2, 3])
+    assert buf.host_values[0, 0] == 99.0          # partition 0 written back
+    assert set(int(p) for p in buf.resident) == {1, 2, 3}
+    # slot reuse: partition 3 landed in partition 0's old slot
+    assert buf.part_to_slot[3] == 0
+
+    # global->local mapping follows slots
+    ids = np.array([5, 10, 15])  # partitions 1, 2, 3
+    local = buf.global_to_local(ids)
+    np.testing.assert_array_equal(
+        local, [buf.part_to_slot[1] * 5, buf.part_to_slot[2] * 5,
+                buf.part_to_slot[3] * 5])
+
+    with pytest.raises(AssertionError):
+        buf.global_to_local(np.array([0]))  # partition 0 not resident
+
+    buf.flush()
+    # resident partitions written back; host table intact
+    assert buf.host_values.shape == (40, 4)
+
+
+def test_buffer_roundtrip_preserves_table():
+    key = jax.random.key(1)
+    buf = PartitionBuffer.create(key, num_nodes=32, dim=4,
+                                 num_partitions=8, capacity=4)
+    before = buf.host_values.copy()
+    states = beta_ordering(8, 4, seed=0)
+    buf.load(states[0])
+    for st in states[1:]:
+        buf.swap_to_state(st)
+    buf.flush()
+    np.testing.assert_allclose(buf.host_values, before)
+
+
+def test_buffer_trainer_learns():
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.buffer_trainer import PartitionBufferLPTrainer
+
+    rng = np.random.default_rng(0)
+    n, r, e = 64, 4, 2000
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, r, e),
+                      rng.integers(0, n, e)], axis=1).astype(np.int32)
+    enc = EncoderConfig(stages=((LayerConfig(layer_type="EMBEDDING",
+                                             output_dim=16),),))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, 16))
+    tr = PartitionBufferLPTrainer(
+        model, n, r, edges, NegativeSamplingConfig(2, 8),
+        batch_size=100, num_partitions=8, buffer_capacity=4)
+    stats = tr.train(3)
+    assert stats[-1]["loss"] < stats[0]["loss"]
+    assert stats[0]["num_buffer_states"] > 1
+
+    # TrainState view is usable by the standard evaluator
+    from marius_tpu.train.evaluator import LinkPredictionEvaluator
+    ev = LinkPredictionEvaluator(model, n, r, edges[:200], all_edges=edges,
+                                 batch_size=100, filtered=True)
+    res = ev.evaluate(tr.state)
+    assert 0.0 < res["mrr"] <= 1.0
+
+
+def test_buffer_config_e2e(tmp_path):
+    """Config-driven out-of-core path (test_lp_buffer.py analogue)."""
+    from marius_tpu.config.schema import load_config
+    from marius_tpu.manager import marius_train
+    from marius_tpu.tools.preprocess import generate_random_dataset_lp
+
+    ds = str(tmp_path / "ds")
+    generate_random_dataset_lp(ds, num_nodes=100, num_edges=1000, num_relations=10)
+    raw = {
+        "model": {
+            "learning_task": "LINK_PREDICTION",
+            "encoder": {"layers": [[{"type": "EMBEDDING", "output_dim": 8}]]},
+            "decoder": {"type": "DISTMULT", "options": {"input_dim": 8}},
+            "loss": {"type": "SOFTMAX_CE"},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.1}},
+        },
+        "storage": {
+            "dataset": {"dataset_dir": ds},
+            "embeddings": {"type": "PARTITION_BUFFER",
+                           "options": {"num_partitions": 8, "buffer_capacity": 4}},
+            "save_model": False,
+        },
+        "training": {"batch_size": 50,
+                     "negative_sampling": {"num_chunks": 2,
+                                           "negatives_per_positive": 8},
+                     "num_epochs": 2},
+        "evaluation": {"batch_size": 50,
+                       "negative_sampling": {"filtered": True}},
+    }
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 2
+    assert 0.0 < result["test"]["mrr"] <= 1.0
