@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from marius_tpu.data.samplers.negative import NegativeSamplingConfig, sample_negatives
-from marius_tpu.nn.model import LINK_PREDICTION, Model, lp_batch_loss
+from marius_tpu.nn.model import LINK_PREDICTION, Model, lp_batch_loss, lp_batch_loss_direct
 from marius_tpu.nn.optimizers import OptState, apply_optimizer, init_optimizer
 from marius_tpu.nn.encoder import encoder_forward
 from marius_tpu.ops.edge_keys import EdgeKeySet, filter_mask_sampled
@@ -34,6 +34,7 @@ from marius_tpu.parallel.embedding_table import (
     gather_rows,
     init_embedding_table,
     sparse_adagrad_update,
+    sparse_adagrad_update_dense_accum,
 )
 
 Array = jax.Array
@@ -122,6 +123,14 @@ class LinkPredictionTrainer:
         c, n = neg_config.num_chunks, neg_config.negatives_per_positive
         self.unique_cap = 2 * batch_size + 2 * c * n
 
+        # Small tables skip sort-based dedup: per-occurrence grads scatter-add
+        # into a table-shaped accumulator and Adagrad runs as a full-table
+        # elementwise pass (see sparse_adagrad_update_dense_accum). Profiled
+        # ~2x faster on FB15K-scale; large tables keep the unique path whose
+        # cost is independent of num_nodes.
+        self.dense_accum = (model.has_embeddings and not nbr_configs and
+                            num_nodes * model.encoder.embedding_dim <= 8_000_000)
+
         self.graph = graph
         self.nbr_configs = tuple(nbr_configs)
         if self.nbr_configs:
@@ -172,12 +181,19 @@ class LinkPredictionTrainer:
         rel = edges_b[:, 1] if self.has_rels else None
 
         all_ids = jnp.concatenate([src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
-        uniq = unique_padded(all_ids, size=self.unique_cap, fill_value=num_nodes)
         b = self.batch_size
-        inv_src = uniq.inverse[:b]
-        inv_dst = uniq.inverse[b:2 * b]
-        inv_dst_negs = uniq.inverse[2 * b:2 * b + c * nneg].reshape(c, nneg)
-        inv_src_negs = uniq.inverse[2 * b + c * nneg:].reshape(c, nneg)
+        if self.dense_accum:
+            # no dedup: rows gathered per occurrence; positions are identity
+            gather_ids = all_ids
+            pos = jnp.arange(all_ids.shape[0], dtype=jnp.int32)
+        else:
+            uniq = unique_padded(all_ids, size=self.unique_cap, fill_value=num_nodes)
+            gather_ids = uniq.ids
+            pos = uniq.inverse
+        inv_src = pos[:b]
+        inv_dst = pos[b:2 * b]
+        inv_dst_negs = pos[2 * b:2 * b + c * nneg].reshape(c, nneg)
+        inv_src_negs = pos[2 * b + c * nneg:].reshape(c, nneg)
 
         dst_filter = src_filter = None
         if self.train_filter_keys is not None:
@@ -191,12 +207,12 @@ class LinkPredictionTrainer:
         # dataloader.cpp:417-441 + edgeSample).
         nbr_batch = None
         feats = None
-        update_ids = uniq.ids
+        update_ids = gather_ids
         if self.nbr_configs:
             k_nb, key = jax.random.split(key)
             from marius_tpu.data.samplers.neighbor import sample_neighbor_batch
             nbr_batch = sample_neighbor_batch(
-                k_nb, self.graph, uniq.ids, uniq.ids < num_nodes,
+                k_nb, self.graph, gather_ids, gather_ids < num_nodes,
                 self.nbr_configs, self.hop_caps)
             outer = nbr_batch.node_ids[0]
             update_ids = outer
@@ -204,22 +220,43 @@ class LinkPredictionTrainer:
                 feats = self.features[jnp.minimum(outer, num_nodes)]
             x0 = gather_rows(state.table.values, outer) if model.has_embeddings else None
         else:
-            x0 = gather_rows(state.table.values, uniq.ids)
+            x0 = gather_rows(state.table.values, gather_ids) \
+                if model.has_embeddings else None
 
         degrees = self.graph.degrees if self.graph is not None else None
+
+        use_direct = self.dense_accum and not self.nbr_configs
+        inv_rel_on = model.decoder.use_inverse_relations
 
         def loss_fn(x, dense_params):
             encoded = encoder_forward(model.encoder, dense_params["encoder"], x,
                                       feats, nbr_batch, degrees=degrees, train=True)
-            loss, _ = lp_batch_loss(
-                model, dense_params, encoded, inv_src, inv_dst, rel,
-                inv_dst_negs, inv_src_negs if model.decoder.use_inverse_relations else None,
-                mask_b, dst_filter, src_filter)
+            if use_direct:
+                # batch layout is [src; dst; dst_negs; src_negs]: slice instead
+                # of gather so backward is a fused pad, not a row scatter
+                d = encoded.shape[-1]
+                loss, _ = lp_batch_loss_direct(
+                    model, dense_params,
+                    encoded[:b], encoded[b:2 * b], rel,
+                    encoded[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
+                    encoded[2 * b + c * nneg:].reshape(c, nneg, d)
+                    if inv_rel_on else None,
+                    mask_b, dst_filter, src_filter)
+            else:
+                loss, _ = lp_batch_loss(
+                    model, dense_params, encoded, inv_src, inv_dst, rel,
+                    inv_dst_negs, inv_src_negs if inv_rel_on else None,
+                    mask_b, dst_filter, src_filter)
             return loss
 
         if x0 is not None:
             loss, (gx, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(x0, state.params)
-            new_table = sparse_adagrad_update(state.table, update_ids, gx, model.sparse_lr)
+            if self.dense_accum:
+                new_table = sparse_adagrad_update_dense_accum(
+                    state.table, update_ids, gx, model.sparse_lr)
+            else:
+                new_table = sparse_adagrad_update(state.table, update_ids, gx,
+                                                  model.sparse_lr)
         else:
             loss, gdense = jax.value_and_grad(loss_fn, argnums=1)(None, state.params)
             new_table = state.table
