@@ -180,18 +180,18 @@ class PartitionBufferLPTrainer:
     def train_epoch(self) -> Dict[str, float]:
         t0 = time.perf_counter()
         states, assignment = self._plan_epoch()
-        rng = np.random.default_rng(self.seed * 1000 + self.epoch)
+        from marius_tpu import native
 
-        # gather + locally-remap each state's edges on the host
-        state_edges: List[np.ndarray] = []
+        state_sizes = []
+        P = self.num_partitions
         for buckets in assignment:
-            if buckets:
-                e = np.concatenate([self._bucket_edges(i, j) for i, j in buckets])
-            else:
-                e = np.zeros((0, 3 if self.has_rels else 2), np.int32)
-            state_edges.append(e)
-
-        max_batches = max(1, max(-(-len(e) // self.batch_size) for e in state_edges))
+            state_sizes.append(sum(
+                int(self.bucket_offsets[i * P + j + 1]
+                    - self.bucket_offsets[i * P + j]) for i, j in buckets))
+        # round the padded batch count up to a power of two so different BETA
+        # schedules across epochs reuse the same compiled state function
+        max_batches = max(1, max(-(-s // self.batch_size) for s in state_sizes))
+        max_batches = 1 << (max_batches - 1).bit_length()
         if self._state_fn is None or max_batches != self._max_batches:
             self._state_fn = self._build_state_fn(max_batches)
             self._max_batches = max_batches
@@ -200,18 +200,18 @@ class PartitionBufferLPTrainer:
         self.buffer.load(states[0])
         total_loss = 0.0
         pad_rows = max_batches * self.batch_size
-        for s_idx, (st, edges) in enumerate(zip(states, state_edges)):
+        cols = 3 if self.has_rels else 2
+        for s_idx, (st, buckets) in enumerate(zip(states, assignment)):
             self.buffer.swap_to_state(st)
-            if len(edges):
-                perm = rng.permutation(len(edges))
-                edges = edges[perm]
-                local = edges.copy()
-                local[:, 0] = self.buffer.global_to_local(edges[:, 0])
-                local[:, -1] = self.buffer.global_to_local(edges[:, -1])
-            else:
-                local = edges
-            padded = np.full((pad_rows, local.shape[-1] if local.ndim == 2 else 3),
-                             0, np.int32)
+            # native host path: gather this state's buckets + remap endpoints
+            # to buffer-local ids in one parallel C++ pass, then shuffle
+            bucket_ids = np.asarray([i * P + j for i, j in buckets], np.int32)
+            local = native.gather_remap_buckets(
+                self.edges_by_bucket, self.bucket_offsets, bucket_ids,
+                self.buffer.part_to_slot, self.buffer.psize)
+            local = native.shuffle_rows(
+                local, seed=(self.seed * 977 + self.epoch) * 1009 + s_idx)
+            padded = np.zeros((pad_rows, cols), np.int32)
             padded[:len(local)] = local
             masks = np.arange(pad_rows) < len(local)
 
