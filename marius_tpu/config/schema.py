@@ -52,6 +52,11 @@ class StorageConfig:
     num_partitions: int = 1
     buffer_capacity: int = 8
     prefetching: bool = True
+    edge_bucket_ordering: str = "COMET"     # COMET | BETA (options.h:72)
+    node_partition_ordering: str = "DISPERSED"  # DISPERSED | SEQUENTIAL (:76)
+    fine_to_coarse_ratio: int = 2
+    num_cache_partitions: int = 0
+    randomly_assign_edge_buckets: bool = True
     model_dir: str = ""
     save_model: bool = True
 
@@ -266,6 +271,16 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
         features_backend=str((s.get("features") or {}).get("type", "DEVICE_MEMORY")).upper(),
         num_partitions=int(((s.get("embeddings") or {}).get("options") or {}).get("num_partitions", 1)),
         buffer_capacity=int(((s.get("embeddings") or {}).get("options") or {}).get("buffer_capacity", 8)),
+        edge_bucket_ordering=str(((s.get("embeddings") or {}).get("options") or {})
+                                 .get("edge_bucket_ordering", "COMET")).upper(),
+        node_partition_ordering=str(((s.get("embeddings") or {}).get("options") or {})
+                                    .get("node_partition_ordering", "DISPERSED")).upper(),
+        fine_to_coarse_ratio=int(((s.get("embeddings") or {}).get("options") or {})
+                                 .get("fine_to_coarse_ratio", 2)),
+        num_cache_partitions=int(((s.get("embeddings") or {}).get("options") or {})
+                                 .get("num_cache_partitions", 0)),
+        randomly_assign_edge_buckets=bool(((s.get("embeddings") or {}).get("options") or {})
+                                          .get("randomly_assign_edge_buckets", True)),
         model_dir=model_dir or s.get("model_dir", "") or
         (os.path.join(dataset.dataset_dir, "model_0") if dataset.dataset_dir else ""),
         save_model=bool(s.get("save_model", True)),

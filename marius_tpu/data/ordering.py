@@ -111,3 +111,53 @@ def dispersed_node_ordering(num_partitions: int, buffer_capacity: int,
     for start in range(0, num_partitions, buffer_capacity):
         states.append(np.sort(perm[start:start + buffer_capacity]))
     return states
+
+
+def greedy_assign_edge_buckets(states: Sequence[np.ndarray], num_partitions: int
+                               ) -> List[List[Tuple[int, int]]]:
+    """Assign each bucket to the FIRST state where its pair co-resides
+    (greedyAssignEdgeBucketsToBuffers, ordering.cpp:128-148) — fronts the work
+    so later swaps carry less."""
+    assignment: List[List[Tuple[int, int]]] = [[] for _ in states]
+    interacted = np.zeros((num_partitions, num_partitions), bool)
+    for s_idx, st in enumerate(states):
+        for i in st:
+            for j in st:
+                if not interacted[i, j]:
+                    interacted[i, j] = True
+                    assignment[s_idx].append((int(i), int(j)))
+    assert interacted.all(), "ordering does not cover all partition pairs"
+    return assignment
+
+
+def comet_ordering(num_partitions: int, buffer_capacity: int,
+                   fine_to_coarse_ratio: int = 2, num_cache_partitions: int = 0,
+                   seed: int = 0) -> List[np.ndarray]:
+    """Two-level COMET ordering (getTwoLevelBetaOrdering, ordering.cpp:
+    241-292): run BETA over coarse partition groups (each = `ratio` fine
+    partitions, randomly grouped), optionally pinning the first
+    `num_cache_partitions` coarse groups in the buffer for the whole epoch.
+    Fewer, larger swaps than flat BETA — fits the TPU tier where host->HBM
+    admits favor large contiguous blocks."""
+    rng = np.random.default_rng(seed)
+    r = fine_to_coarse_ratio
+    assert num_partitions % r == 0 and buffer_capacity % r == 0
+    coarse_n = num_partitions // r - num_cache_partitions
+    coarse_c = buffer_capacity // r - num_cache_partitions
+    assert coarse_n >= 1 and coarse_c >= 1
+
+    coarse_states = beta_ordering(coarse_n, coarse_c, seed=seed)
+
+    cached_fine = num_cache_partitions * r
+    fine_map = np.concatenate([
+        np.arange(cached_fine),
+        rng.permutation(num_partitions - cached_fine) + cached_fine,
+    ]).astype(np.int32)
+
+    states = []
+    for cs in coarse_states:
+        groups = [g + num_cache_partitions for g in cs] + \
+                 list(range(num_cache_partitions))
+        fine = np.concatenate([fine_map[g * r:(g + 1) * r] for g in groups])
+        states.append(np.sort(fine))
+    return states

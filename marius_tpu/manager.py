@@ -104,6 +104,10 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 num_partitions=cfg.storage.num_partitions,
                 buffer_capacity=cfg.storage.buffer_capacity,
                 seed=cfg.training.seed,
+                ordering=cfg.storage.edge_bucket_ordering,
+                fine_to_coarse_ratio=cfg.storage.fine_to_coarse_ratio,
+                num_cache_partitions=cfg.storage.num_cache_partitions,
+                randomly_assign_edge_buckets=cfg.storage.randomly_assign_edge_buckets,
             )
         else:
             trainer = LinkPredictionTrainer(

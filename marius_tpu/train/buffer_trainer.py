@@ -28,12 +28,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from marius_tpu.data.ordering import assign_edge_buckets, beta_ordering
+from marius_tpu.data.ordering import (
+    assign_edge_buckets,
+    beta_ordering,
+    comet_ordering,
+    greedy_assign_edge_buckets,
+)
 from marius_tpu.data.samplers.negative import NegativeSamplingConfig
-from marius_tpu.nn.model import LINK_PREDICTION, Model, init_model_params, lp_batch_loss
+from marius_tpu.nn.model import (
+    LINK_PREDICTION,
+    Model,
+    init_model_params,
+    lp_batch_loss,
+    lp_batch_loss_direct,
+)
 from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
 from marius_tpu.ops.unique import unique_padded
-from marius_tpu.parallel.embedding_table import EmbeddingTable
+from marius_tpu.parallel.embedding_table import ADAGRAD_EPS, EmbeddingTable
 from marius_tpu.storage.partition_buffer import (
     PartitionBuffer,
     sparse_adagrad_update_buffer,
@@ -59,6 +70,10 @@ class PartitionBufferLPTrainer:
         buffer_capacity: int = 8,
         seed: int = 0,
         dtype=np.float32,
+        ordering: str = "COMET",          # COMET | BETA (EdgeBucketOrdering)
+        fine_to_coarse_ratio: int = 2,
+        num_cache_partitions: int = 0,
+        randomly_assign_edge_buckets: bool = True,
     ):
         assert model.learning_task == LINK_PREDICTION
         assert model.has_embeddings and not model.encoder.num_gnn_stages, \
@@ -72,6 +87,10 @@ class PartitionBufferLPTrainer:
         self.num_partitions = num_partitions
         self.capacity = min(buffer_capacity, num_partitions)
         self.seed = seed
+        self.ordering = ordering.upper()
+        self.fine_to_coarse_ratio = fine_to_coarse_ratio
+        self.num_cache_partitions = num_cache_partitions
+        self.randomly_assign = randomly_assign_edge_buckets
 
         key = jax.random.key(seed)
         self.buffer = PartitionBuffer.create(
@@ -92,6 +111,11 @@ class PartitionBufferLPTrainer:
 
         c, n = neg_config.num_chunks, neg_config.negatives_per_positive
         self.unique_cap = 2 * batch_size + 2 * c * n
+        # same trick as LinkPredictionTrainer.dense_accum, bounded by the
+        # BUFFER size (not the full table): skip sort-based dedup when a
+        # buffer-shaped elementwise pass is cheaper
+        self.dense_accum = (self.buffer.buffer_rows
+                            * model.encoder.embedding_dim <= 8_000_000)
         self._state_fn = None
         self._max_batches = 0
 
@@ -101,10 +125,19 @@ class PartitionBufferLPTrainer:
         return self.edges_by_bucket[self.bucket_offsets[b]:self.bucket_offsets[b + 1]]
 
     def _plan_epoch(self):
-        states = beta_ordering(self.num_partitions, self.capacity,
-                               seed=self.seed + self.epoch)
-        assignment = assign_edge_buckets(states, self.num_partitions,
-                                         seed=self.seed + self.epoch)
+        seed = self.seed + self.epoch
+        n, c = self.num_partitions, self.capacity
+        r = self.fine_to_coarse_ratio
+        if self.ordering == "COMET" and n % r == 0 and c % r == 0 \
+                and n // r > self.num_cache_partitions \
+                and c // r > self.num_cache_partitions:
+            states = comet_ordering(n, c, r, self.num_cache_partitions, seed=seed)
+        else:
+            states = beta_ordering(n, c, seed=seed)
+        if self.randomly_assign:
+            assignment = assign_edge_buckets(states, n, seed=seed)
+        else:
+            assignment = greedy_assign_edge_buckets(states, n)
         return states, assignment
 
     # ------------------------------------------------------------------
@@ -142,27 +175,51 @@ class PartitionBufferLPTrainer:
 
                 all_ids = jnp.concatenate(
                     [src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
-                uniq = unique_padded(all_ids, size=self.unique_cap,
-                                     fill_value=buffer_rows)
-                inv_src = uniq.inverse[:b]
-                inv_dst = uniq.inverse[b:2 * b]
-                inv_dst_negs = uniq.inverse[2 * b:2 * b + c * nneg].reshape(c, nneg)
-                inv_src_negs = uniq.inverse[2 * b + c * nneg:].reshape(c, nneg)
+                inv_rel_on = model.decoder.use_inverse_relations
+                if self.dense_accum:
+                    update_ids = all_ids
+                    x0 = jnp.take(values, jnp.minimum(all_ids, buffer_rows - 1),
+                                  axis=0)
 
-                x0 = jnp.take(values, jnp.minimum(uniq.ids, buffer_rows - 1), axis=0)
+                    def loss_fn(x, dense_params):
+                        d = x.shape[-1]
+                        loss, _ = lp_batch_loss_direct(
+                            model, dense_params, x[:b], x[b:2 * b], rel,
+                            x[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
+                            x[2 * b + c * nneg:].reshape(c, nneg, d)
+                            if inv_rel_on else None,
+                            mask_b, None, None)
+                        return loss
+                else:
+                    uniq = unique_padded(all_ids, size=self.unique_cap,
+                                         fill_value=buffer_rows)
+                    update_ids = uniq.ids
+                    inv_src = uniq.inverse[:b]
+                    inv_dst = uniq.inverse[b:2 * b]
+                    inv_dst_negs = uniq.inverse[2 * b:2 * b + c * nneg].reshape(c, nneg)
+                    inv_src_negs = uniq.inverse[2 * b + c * nneg:].reshape(c, nneg)
+                    x0 = jnp.take(values, jnp.minimum(uniq.ids, buffer_rows - 1),
+                                  axis=0)
 
-                def loss_fn(x, dense_params):
-                    loss, _ = lp_batch_loss(
-                        model, dense_params, x, inv_src, inv_dst, rel,
-                        inv_dst_negs,
-                        inv_src_negs if model.decoder.use_inverse_relations else None,
-                        mask_b, None, None)
-                    return loss
+                    def loss_fn(x, dense_params):
+                        loss, _ = lp_batch_loss(
+                            model, dense_params, x, inv_src, inv_dst, rel,
+                            inv_dst_negs,
+                            inv_src_negs if inv_rel_on else None,
+                            mask_b, None, None)
+                        return loss
 
                 loss, (gx, gdense) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1))(x0, params)
-                values, state = sparse_adagrad_update_buffer(
-                    values, state, uniq.ids, gx, model.sparse_lr)
+                if self.dense_accum:
+                    G = jnp.zeros_like(values).at[update_ids].add(gx, mode="drop")
+                    new_state = state + G * G
+                    values = values - model.sparse_lr * G / (
+                        jnp.sqrt(new_state) + ADAGRAD_EPS)
+                    state = new_state
+                else:
+                    values, state = sparse_adagrad_update_buffer(
+                        values, state, update_ids, gx, model.sparse_lr)
                 params, opt_state = apply_optimizer(
                     model.dense_optimizer, params, opt_state, gdense)
                 return (values, state, params, opt_state, key), loss
@@ -198,31 +255,53 @@ class PartitionBufferLPTrainer:
 
         key = jax.random.fold_in(jax.random.key(self.seed + 7), self.epoch)
         self.buffer.load(states[0])
-        total_loss = 0.0
         pad_rows = max_batches * self.batch_size
         cols = 3 if self.has_rels else 2
-        for s_idx, (st, buckets) in enumerate(zip(states, assignment)):
-            self.buffer.swap_to_state(st)
-            # native host path: gather this state's buckets + remap endpoints
-            # to buffer-local ids in one parallel C++ pass, then shuffle
-            bucket_ids = np.asarray([i * P + j for i, j in buckets], np.int32)
-            local = native.gather_remap_buckets(
+
+        # Pipeline overlap (the reference's LoadBatchWorker pool,
+        # pipeline.cpp:19-49, reduced to one prefetch thread): the next
+        # state's host work — native bucket gather + shuffle on GLOBAL ids —
+        # runs while the device trains the current state. The global->local
+        # remap is deferred to arrival because it needs that state's slots.
+        import concurrent.futures as cf
+
+        def prep(s_idx):
+            buckets = assignment[s_idx]
+            bucket_ids = np.asarray(
+                [i * P + j for i, j in buckets], np.int32)
+            identity = np.arange(P, dtype=np.int32)  # no remap yet
+            e = native.gather_remap_buckets(
                 self.edges_by_bucket, self.bucket_offsets, bucket_ids,
-                self.buffer.part_to_slot, self.buffer.psize)
-            local = native.shuffle_rows(
-                local, seed=(self.seed * 977 + self.epoch) * 1009 + s_idx)
-            padded = np.zeros((pad_rows, cols), np.int32)
-            padded[:len(local)] = local
-            masks = np.arange(pad_rows) < len(local)
+                identity, self.buffer.psize)
+            return native.shuffle_rows(
+                e, seed=(self.seed * 977 + self.epoch) * 1009 + s_idx)
 
-            (self.buffer.device_values, self.buffer.device_state,
-             self.params, self.opt_state, key), loss = self._state_fn(
-                self.buffer.device_values, self.buffer.device_state,
-                self.params, self.opt_state, key,
-                jnp.asarray(padded), jnp.asarray(masks),
-                jnp.asarray(self.buffer.slot_valid_counts()))
-            total_loss += float(loss)
+        losses = []
+        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prep, 0)
+            for s_idx, st in enumerate(states):
+                edges_global = fut.result()
+                if s_idx + 1 < len(states):
+                    fut = pool.submit(prep, s_idx + 1)
+                self.buffer.swap_to_state(st)
+                local = edges_global
+                for col in (0, cols - 1):
+                    local[:, col] = native.global_to_local(
+                        local[:, col], self.buffer.part_to_slot,
+                        self.buffer.psize, self.buffer.buffer_rows)[0]
+                padded = np.zeros((pad_rows, cols), np.int32)
+                padded[:len(local)] = local
+                masks = np.arange(pad_rows) < len(local)
 
+                (self.buffer.device_values, self.buffer.device_state,
+                 self.params, self.opt_state, key), loss = self._state_fn(
+                    self.buffer.device_values, self.buffer.device_state,
+                    self.params, self.opt_state, key,
+                    jnp.asarray(padded), jnp.asarray(masks),
+                    jnp.asarray(self.buffer.slot_valid_counts()))
+                losses.append(loss)  # lazy: don't block the dispatch queue
+
+        total_loss = float(jnp.sum(jnp.stack(losses)))
         self.buffer.flush()
         self.epoch += 1
         dt = time.perf_counter() - t0
