@@ -148,26 +148,56 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         labels = load_labels(ds.dataset_dir)
         train_nodes = load_node_split(ds.dataset_dir, "train")
         num_nodes = ds.num_nodes
-        graph = build_device_graph(edges, num_nodes, max(ds.num_relations, 1))
+        graph = None
+        if cfg.storage.features_backend != "PARTITION_BUFFER":
+            # buffer mode keeps the graph host-side; only resident subgraphs
+            # ever reach HBM
+            graph = build_device_graph(edges, num_nodes, max(ds.num_relations, 1))
         log.info("Loaded NC dataset: %d nodes, %d edges, %d train nodes",
-                 num_nodes, graph.num_edges, len(train_nodes))
+                 num_nodes, len(edges), len(train_nodes))
 
-        trainer = NodeClassificationTrainer(
-            model, graph, features, labels, train_nodes,
-            cfg.train_neighbor_sampling,
-            batch_size=cfg.training.batch_size,
-            seed=cfg.training.seed,
-        )
+        if cfg.storage.features_backend == "PARTITION_BUFFER":
+            from marius_tpu.train.nc_buffer import PartitionBufferNCTrainer
+            trainer = PartitionBufferNCTrainer(
+                model, edges, features, labels, train_nodes,
+                cfg.train_neighbor_sampling, num_nodes=num_nodes,
+                batch_size=cfg.training.batch_size,
+                num_partitions=cfg.storage.num_partitions,
+                buffer_capacity=cfg.storage.buffer_capacity,
+                ordering=cfg.storage.node_partition_ordering,
+                seed=cfg.training.seed,
+            )
 
-        def make_nc_eval(split):
-            try:
-                nodes = load_node_split(ds.dataset_dir, split)
-            except FileNotFoundError:
-                return None
-            if len(nodes) == 0:
-                return None
-            return NodeClassificationEvaluator(trainer, nodes,
-                                               batch_size=cfg.evaluation.batch_size)
+            class _BufferNCEval:
+                def __init__(self, nodes):
+                    self.nodes = nodes
+
+                def evaluate(self, state):
+                    return trainer.evaluate_nodes(self.nodes)
+
+            def make_nc_eval(split):
+                try:
+                    nodes = load_node_split(ds.dataset_dir, split)
+                except FileNotFoundError:
+                    return None
+                return _BufferNCEval(nodes) if len(nodes) else None
+        else:
+            trainer = NodeClassificationTrainer(
+                model, graph, features, labels, train_nodes,
+                cfg.train_neighbor_sampling,
+                batch_size=cfg.training.batch_size,
+                seed=cfg.training.seed,
+            )
+
+            def make_nc_eval(split):
+                try:
+                    nodes = load_node_split(ds.dataset_dir, split)
+                except FileNotFoundError:
+                    return None
+                if len(nodes) == 0:
+                    return None
+                return NodeClassificationEvaluator(
+                    trainer, nodes, batch_size=cfg.evaluation.batch_size)
 
         runtime = MariusRuntime(cfg, trainer, make_nc_eval("valid"), make_nc_eval("test"))
     else:

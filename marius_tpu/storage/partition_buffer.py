@@ -183,3 +183,70 @@ def sparse_adagrad_update_buffer(values: jax.Array, state: jax.Array,
     values = values.at[unique_local_ids].add(delta, mode="drop")
     state = state.at[unique_local_ids].set(new_state_rows, mode="drop")
     return values, state
+
+
+@dataclasses.dataclass
+class ReadOnlyPartitionCache:
+    """Partition-sliced read-only HBM cache over a host array — the feature/
+    label tier of out-of-core node classification (the reference streams
+    feature partitions through the same PartitionBuffer; features need no
+    writeback, so eviction is free here)."""
+
+    num_rows: int
+    num_partitions: int
+    capacity: int
+    host: np.ndarray                         # (num_partitions * psize, dim)
+    device: Optional[jax.Array] = None       # (capacity * psize, dim)
+    resident: Optional[np.ndarray] = None
+    part_to_slot: Optional[np.ndarray] = None
+
+    @property
+    def psize(self) -> int:
+        return self.host.shape[0] // self.num_partitions
+
+    @property
+    def buffer_rows(self) -> int:
+        return self.capacity * self.psize
+
+    @staticmethod
+    def create(host_rows: np.ndarray, num_rows: int, num_partitions: int,
+               capacity: int) -> "ReadOnlyPartitionCache":
+        psize = -(-num_rows // num_partitions)
+        padded = np.zeros((num_partitions * psize, host_rows.shape[1]),
+                          host_rows.dtype)
+        padded[:num_rows] = host_rows[:num_rows]
+        return ReadOnlyPartitionCache(
+            num_rows=num_rows, num_partitions=num_partitions,
+            capacity=min(capacity, num_partitions), host=padded)
+
+    def load(self, partitions: Sequence[int]) -> None:
+        parts = [int(p) for p in partitions]
+        parts += [-1] * (self.capacity - len(parts))
+        blocks = [np.zeros((self.psize, self.host.shape[1]), self.host.dtype)
+                  if p < 0 else self.host[p * self.psize:(p + 1) * self.psize]
+                  for p in parts]
+        self.device = jnp.asarray(np.concatenate(blocks, axis=0))
+        self.resident = np.asarray(parts, np.int32)
+        self.part_to_slot = np.full(self.num_partitions, -1, np.int32)
+        for slot, p in enumerate(parts):
+            if p >= 0:
+                self.part_to_slot[p] = slot
+
+    def swap_to_state(self, new_partitions: Sequence[int]) -> None:
+        if self.resident is None:
+            self.load(new_partitions)
+            return
+        new_set = set(int(p) for p in new_partitions)
+        for slot, p in enumerate(self.resident):
+            if p >= 0 and int(p) not in new_set:
+                self.part_to_slot[p] = -1
+                self.resident[slot] = -1
+        admit = sorted(new_set - {int(p) for p in self.resident if p >= 0})
+        free = [s for s, p in enumerate(self.resident) if p < 0]
+        for p, slot in zip(admit, free):
+            self.device = _update_slot(
+                self.device,
+                jnp.asarray(self.host[p * self.psize:(p + 1) * self.psize]),
+                slot * self.psize)
+            self.resident[slot] = p
+            self.part_to_slot[p] = slot

@@ -1,0 +1,337 @@
+"""Out-of-core node classification over partitioned features.
+
+The TPU re-design of the reference's disk-based NC path (getNodePartition
+Ordering, data/ordering.cpp:294-410 + dataloader nodeSample): node features
+live in host RAM, partitioned over the node dimension; a DISPERSED or
+SEQUENTIAL ordering brings `capacity` partitions at a time into an HBM cache;
+each buffer state trains the resident partitions' train nodes, with neighbor
+sampling restricted to the resident subgraph (exactly the reference's
+approximation — MariusGNN's dispersed ordering trades neighborhood coverage
+for IO).
+
+Per state, the host (native C++ runtime) gathers the resident edge buckets,
+remaps endpoints to buffer-local ids, and builds a local CSR; the device runs
+one compiled scan over seed batches (sampling + encode + loss + dense update).
+All per-state arrays are padded to the largest state so ONE compilation serves
+the whole epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marius_tpu.data.graph import DeviceGraph
+from marius_tpu.data.ordering import dispersed_node_ordering, sequential_node_ordering
+from marius_tpu.data.samplers.neighbor import (
+    NeighborSamplingConfig,
+    estimate_hop_caps,
+    sample_neighbor_batch,
+)
+from marius_tpu.nn.encoder import encoder_forward
+from marius_tpu.nn.model import NODE_CLASSIFICATION, Model, init_model_params, nc_batch_loss
+from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
+from marius_tpu.storage.partition_buffer import ReadOnlyPartitionCache
+from marius_tpu.tools.preprocess.partitioner import partition_edges
+from marius_tpu.train.trainer import TrainState
+
+Array = jax.Array
+
+
+class PartitionBufferNCTrainer:
+    """Feature-encoder GNN node classification with out-of-HBM features."""
+
+    def __init__(
+        self,
+        model: Model,
+        edges: np.ndarray,              # (E, 2) int32
+        features: np.ndarray,           # (N, F) float32
+        labels: np.ndarray,             # (N,) int
+        train_nodes: np.ndarray,
+        nbr_configs: Sequence[NeighborSamplingConfig],
+        num_nodes: int,
+        batch_size: int = 1000,
+        num_partitions: int = 16,
+        buffer_capacity: int = 8,
+        ordering: str = "DISPERSED",    # DISPERSED | SEQUENTIAL
+        seed: int = 0,
+    ):
+        assert model.learning_task == NODE_CLASSIFICATION
+        assert not model.has_embeddings, \
+            "partition-buffer NC supports feature encoders (no embedding table)"
+        self.model = model
+        self.num_nodes = num_nodes
+        self.batch_size = batch_size
+        self.nbr_configs = tuple(nbr_configs)
+        self.ordering = ordering.upper()
+        self.seed = seed
+        self.num_partitions = num_partitions
+
+        self.cache = ReadOnlyPartitionCache.create(
+            np.asarray(features, np.float32), num_nodes, num_partitions,
+            buffer_capacity)
+        self.capacity = self.cache.capacity
+        psize = self.cache.psize
+
+        lab = np.zeros(self.num_partitions * psize, np.int32)
+        lab[:num_nodes] = np.asarray(labels, np.int32)
+        self.labels_host = lab
+
+        # bucket-grouped edges (src_part, dst_part) like the LP buffer path
+        e = np.asarray(edges, np.int32)[:, [0, -1]]
+        grouped, sizes = partition_edges(e, num_nodes, num_partitions)
+        self.edges_by_bucket = grouped
+        self.bucket_offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+        # train nodes grouped by partition
+        tn = np.asarray(train_nodes, np.int32)
+        self.train_by_part = [tn[tn // psize == p] for p in range(num_partitions)]
+        self.num_train = len(tn)
+
+        self.hop_caps = tuple(estimate_hop_caps(
+            batch_size, self.nbr_configs, self.cache.buffer_rows))
+
+        key = jax.random.key(seed)
+        self.params = init_model_params(jax.random.fold_in(key, 1), model)
+        self.opt_state = init_optimizer(model.dense_optimizer, self.params)
+        self.epoch = 0
+        self._state_fn = None
+        self._shapes = None
+
+    # ------------------------------------------------------------------
+    def _plan_epoch(self) -> List[np.ndarray]:
+        if self.ordering == "SEQUENTIAL":
+            return sequential_node_ordering(self.num_partitions, self.capacity)
+        return dispersed_node_ordering(self.num_partitions, self.capacity,
+                                       seed=self.seed + self.epoch)
+
+    def _build_state_fn(self, num_batches: int):
+        model = self.model
+        b = self.batch_size
+        buffer_rows = self.cache.buffer_rows
+
+        def state_fn(params, opt_state, key, feats_buf, graph: DeviceGraph,
+                     seeds, masks, labels):
+            def batch_step(carry, xs):
+                params, opt_state, key = carry
+                seeds_b, mask_b, labels_b = xs
+                key, k_s = jax.random.split(key)
+                nb = sample_neighbor_batch(k_s, graph, seeds_b, mask_b,
+                                           self.nbr_configs, self.hop_caps)
+                outer = nb.node_ids[0]
+                feats = feats_buf[jnp.minimum(outer, buffer_rows - 1)]
+                feats = jnp.where((outer < buffer_rows)[:, None], feats, 0.0)
+
+                def loss_fn(dense_params):
+                    logits = encoder_forward(
+                        model.encoder, dense_params["encoder"], None, feats, nb,
+                        degrees=graph.degrees, train=True,
+                        dropout_key=jax.random.fold_in(k_s, 99))
+                    return nc_batch_loss(model, logits, labels_b,
+                                         mask_b & nb.seed_mask)
+
+                loss, g = jax.value_and_grad(loss_fn)(params)
+                params, opt_state = apply_optimizer(
+                    model.dense_optimizer, params, opt_state, g)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                batch_step, (params, opt_state, key),
+                (seeds.reshape(num_batches, b), masks.reshape(num_batches, b),
+                 labels.reshape(num_batches, b)))
+            return params, opt_state, key, jnp.sum(losses)
+
+        return jax.jit(state_fn, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def _state_graph(self, max_edges: int) -> DeviceGraph:
+        """Local CSR over the resident subgraph, padded to max_edges."""
+        from marius_tpu import native
+
+        P = self.num_partitions
+        resident = [int(p) for p in self.cache.resident if p >= 0]
+        bucket_ids = np.asarray(
+            [i * P + j for i in resident for j in resident], np.int32)
+        local = native.gather_remap_buckets(
+            self.edges_by_bucket, self.bucket_offsets, bucket_ids,
+            self.cache.part_to_slot, self.cache.psize)
+        n = self.cache.buffer_rows
+        src, dst = local[:, 0], local[:, 1]
+
+        def one_dir(anchor, other):
+            order = np.argsort(anchor, kind="stable")
+            offs = native.csr_offsets(anchor[order], n).astype(np.int32)
+            offs = np.concatenate([offs, offs[-1:]])
+            cols = np.full(max_edges, n, np.int32)
+            cols[:len(other)] = other[order]
+            return jnp.asarray(offs), jnp.asarray(cols)
+
+        out_offsets, out_cols = one_dir(src, dst)
+        in_offsets, in_cols = one_dir(dst, src)
+        deg = np.zeros(n + 1, np.int32)
+        np.add.at(deg, src, 1)
+        np.add.at(deg, dst, 1)
+        deg[n:] = 0
+        return DeviceGraph(
+            out_offsets=out_offsets, out_cols=out_cols, out_rels=None,
+            in_offsets=in_offsets, in_cols=in_cols, in_rels=None,
+            degrees=jnp.asarray(deg), num_nodes=n, num_relations=1)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        states = self._plan_epoch()
+        rng = np.random.default_rng(self.seed * 131 + self.epoch)
+        psize = self.cache.psize
+        P = self.num_partitions
+
+        # pad all states to common shapes -> one compilation
+        def pow2(x):
+            return 1 << max(0, x - 1).bit_length()
+
+        max_seeds = max(sum(len(self.train_by_part[p]) for p in st)
+                        for st in states)
+        max_batches = pow2(-(-max(max_seeds, 1) // self.batch_size))
+        max_edges = pow2(max(
+            int(sum(self.bucket_offsets[i * P + j + 1] - self.bucket_offsets[i * P + j]
+                    for i in st for j in st)) for st in states) or 1)
+        shapes = (max_batches, max_edges)
+        if self._state_fn is None or self._shapes != shapes:
+            self._state_fn = self._build_state_fn(max_batches)
+            self._shapes = shapes
+
+        key = jax.random.fold_in(jax.random.key(self.seed + 17), self.epoch)
+        losses = []
+        pad_rows = max_batches * self.batch_size
+        fill = self.cache.buffer_rows
+        for st in states:
+            self.cache.swap_to_state(st)
+            graph = self._state_graph(max_edges)
+            seeds_g = np.concatenate(
+                [self.train_by_part[p] for p in st]) if len(st) else \
+                np.zeros(0, np.int32)
+            rng.shuffle(seeds_g)
+            slot = self.cache.part_to_slot[seeds_g // psize]
+            seeds_l = (slot * psize + seeds_g % psize).astype(np.int32)
+            labels = self.labels_host[seeds_g]
+
+            seeds_pad = np.full(pad_rows, fill, np.int32)
+            seeds_pad[:len(seeds_l)] = seeds_l
+            labels_pad = np.zeros(pad_rows, np.int32)
+            labels_pad[:len(labels)] = labels
+            masks = np.arange(pad_rows) < len(seeds_l)
+
+            self.params, self.opt_state, key, loss = self._state_fn(
+                self.params, self.opt_state, key, self.cache.device, graph,
+                jnp.asarray(seeds_pad), jnp.asarray(masks),
+                jnp.asarray(labels_pad))
+            losses.append(loss)
+
+        total_loss = float(jnp.sum(jnp.stack(losses)))
+        self.epoch += 1
+        dt = time.perf_counter() - t0
+        return {
+            "loss": total_loss,
+            "epoch_time_s": dt,
+            "nodes_per_sec": self.num_train / dt,
+            "num_nodes_trained": self.num_train,
+            "num_buffer_states": len(states),
+        }
+
+    def train(self, num_epochs: int):
+        return [self.train_epoch() for _ in range(num_epochs)]
+
+    # ------------------------------------------------------------------
+    def evaluate_nodes(self, eval_nodes: np.ndarray) -> Dict[str, float]:
+        """Streaming accuracy over a node split: the same buffer-state machine
+        without updates (the reference's partitioned NC evaluation)."""
+        from marius_tpu.reporting.metrics import categorical_accuracy_statistics
+        from marius_tpu.reporting.reporters import NodeClassificationReporter
+
+        states = self._plan_epoch()
+        psize = self.cache.psize
+        en = np.asarray(eval_nodes, np.int32)
+        eval_by_part = [en[en // psize == p] for p in range(self.num_partitions)]
+        max_seeds = max(max(sum(len(eval_by_part[p]) for p in st)
+                            for st in states), 1)
+        nb_batches = -(-max_seeds // self.batch_size)
+        pad_rows = nb_batches * self.batch_size
+        P = self.num_partitions
+        max_edges = 1 << (max(int(sum(
+            self.bucket_offsets[i * P + j + 1] - self.bucket_offsets[i * P + j]
+            for i in st for j in st)) for st in states) - 1).bit_length()
+        fill = self.cache.buffer_rows
+        model = self.model
+
+        @jax.jit
+        def eval_fn(params, feats_buf, graph, seeds, masks, labels):
+            def body(acc, xs):
+                seeds_b, mask_b, labels_b = xs
+                k = jax.random.fold_in(jax.random.key(3), acc["count"].astype(jnp.int32))
+                nb = sample_neighbor_batch(k, graph, seeds_b, mask_b,
+                                           self.nbr_configs, self.hop_caps)
+                outer = nb.node_ids[0]
+                feats = feats_buf[jnp.minimum(outer, fill - 1)]
+                feats = jnp.where((outer < fill)[:, None], feats, 0.0)
+                logits = encoder_forward(
+                    model.encoder, params["encoder"], None, feats, nb,
+                    degrees=graph.degrees, train=False)
+                stats = categorical_accuracy_statistics(
+                    logits, labels_b, mask_b & nb.seed_mask)
+                return {k2: acc[k2] + v for k2, v in stats.items()}, None
+
+            zero = {"correct": jnp.zeros((), jnp.float32),
+                    "count": jnp.zeros((), jnp.float32)}
+            b = self.batch_size
+            acc, _ = jax.lax.scan(
+                body, zero,
+                (seeds.reshape(nb_batches, b), masks.reshape(nb_batches, b),
+                 labels.reshape(nb_batches, b)))
+            return acc
+
+        totals = {"correct": 0.0, "count": 0.0}
+        for st in states:
+            self.cache.swap_to_state(st)
+            graph = self._state_graph(max_edges)
+            seeds_g = np.concatenate([eval_by_part[p] for p in st]) \
+                if len(st) else np.zeros(0, np.int32)
+            slot = self.cache.part_to_slot[seeds_g // psize]
+            seeds_l = (slot * psize + seeds_g % psize).astype(np.int32)
+            labels = self.labels_host[seeds_g]
+            seeds_pad = np.full(pad_rows, fill, np.int32)
+            seeds_pad[:len(seeds_l)] = seeds_l
+            labels_pad = np.zeros(pad_rows, np.int32)
+            labels_pad[:len(labels)] = labels
+            masks = np.arange(pad_rows) < len(seeds_l)
+            acc = jax.device_get(eval_fn(
+                self.params, self.cache.device, graph,
+                jnp.asarray(seeds_pad), jnp.asarray(masks),
+                jnp.asarray(labels_pad)))
+            totals = {k: totals[k] + float(v) for k, v in acc.items()}
+
+        reporter = NodeClassificationReporter()
+        reporter.add_statistics(totals)
+        res = reporter.results()
+        reporter.report()
+        return res
+
+    # ------------------------------------------------------------------
+    @property
+    def state(self) -> TrainState:
+        return TrainState(table=None, params=self.params,
+                          opt_state=self.opt_state,
+                          key=jax.random.key(self.seed),
+                          epoch=jnp.asarray(self.epoch, jnp.int32))
+
+    @state.setter
+    def state(self, s: TrainState) -> None:
+        self.params = s.params
+        self.opt_state = s.opt_state
+        self.epoch = int(s.epoch)
+
+    graph = None
+    features = None
