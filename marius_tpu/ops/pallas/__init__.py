@@ -1,0 +1,39 @@
+"""Pallas TPU kernels for the framework's hot ops.
+
+Measured on TPU v5e (bench_kernels.py): the DMA-streaming row gather beats
+XLA's gather once the table exceeds ~0.5M rows (27us -> 15us at 1M x 128);
+below that XLA ties or wins, and XLA's scatter beats the row-DMA Adagrad
+kernel at every size measured, so `sparse_adagrad_update_pallas` is kept as a
+reference implementation but not selected by default.
+
+`gather_rows_auto` routes per call: Pallas when (TPU backend, lane-aligned
+rows, big table), else jnp.take.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from marius_tpu.ops.pallas.adagrad import sparse_adagrad_update_pallas  # noqa: F401
+from marius_tpu.ops.pallas.gather import BLOCK, gather_rows_pallas  # noqa: F401
+
+PALLAS_GATHER_MIN_ROWS = 500_000
+
+
+def pallas_supported() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def gather_rows_auto(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Gather rows, choosing the faster backend. ids must be pre-clamped;
+    any id count accepted (pads to the kernel block internally)."""
+    n, d = table.shape
+    if (pallas_supported() and d % 128 == 0
+            and n >= PALLAS_GATHER_MIN_ROWS):
+        k = ids.shape[0]
+        pad = (-k) % BLOCK
+        if pad:
+            ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
+        return gather_rows_pallas(table, ids)[:k]
+    return jnp.take(table, ids, axis=0)

@@ -43,6 +43,7 @@ from marius_tpu.nn.model import (
     lp_batch_loss_direct,
 )
 from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
+from marius_tpu.ops.pallas import gather_rows_auto
 from marius_tpu.ops.unique import unique_padded
 from marius_tpu.parallel.embedding_table import ADAGRAD_EPS, EmbeddingTable
 from marius_tpu.storage.partition_buffer import (
@@ -178,8 +179,8 @@ class PartitionBufferLPTrainer:
                 inv_rel_on = model.decoder.use_inverse_relations
                 if self.dense_accum:
                     update_ids = all_ids
-                    x0 = jnp.take(values, jnp.minimum(all_ids, buffer_rows - 1),
-                                  axis=0)
+                    x0 = gather_rows_auto(
+                        values, jnp.minimum(all_ids, buffer_rows - 1))
 
                     def loss_fn(x, dense_params):
                         d = x.shape[-1]
@@ -198,8 +199,8 @@ class PartitionBufferLPTrainer:
                     inv_dst = uniq.inverse[b:2 * b]
                     inv_dst_negs = uniq.inverse[2 * b:2 * b + c * nneg].reshape(c, nneg)
                     inv_src_negs = uniq.inverse[2 * b + c * nneg:].reshape(c, nneg)
-                    x0 = jnp.take(values, jnp.minimum(uniq.ids, buffer_rows - 1),
-                                  axis=0)
+                    x0 = gather_rows_auto(
+                        values, jnp.minimum(uniq.ids, buffer_rows - 1))
 
                     def loss_fn(x, dense_params):
                         loss, _ = lp_batch_loss(
