@@ -57,6 +57,7 @@ class StorageConfig:
     fine_to_coarse_ratio: int = 2
     num_cache_partitions: int = 0
     randomly_assign_edge_buckets: bool = True
+    embeddings_dtype: str = "float"   # float | bfloat16 (StorageConfig dtype option)
     model_dir: str = ""
     save_model: bool = True
 
@@ -83,6 +84,13 @@ class EvaluationConfig:
         default_factory=lambda: NegativeSamplingConfig(filtered=True))
     epochs_per_eval: int = 1
     sync: bool = True
+
+
+def resolve_dtype(name: str):
+    import jax.numpy as jnp
+    return {"float": jnp.float32, "float32": jnp.float32, "double": jnp.float32,
+            "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float16": jnp.float16}.get(name.lower(), jnp.float32)
 
 
 @dataclasses.dataclass
@@ -281,6 +289,8 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
                                  .get("num_cache_partitions", 0)),
         randomly_assign_edge_buckets=bool(((s.get("embeddings") or {}).get("options") or {})
                                           .get("randomly_assign_edge_buckets", True)),
+        embeddings_dtype=str(((s.get("embeddings") or {}).get("options") or {})
+                             .get("dtype", "float")).lower(),
         model_dir=model_dir or s.get("model_dir", "") or
         (os.path.join(dataset.dataset_dir, "model_0") if dataset.dataset_dir else ""),
         save_model=bool(s.get("save_model", True)),

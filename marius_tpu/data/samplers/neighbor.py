@@ -175,3 +175,29 @@ def sample_neighbor_batch(
         node_masks=tuple(reversed(masks_per_hop)),
         layers=tuple(reversed(layers)),
     )
+
+
+def resolve_all_caps(configs: Sequence[NeighborSamplingConfig],
+                     in_offsets: "np.ndarray", out_offsets: "np.ndarray",
+                     cap_limit: int = 4096) -> Tuple["NeighborSamplingConfig", ...]:
+    """Size ALL-sampling fanout caps to the graph's true max degree.
+
+    The reference's ALL sampler is unbounded (sample_all_gpu, neighbor.cpp:9);
+    static TPU shapes emulate it with a cap + mask, which is EXACT iff the cap
+    covers the max degree (SURVEY §7 hard parts). Caps are clamped to
+    ``cap_limit`` — graphs with larger hubs degrade to uniform truncation.
+    """
+    import numpy as np
+
+    max_in = int(np.max(np.diff(np.asarray(in_offsets)[:-1]))) if len(in_offsets) > 2 else 0
+    max_out = int(np.max(np.diff(np.asarray(out_offsets)[:-1]))) if len(out_offsets) > 2 else 0
+    out = []
+    for cfg in configs:
+        if cfg.sampling_type.upper() == "ALL":
+            need = max(max_in if cfg.use_incoming else 0,
+                       max_out if cfg.use_outgoing else 0, 1)
+            out.append(dataclasses.replace(
+                cfg, max_neighbors=min(need, cap_limit)))
+        else:
+            out.append(cfg)
+    return tuple(out)

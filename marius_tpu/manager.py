@@ -54,6 +54,11 @@ class MariusRuntime:
         self.trainer.state = s
 
 
+def _dtype(cfg: MariusConfig):
+    from marius_tpu.config.schema import resolve_dtype
+    return resolve_dtype(cfg.storage.embeddings_dtype)
+
+
 def _load_lp_data(cfg: MariusConfig):
     ds = cfg.storage.dataset
     stats = None
@@ -85,8 +90,12 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
 
         graph = None
         features = None
+        train_nbr, eval_nbr = cfg.train_neighbor_sampling, cfg.eval_neighbor_sampling
         if cfg.train_neighbor_sampling:
             graph = build_device_graph(train_edges, num_nodes, num_rels)
+            from marius_tpu.data.samplers.neighbor import resolve_all_caps
+            train_nbr = resolve_all_caps(train_nbr, graph.in_offsets, graph.out_offsets)
+            eval_nbr = resolve_all_caps(eval_nbr, graph.in_offsets, graph.out_offsets)
         if model.encoder.has_features:
             features = load_features(ds.dataset_dir)
 
@@ -108,6 +117,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 fine_to_coarse_ratio=cfg.storage.fine_to_coarse_ratio,
                 num_cache_partitions=cfg.storage.num_cache_partitions,
                 randomly_assign_edge_buckets=cfg.storage.randomly_assign_edge_buckets,
+                dtype=_dtype(cfg),
             )
         else:
             trainer = LinkPredictionTrainer(
@@ -117,8 +127,9 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 seed=cfg.training.seed,
                 train_filter_keys=train_filter,
                 graph=graph,
-                nbr_configs=cfg.train_neighbor_sampling,
+                nbr_configs=train_nbr,
                 features=features,
+                dtype=_dtype(cfg),
             )
 
         all_edges_list = [train_edges] + [e for e in (valid_edges, test_edges) if e is not None]
@@ -135,7 +146,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 filtered=cfg.evaluation.negative_sampling.filtered,
                 neg_config=cfg.evaluation.negative_sampling,
                 graph=graph,
-                nbr_configs=cfg.eval_neighbor_sampling,
+                nbr_configs=eval_nbr,
                 features=eval_features,
             )
 
@@ -149,10 +160,13 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         train_nodes = load_node_split(ds.dataset_dir, "train")
         num_nodes = ds.num_nodes
         graph = None
+        train_nbr = cfg.train_neighbor_sampling
         if cfg.storage.features_backend != "PARTITION_BUFFER":
             # buffer mode keeps the graph host-side; only resident subgraphs
             # ever reach HBM
             graph = build_device_graph(edges, num_nodes, max(ds.num_relations, 1))
+            from marius_tpu.data.samplers.neighbor import resolve_all_caps
+            train_nbr = resolve_all_caps(train_nbr, graph.in_offsets, graph.out_offsets)
         log.info("Loaded NC dataset: %d nodes, %d edges, %d train nodes",
                  num_nodes, len(edges), len(train_nodes))
 
@@ -184,7 +198,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         else:
             trainer = NodeClassificationTrainer(
                 model, graph, features, labels, train_nodes,
-                cfg.train_neighbor_sampling,
+                train_nbr,
                 batch_size=cfg.training.batch_size,
                 seed=cfg.training.seed,
             )

@@ -61,10 +61,17 @@ def init_optimizer(config: OptimizerConfig, params) -> OptState:
     return OptState(step=jnp.zeros((), jnp.int32), slots=slots)
 
 
+def _match_dtypes(new_params, ref_params):
+    return jax.tree_util.tree_map(lambda n, r: n.astype(r.dtype), new_params, ref_params)
+
+
 def apply_optimizer(config: OptimizerConfig, params, state: OptState, grads) -> Tuple[Any, OptState]:
-    """One optimizer step; returns (new_params, new_state)."""
+    """One optimizer step; returns (new_params, new_state). Step math runs in
+    f32 (Python-scalar lr/beta promote), so low-precision params (bf16 tables)
+    are cast back to their stored dtype afterwards."""
     ot = config.optimizer_type.upper()
     step = state.step
+    in_params = params
 
     if config.weight_decay:
         grads = jax.tree_util.tree_map(
@@ -76,10 +83,10 @@ def apply_optimizer(config: OptimizerConfig, params, state: OptState, grads) -> 
                 lambda m, g: config.momentum * m + g, state.slots["momentum"], grads)
             new_params = jax.tree_util.tree_map(
                 lambda p, m: p - config.learning_rate * m, params, new_mom)
-            return new_params, OptState(step + 1, {"momentum": new_mom})
+            return _match_dtypes(new_params, in_params), OptState(step + 1, {"momentum": new_mom})
         new_params = jax.tree_util.tree_map(
             lambda p, g: p - config.learning_rate * g, params, grads)
-        return new_params, OptState(step + 1, state.slots)
+        return _match_dtypes(new_params, in_params), OptState(step + 1, state.slots)
 
     if ot == "ADAGRAD":
         # lr / (1 + num_steps * lr_decay); sum += g²; p -= lr * g / (sqrt(sum)+eps)
@@ -89,7 +96,7 @@ def apply_optimizer(config: OptimizerConfig, params, state: OptState, grads) -> 
         new_params = jax.tree_util.tree_map(
             lambda p, g, s: p - lr * g / (jnp.sqrt(s) + config.eps),
             params, grads, new_sum)
-        return new_params, OptState(step + 1, {"sum": new_sum})
+        return _match_dtypes(new_params, in_params), OptState(step + 1, {"sum": new_sum})
 
     if ot == "ADAM":
         b1, b2 = config.beta_1, config.beta_2
@@ -112,6 +119,6 @@ def apply_optimizer(config: OptimizerConfig, params, state: OptState, grads) -> 
         new_params = jax.tree_util.tree_map(
             lambda p, m, v: p - step_size * m / (jnp.sqrt(v) / jnp.sqrt(bc2) + config.adam_eps),
             params, new_avg, denom_src)
-        return new_params, OptState(step + 1, new_slots)
+        return _match_dtypes(new_params, in_params), OptState(step + 1, new_slots)
 
     raise ValueError(f"Unknown optimizer type: {config.optimizer_type}")
