@@ -29,6 +29,11 @@ def beta_ordering(num_partitions: int, buffer_capacity: int,
     assert 1 <= c <= n
     if c >= n:
         return [np.arange(n)]
+    if c < 2:
+        raise ValueError(
+            "edge-bucket orderings need buffer_capacity >= 2: capacity 1 can "
+            "never co-reside a cross-partition pair (ordering.cpp asserts the "
+            "same via its swap construction)")
 
     perm = rng.permutation(n)
     resident = list(perm[:c])
@@ -144,7 +149,8 @@ def comet_ordering(num_partitions: int, buffer_capacity: int,
     assert num_partitions % r == 0 and buffer_capacity % r == 0
     coarse_n = num_partitions // r - num_cache_partitions
     coarse_c = buffer_capacity // r - num_cache_partitions
-    assert coarse_n >= 1 and coarse_c >= 1
+    assert coarse_n >= 1 and (coarse_c >= 2 or coarse_c >= coarse_n), \
+        "COMET needs a coarse capacity of >= 2 (raise buffer_capacity or lower fine_to_coarse_ratio)" 
 
     coarse_states = beta_ordering(coarse_n, coarse_c, seed=seed)
 

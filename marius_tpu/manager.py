@@ -118,6 +118,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 num_cache_partitions=cfg.storage.num_cache_partitions,
                 randomly_assign_edge_buckets=cfg.storage.randomly_assign_edge_buckets,
                 dtype=_dtype(cfg),
+                nbr_configs=train_nbr,
             )
         else:
             trainer = LinkPredictionTrainer(

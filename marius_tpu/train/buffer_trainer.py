@@ -55,6 +55,10 @@ from marius_tpu.train.trainer import TrainState
 
 Array = jax.Array
 
+# placeholder for the shallow path (graph argument unused but part of the
+# jitted signature)
+_EMPTY_GRAPH = None
+
 
 class PartitionBufferLPTrainer:
     """Shallow-encoder LP training with an out-of-HBM embedding table."""
@@ -75,10 +79,15 @@ class PartitionBufferLPTrainer:
         fine_to_coarse_ratio: int = 2,
         num_cache_partitions: int = 0,
         randomly_assign_edge_buckets: bool = True,
+        nbr_configs=(),                   # GNN encoders: per-layer sampling,
+                                          # restricted to the resident subgraph
     ):
         assert model.learning_task == LINK_PREDICTION
-        assert model.has_embeddings and not model.encoder.num_gnn_stages, \
-            "partition-buffer training supports shallow (embedding) encoders"
+        assert model.has_embeddings, "partition-buffer LP needs an embedding table"
+        assert not model.encoder.has_features, \
+            "feature inputs with the LP partition buffer are not supported yet"
+        if model.encoder.num_gnn_stages:
+            assert nbr_configs, "GNN encoder needs neighbor sampling configs"
         assert batch_size % neg_config.num_chunks == 0
         self.model = model
         self.num_nodes = num_nodes
@@ -115,10 +124,18 @@ class PartitionBufferLPTrainer:
         # same trick as LinkPredictionTrainer.dense_accum, bounded by the
         # BUFFER size (not the full table): skip sort-based dedup when a
         # buffer-shaped elementwise pass is cheaper
-        self.dense_accum = (self.buffer.buffer_rows
+        self.dense_accum = (not nbr_configs and self.buffer.buffer_rows
                             * model.encoder.embedding_dim <= 8_000_000)
+        self.nbr_configs = tuple(nbr_configs)
+        if self.nbr_configs:
+            from marius_tpu.data.samplers.neighbor import estimate_hop_caps
+            self.hop_caps = tuple(estimate_hop_caps(
+                self.unique_cap, self.nbr_configs, self.buffer.buffer_rows))
+        else:
+            self.hop_caps = ()
         self._state_fn = None
         self._max_batches = 0
+        self._max_graph_edges = 0
 
     # ------------------------------------------------------------------
     def _bucket_edges(self, i: int, j: int) -> np.ndarray:
@@ -129,9 +146,10 @@ class PartitionBufferLPTrainer:
         seed = self.seed + self.epoch
         n, c = self.num_partitions, self.capacity
         r = self.fine_to_coarse_ratio
+        coarse_c = c // r - self.num_cache_partitions
+        coarse_n = n // r - self.num_cache_partitions
         if self.ordering == "COMET" and n % r == 0 and c % r == 0 \
-                and n // r > self.num_cache_partitions \
-                and c // r > self.num_cache_partitions:
+                and coarse_n >= 1 and (coarse_c >= 2 or coarse_c >= coarse_n):
             states = comet_ordering(n, c, r, self.num_cache_partitions, seed=seed)
         else:
             states = beta_ordering(n, c, seed=seed)
@@ -153,7 +171,8 @@ class PartitionBufferLPTrainer:
         buffer_rows = self.buffer.buffer_rows
         capacity = self.capacity
 
-        def state_fn(values, state, params, opt_state, key, edges, masks, slot_valid):
+        def state_fn(values, state, params, opt_state, key, edges, masks,
+                     slot_valid, graph):
             def batch_step(carry, xs):
                 values, state, params, opt_state, key = carry
                 edges_b, mask_b = xs
@@ -177,7 +196,38 @@ class PartitionBufferLPTrainer:
                 all_ids = jnp.concatenate(
                     [src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
                 inv_rel_on = model.decoder.use_inverse_relations
-                if self.dense_accum:
+                if self.nbr_configs:
+                    # GNN encoder over the resident subgraph: batch unique ids
+                    # seed multi-hop sampling; raw rows are gathered for the
+                    # outermost hop and updates land on that hop's rows
+                    # (mirrors LinkPredictionTrainer's GNN path in local ids)
+                    from marius_tpu.data.samplers.neighbor import sample_neighbor_batch
+                    from marius_tpu.nn.encoder import encoder_forward
+                    uniq = unique_padded(all_ids, size=self.unique_cap,
+                                         fill_value=buffer_rows)
+                    inv_src = uniq.inverse[:b]
+                    inv_dst = uniq.inverse[b:2 * b]
+                    inv_dst_negs = uniq.inverse[2 * b:2 * b + c * nneg].reshape(c, nneg)
+                    inv_src_negs = uniq.inverse[2 * b + c * nneg:].reshape(c, nneg)
+                    k_nb, key = jax.random.split(key)
+                    nbr_batch = sample_neighbor_batch(
+                        k_nb, graph, uniq.ids, uniq.ids < buffer_rows,
+                        self.nbr_configs, self.hop_caps)
+                    update_ids = nbr_batch.node_ids[0]
+                    x0 = gather_rows_auto(
+                        values, jnp.minimum(update_ids, buffer_rows - 1))
+
+                    def loss_fn(x, dense_params):
+                        encoded = encoder_forward(
+                            model.encoder, dense_params["encoder"], x, None,
+                            nbr_batch, degrees=graph.degrees, train=True)
+                        loss, _ = lp_batch_loss(
+                            model, dense_params, encoded, inv_src, inv_dst, rel,
+                            inv_dst_negs,
+                            inv_src_negs if inv_rel_on else None,
+                            mask_b, None, None)
+                        return loss
+                elif self.dense_accum:
                     update_ids = all_ids
                     x0 = gather_rows_auto(
                         values, jnp.minimum(all_ids, buffer_rows - 1))
@@ -235,6 +285,49 @@ class PartitionBufferLPTrainer:
         return jax.jit(state_fn, donate_argnums=(0, 1, 2, 3))
 
     # ------------------------------------------------------------------
+    def _state_graph(self, max_edges: int):
+        """Local CSR over the resident subgraph (all resident bucket pairs),
+        padded to max_edges — same construction as the NC buffer path."""
+        from marius_tpu import native
+        from marius_tpu.data.graph import DeviceGraph
+
+        P = self.num_partitions
+        resident = [int(p) for p in self.buffer.resident if p >= 0]
+        bucket_ids = np.asarray(
+            [i * P + j for i in resident for j in resident], np.int32)
+        local = native.gather_remap_buckets(
+            self.edges_by_bucket, self.bucket_offsets, bucket_ids,
+            self.buffer.part_to_slot, self.buffer.psize)
+        n = self.buffer.buffer_rows
+        src, dst = local[:, 0], local[:, -1]
+        rel = local[:, 1] if self.has_rels else None
+
+        def one_dir(anchor, other, rels):
+            order = np.argsort(anchor, kind="stable")
+            offs = native.csr_offsets(anchor[order], n).astype(np.int32)
+            offs = np.concatenate([offs, offs[-1:]])
+            cols = np.full(max_edges, n, np.int32)
+            cols[:len(other)] = other[order]
+            rel_arr = None
+            if rels is not None:
+                rel_arr = np.zeros(max_edges, np.int32)
+                rel_arr[:len(rels)] = rels[order]
+                rel_arr = jnp.asarray(rel_arr)
+            return jnp.asarray(offs), jnp.asarray(cols), rel_arr
+
+        out_offsets, out_cols, out_rels = one_dir(src, dst, rel)
+        in_offsets, in_cols, in_rels = one_dir(dst, src, rel)
+        deg = np.zeros(n + 1, np.int32)
+        np.add.at(deg, src, 1)
+        np.add.at(deg, dst, 1)
+        deg[n:] = 0
+        return DeviceGraph(
+            out_offsets=out_offsets, out_cols=out_cols, out_rels=out_rels,
+            in_offsets=in_offsets, in_cols=in_cols, in_rels=in_rels,
+            degrees=jnp.asarray(deg), num_nodes=n,
+            num_relations=self.num_relations)
+
+    # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
         t0 = time.perf_counter()
         states, assignment = self._plan_epoch()
@@ -250,9 +343,17 @@ class PartitionBufferLPTrainer:
         # schedules across epochs reuse the same compiled state function
         max_batches = max(1, max(-(-s // self.batch_size) for s in state_sizes))
         max_batches = 1 << (max_batches - 1).bit_length()
-        if self._state_fn is None or max_batches != self._max_batches:
+        max_graph_edges = 0
+        if self.nbr_configs:
+            max_graph_edges = 1 << (max(1, max(
+                int(sum(self.bucket_offsets[i * P + j + 1]
+                        - self.bucket_offsets[i * P + j]
+                        for i in st for j in st)) for st in states)) - 1).bit_length()
+        if self._state_fn is None or max_batches != self._max_batches \
+                or max_graph_edges != self._max_graph_edges:
             self._state_fn = self._build_state_fn(max_batches)
             self._max_batches = max_batches
+            self._max_graph_edges = max_graph_edges
 
         key = jax.random.fold_in(jax.random.key(self.seed + 7), self.epoch)
         self.buffer.load(states[0])
@@ -294,12 +395,14 @@ class PartitionBufferLPTrainer:
                 padded[:len(local)] = local
                 masks = np.arange(pad_rows) < len(local)
 
+                graph = (self._state_graph(max_graph_edges)
+                         if self.nbr_configs else _EMPTY_GRAPH)
                 (self.buffer.device_values, self.buffer.device_state,
                  self.params, self.opt_state, key), loss = self._state_fn(
                     self.buffer.device_values, self.buffer.device_state,
                     self.params, self.opt_state, key,
                     jnp.asarray(padded), jnp.asarray(masks),
-                    jnp.asarray(self.buffer.slot_valid_counts()))
+                    jnp.asarray(self.buffer.slot_valid_counts()), graph)
                 losses.append(loss)  # lazy: don't block the dispatch queue
 
         total_loss = float(jnp.sum(jnp.stack(losses)))

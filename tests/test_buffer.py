@@ -133,3 +133,43 @@ def test_buffer_config_e2e(tmp_path):
     result = marius_train(load_config(raw))
     assert len(result["epochs"]) == 2
     assert 0.0 < result["test"]["mrr"] <= 1.0
+
+
+def test_buffer_trainer_gnn_lp():
+    """GNN-encoded LP over the partition buffer (graph_sage encoder, sampling
+    restricted to the resident subgraph)."""
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.buffer_trainer import PartitionBufferLPTrainer
+
+    rng = np.random.default_rng(3)
+    n, r, e = 80, 4, 1200
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, r, e),
+                      rng.integers(0, n, e)], axis=1).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=12),),
+        (LayerConfig(layer_type="GNN", input_dim=12, output_dim=12,
+                     gnn_type="GRAPH_SAGE", aggregator="MEAN"),),
+    ))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, 12))
+    tr = PartitionBufferLPTrainer(
+        model, n, r, edges, NegativeSamplingConfig(2, 8),
+        batch_size=100, num_partitions=4, buffer_capacity=2,
+        nbr_configs=[NeighborSamplingConfig(max_neighbors=4)])
+    stats = tr.train(3)
+    assert stats[-1]["loss"] < stats[0]["loss"]
+
+    # full-table view still evaluates (encoder runs on the FULL graph at eval)
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.train.evaluator import LinkPredictionEvaluator
+    g = build_device_graph(edges, n, r)
+    ev = LinkPredictionEvaluator(
+        model, n, r, edges[:100], all_edges=edges, batch_size=100,
+        filtered=True, graph=g,
+        nbr_configs=[NeighborSamplingConfig(max_neighbors=4)])
+    res = ev.evaluate(tr.state)
+    assert 0.0 < res["mrr"] <= 1.0
