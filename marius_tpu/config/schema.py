@@ -71,6 +71,8 @@ class TrainingConfig:
     epochs_per_shuffle: int = 1
     epochs_per_eval: int = 1
     sync: bool = True
+    staleness_bound: int = 16       # async mode: batches sharing one table
+                                    # snapshot (PipelineConfig, marius_config.py:675)
     checkpoint_interval: int = -1
     resume_training: bool = False
     resume_from_checkpoint: str = ""
@@ -303,6 +305,7 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
         epochs_per_shuffle=int(t.get("epochs_per_shuffle", 1)),
         epochs_per_eval=int(t.get("epochs_per_eval", 1)),
         sync=bool((t.get("pipeline") or {}).get("sync", True)),
+        staleness_bound=int((t.get("pipeline") or {}).get("staleness_bound", 16)),
         checkpoint_interval=int((t.get("checkpoint") or {}).get("interval", -1)),
         resume_training=bool(t.get("resume_training", False)),
         resume_from_checkpoint=str(t.get("resume_from_checkpoint", "")),

@@ -121,10 +121,21 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 nbr_configs=train_nbr,
             )
         else:
+            # Async pipeline mapping (PipelineTrainer, trainer.cpp:35-74): K
+            # staleness-bound batches read ONE table snapshot and their updates
+            # merge — expressed as a K-times-larger compiled step with K-times
+            # the negative chunks, preserving each sub-batch's chunk structure.
+            batch_size = cfg.training.batch_size
+            neg = cfg.training.negative_sampling
+            if not cfg.training.sync and cfg.training.staleness_bound > 1:
+                k = cfg.training.staleness_bound
+                batch_size *= k
+                neg = dataclasses.replace(neg, num_chunks=neg.num_chunks * k)
+                log.info("Async pipeline: staleness_bound=%d -> step of %d edges", k, batch_size)
             trainer = LinkPredictionTrainer(
                 model, num_nodes, num_rels, train_edges,
-                cfg.training.negative_sampling,
-                batch_size=cfg.training.batch_size,
+                neg,
+                batch_size=batch_size,
                 seed=cfg.training.seed,
                 train_filter_keys=train_filter,
                 graph=graph,

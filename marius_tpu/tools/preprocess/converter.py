@@ -86,6 +86,7 @@ class EdgeListConverter:
         src_column: int = 0,
         dst_column: int = 2,
         edge_type_column: Optional[int] = 1,
+        edge_weight_column: Optional[int] = None,
         remap_ids: bool = True,
         sequential_train_nodes: bool = False,
         num_nodes: Optional[int] = None,
@@ -102,8 +103,10 @@ class EdgeListConverter:
         self.header_length = header_length
         self.delim = delim
         self.has_rels = edge_type_column is not None
+        self.has_weights = edge_weight_column is not None
         self.columns = ([src_column, edge_type_column, dst_column]
                         if self.has_rels else [src_column, dst_column])
+        self.weight_column = edge_weight_column
         self.remap_ids = remap_ids
         self.sequential_train_nodes = sequential_train_nodes
         self.num_nodes = num_nodes
@@ -119,6 +122,12 @@ class EdgeListConverter:
         raw = [None if x is None else
                _read_raw(x, self.format, self.delim, self.header_length, self.columns)
                for x in self.inputs]
+        weights = [None] * 3
+        if self.has_weights:
+            weights = [None if x is None else
+                       _read_raw(x, self.format, self.delim, self.header_length,
+                                 [self.weight_column]).reshape(-1).astype(np.float32)
+                       for x in self.inputs]
 
         node_mapping = rel_mapping = None
         if self.remap_ids:
@@ -169,10 +178,15 @@ class EdgeListConverter:
             num_rels = 1
 
         train, valid, test = raw
+        w_train, w_valid, w_test = weights
         if self.splits is not None and valid is None and test is None:
             perm = rng.permutation(len(train))
             n_tr = int(self.splits[0] * len(train))
             n_va = int(self.splits[1] * len(train)) if len(self.splits) > 1 else 0
+            if w_train is not None:
+                w_train, w_valid, w_test = (w_train[perm[:n_tr]],
+                                            w_train[perm[n_tr:n_tr + n_va]],
+                                            w_train[perm[n_tr + n_va:]])
             train, valid, test = (train[perm[:n_tr]], train[perm[n_tr:n_tr + n_va]],
                                   train[perm[n_tr + n_va:]])
 
@@ -181,17 +195,32 @@ class EdgeListConverter:
         os.makedirs(edges_dir, exist_ok=True)
         os.makedirs(nodes_dir, exist_ok=True)
 
-        names = {"train": train, "validation": valid, "test": test}
-        for name, edges in names.items():
+        names = {"train": (train, w_train), "validation": (valid, w_valid),
+                 "test": (test, w_test)}
+        for name, (edges, w) in names.items():
             if edges is None or len(edges) == 0:
                 continue
             if self.num_partitions > 1 and (
                     name == "train" or self.partitioned_evaluation):
-                edges, sizes = partition_edges(edges, num_nodes, self.num_partitions)
+                order = None
+                if w is not None:
+                    # track the reorder so weights stay row-aligned
+                    tagged = np.concatenate(
+                        [edges, np.arange(len(edges), dtype=np.int32)[:, None]], axis=1)
+                    tagged, sizes = partition_edges(tagged, num_nodes, self.num_partitions)
+                    order = tagged[:, -1]
+                    edges = tagged[:, :-1]
+                else:
+                    edges, sizes = partition_edges(edges, num_nodes, self.num_partitions)
                 write_partition_offsets(
                     os.path.join(edges_dir, f"{name}_partition_offsets.txt"), sizes)
+                if order is not None:
+                    w = w[order]
             np.ascontiguousarray(edges, np.int32).tofile(
                 os.path.join(edges_dir, f"{name}_edges.bin"))
+            if w is not None:
+                np.ascontiguousarray(w, np.float32).tofile(
+                    os.path.join(edges_dir, f"{name}_edges_weights.bin"))
 
         if node_mapping is not None:
             np.savetxt(os.path.join(nodes_dir, "node_mapping.txt"),

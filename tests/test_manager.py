@@ -129,3 +129,14 @@ def test_nc_config_e2e(tmp_path):
     result = marius_train(load_config(raw))
     assert len(result["epochs"]) == 2
     assert 0.0 <= result["test"]["accuracy"] <= 1.0
+
+
+def test_lp_async_pipeline(tmp_path):
+    """pipeline.sync=false maps to staleness-grouped steps (K batches read one
+    table snapshot, updates merge) — the reference's PipelineTrainer analogue."""
+    raw = _lp_config(tmp_path, "async")
+    raw["training"]["pipeline"] = {"sync": False, "staleness_bound": 4}
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 2
+    assert result["epochs"][1]["loss"] < result["epochs"][0]["loss"]
+    assert 0.0 < result["test"]["mrr"] <= 1.0

@@ -195,3 +195,19 @@ def test_dataset_registry_complete():
                 "ogbl_wikikg2", "ogbn_arxiv", "ogbn_products",
                 "ogbn_papers100m", "ogb_mag240m", "ogb_wikikg90mv2"}
     assert expected <= set(DATASET_REGISTRY)
+
+
+def test_converter_edge_weights(tmp_path):
+    rng = np.random.default_rng(5)
+    raw = tmp_path / "w.tsv"
+    with open(raw, "w") as f:
+        for i in range(100):
+            f.write(f"n{rng.integers(0, 20)}\tr0\tn{rng.integers(0, 20)}"
+                    f"\t{rng.random():.4f}\n")
+    out = tmp_path / "ds"
+    EdgeListConverter(
+        output_dir=str(out), train_edges=str(raw), splits=(1.0,),
+        edge_weight_column=3, num_partitions=2).convert()
+    w = np.fromfile(out / "edges" / "train_edges_weights.bin", np.float32)
+    assert w.shape == (100,)
+    assert ((0 <= w) & (w < 1)).all()
