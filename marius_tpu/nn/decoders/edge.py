@@ -220,6 +220,42 @@ class EdgeDecoder:
             inv_neg = self.neg_scores(adj_dst, src_neg_embs, num_chunks)
         return pos, neg, inv_pos, inv_neg
 
+    def rel_corrupt_forward(
+        self,
+        params: Dict[str, Array],
+        src: Array,            # (B, d)
+        dst: Array,            # (B, d)
+        rel_ids: Array,        # (B,)
+        neg_rel_ids: Array,    # (C, N) corrupting relation ids
+    ):
+        """Corrupt-relation scoring (rel_corrupt_forward,
+        decoder_methods.cpp:119+): positives score (src, r, dst); negatives
+        re-score each chunk's positives under sampled relations.
+
+        Returns (pos (B,), neg (B, N)).
+        """
+        c, n = neg_rel_ids.shape
+        b, d = src.shape
+        rels = self.select_relations(params, rel_ids)
+        pos = self.pos_scores(self.apply_relation(src, rels), dst)
+
+        # (C, N, d) relation embeddings; chunked like node corruption: chunk i's
+        # positives pair with chunk i's sampled relations
+        neg_rels = self.select_relations(params, neg_rel_ids.reshape(-1))
+        neg_rels = (None if neg_rels is None
+                    else neg_rels.reshape(c, n, d))
+        per = b // c
+        src_c = src.reshape(c, per, d)
+        dst_c = dst.reshape(c, per, d)
+        # adjusted (C, per, N, d) = relation applied to every (pos, neg-rel) pair
+        adj = self.apply_relation(src_c[:, :, None, :],
+                                  None if neg_rels is None else neg_rels[:, None, :, :])
+        pos_fn, _ = _COMPARATORS[self._spec[0]]
+        neg = pos_fn(adj.reshape(-1, d),
+                     jnp.broadcast_to(dst_c[:, :, None, :], adj.shape)
+                     .reshape(-1, d)).reshape(b, n)
+        return pos, neg
+
     def only_pos_forward(self, params, src: Array, dst: Array, rel_ids: Optional[Array]):
         """Positive-edge scoring only (decoder_methods.cpp:7-42)."""
         rels = self.select_relations(params, rel_ids)

@@ -104,13 +104,15 @@ def marius_predict(argv=None):
     p.add_argument("--metrics", nargs="*", default=None)
     p.add_argument("--save_scores", action="store_true")
     p.add_argument("--save_ranks", action="store_true")
+    p.add_argument("--save_labels", action="store_true")
     p.add_argument("--input_file", default=None)
     p.add_argument("--split", default="test", choices=["valid", "test"])
     args = p.parse_args(argv)
     from marius_tpu.tools.predict import run_predict
     results = run_predict(args.config, args.output_dir, split=args.split,
                           metrics=args.metrics, save_scores=args.save_scores,
-                          save_ranks=args.save_ranks, input_file=args.input_file)
+                          save_ranks=args.save_ranks, save_labels=args.save_labels,
+                          input_file=args.input_file)
     print(json.dumps({k: v for k, v in results.items()
                       if isinstance(v, (int, float, str))}))
     return 0

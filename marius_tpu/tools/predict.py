@@ -26,6 +26,7 @@ def run_predict(
     metrics: Optional[List[str]] = None,
     save_scores: bool = False,
     save_ranks: bool = False,
+    save_labels: bool = False,
     input_file: Optional[str] = None,
 ) -> Dict[str, float]:
     cfg = config if isinstance(config, MariusConfig) else load_config(config)
@@ -67,6 +68,10 @@ def run_predict(
         evaluator = rt.test_evaluator if split == "test" else rt.valid_evaluator
         assert evaluator is not None, f"no {split} nodes in the dataset"
         results = evaluator.evaluate(rt.trainer.state)
+        if save_labels and hasattr(evaluator, "predict_labels"):
+            preds = evaluator.predict_labels(rt.trainer.state)
+            np.savetxt(os.path.join(output_dir, "labels.csv"),
+                       preds, fmt="%d", delimiter=",")
 
     with open(os.path.join(output_dir, "metrics.txt"), "w") as f:
         for k, v in results.items():

@@ -214,3 +214,33 @@ class NodeClassificationEvaluator:
         res = reporter.results()
         reporter.report()
         return res
+
+    def predict_labels(self, state: TrainState) -> np.ndarray:
+        """Predicted class per eval node — marius_predict's NC labels export
+        (NodeClassificationReporter::save, reporting.cpp:227-289)."""
+        tr = self.trainer
+        model = tr.model
+        nb_, b = self.num_batches, self.batch_size
+
+        @jax.jit
+        def labels_fn(table_values, params, eval_nodes):
+            def body(_, xs):
+                seeds, mask_b, idx = xs
+                k = jax.random.fold_in(jax.random.key(self.seed), idx)
+                nbatch, feats, emb, _ = tr._encode_batch(
+                    params, table_values, k, seeds, mask_b, False)
+                logits = encoder_forward(
+                    model.encoder, params["encoder"], emb, feats, nbatch,
+                    degrees=tr.graph.degrees, train=False)
+                return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            _, preds = jax.lax.scan(
+                body, None,
+                (eval_nodes.reshape(nb_, b),
+                 (jnp.arange(nb_ * b) < self.num_eval).reshape(nb_, b),
+                 jnp.arange(nb_)))
+            return preds.reshape(-1)
+
+        table_values = state.table.values if state.table is not None else None
+        preds = np.asarray(labels_fn(table_values, state.params, self.eval_nodes))
+        return preds[:self.num_eval]

@@ -90,3 +90,33 @@ def test_distmult_relations_init_ones():
     p = dec.init_params()
     np.testing.assert_array_equal(np.asarray(p["relations"]), 1.0)
     assert "inverse_relations" in p  # inverse_edges default True (datatypes.py:150)
+
+
+def test_rel_corrupt_forward():
+    """Corrupt-relation scoring (decoder_methods.cpp rel_corrupt_forward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+
+    rng = np.random.default_rng(0)
+    b, d, r, c, n = 8, 6, 5, 2, 3
+    dec = EdgeDecoder("DISTMULT", r, d)
+    params = dec.init_params()
+    params["relations"] = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    src = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    rel = jnp.asarray(rng.integers(0, r, b).astype(np.int32))
+    neg_rel = jnp.asarray(rng.integers(0, r, (c, n)).astype(np.int32))
+
+    pos, neg = dec.rel_corrupt_forward(params, src, dst, rel, neg_rel)
+    assert pos.shape == (b,) and neg.shape == (b, n)
+    # manual check: batch row i in chunk i//(b//c) scored against that chunk's
+    # sampled relations
+    R = np.asarray(params["relations"])
+    s, t = np.asarray(src), np.asarray(dst)
+    for i in [0, 5]:
+        chunk = i // (b // c)
+        for j in range(n):
+            expected = np.sum(s[i] * R[int(neg_rel[chunk, j])] * t[i])
+            np.testing.assert_allclose(float(neg[i, j]), expected, rtol=1e-5)
