@@ -59,9 +59,35 @@ class PartitionBuffer:
         psize = -(-num_nodes // num_partitions)
         padded = num_partitions * psize
         cfg = init_config or InitConfig("GLOROT_UNIFORM")
-        # full-shape fans, matching chunked init (io.cpp:167-188)
-        values = np.array(initialize_tensor(
-            key, cfg, (padded, dim), jnp.float32, fans=(num_nodes, dim)), dtype)
+        if padded * dim <= 4_000_000:
+            # small: reuse the device initializer (full-shape fans,
+            # io.cpp:167-188) for bit-parity with the in-memory trainer
+            values = np.array(initialize_tensor(
+                key, cfg, (padded, dim), jnp.float32, fans=(num_nodes, dim)), dtype)
+        else:
+            # big tables: init host-side — the chunked-init analogue
+            # (io.cpp:167-188) without pulling GBs through the device
+            dist = cfg.distribution.upper()
+            seed = int(np.asarray(jax.random.key_data(key)).sum()) & 0x7FFFFFFF
+            rng = np.random.default_rng(seed)
+            if dist == "GLOROT_UNIFORM":
+                bound = float(np.sqrt(6.0 / (num_nodes + dim)))
+                values = rng.uniform(-bound, bound, (padded, dim)).astype(dtype)
+            elif dist == "GLOROT_NORMAL":
+                std = float(np.sqrt(2.0 / (num_nodes + dim)))
+                values = (rng.standard_normal((padded, dim)) * std).astype(dtype)
+            elif dist == "NORMAL":
+                values = (cfg.mean + cfg.std
+                          * rng.standard_normal((padded, dim))).astype(dtype)
+            elif dist == "UNIFORM":
+                values = rng.uniform(-cfg.scale_factor, cfg.scale_factor,
+                                     (padded, dim)).astype(dtype)
+            elif dist == "ZEROS":
+                values = np.zeros((padded, dim), dtype)
+            elif dist == "ONES":
+                values = np.ones((padded, dim), dtype)
+            else:
+                values = np.full((padded, dim), cfg.constant, dtype)
         values[num_nodes:] = 0.0
         return PartitionBuffer(
             num_nodes=num_nodes, num_partitions=num_partitions,
@@ -125,16 +151,22 @@ class PartitionBuffer:
 
         free_slots = [int(s) for s in np.where(
             ~np.isin(self.resident, list(new_set)))[0]]
-        for p, slot in zip(admit, free_slots):
-            rows = self.part_rows(p)
-            self.device_values = _update_slot(
-                self.device_values, jnp.asarray(self.host_values[rows]),
-                slot * self.psize)
-            self.device_state = _update_slot(
-                self.device_state, jnp.asarray(self.host_state[rows]),
-                slot * self.psize)
-            self.resident[slot] = p
-            self.part_to_slot[p] = slot
+        if admit:
+            # batch all admits: ONE host->device transfer per array + one
+            # compiled multi-slot update (transfer latency dominates swaps on
+            # remote-attached devices)
+            pairs = list(zip(admit, free_slots))
+            starts = jnp.asarray([slot * self.psize for _, slot in pairs],
+                                 jnp.int32)
+            blocks_v = jnp.asarray(np.stack(
+                [self.host_values[self.part_rows(p)] for p, _ in pairs]))
+            blocks_s = jnp.asarray(np.stack(
+                [self.host_state[self.part_rows(p)] for p, _ in pairs]))
+            self.device_values = _update_slots(self.device_values, blocks_v, starts)
+            self.device_state = _update_slots(self.device_state, blocks_s, starts)
+            for p, slot in pairs:
+                self.resident[slot] = p
+                self.part_to_slot[p] = slot
 
     def flush(self) -> None:
         """Write all resident partitions back to host RAM (unload)."""
@@ -170,6 +202,14 @@ class PartitionBuffer:
 @jax.jit
 def _update_slot(buf: jax.Array, block: jax.Array, start: int) -> jax.Array:
     return jax.lax.dynamic_update_slice(buf, block, (start, 0))
+
+
+@jax.jit
+def _update_slots(buf: jax.Array, blocks: jax.Array, starts: jax.Array) -> jax.Array:
+    """Write blocks[i] at row starts[i]; one compiled call for a whole swap."""
+    def body(i, b):
+        return jax.lax.dynamic_update_slice(b, blocks[i], (starts[i], 0))
+    return jax.lax.fori_loop(0, blocks.shape[0], body, buf)
 
 
 def sparse_adagrad_update_buffer(values: jax.Array, state: jax.Array,
