@@ -18,4 +18,22 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
-from marius_tpu import config, data, nn, ops, parallel, reporting, storage, train  # noqa: F401
+from marius_tpu import (  # noqa: F401
+    config,
+    data,
+    manager,
+    native,
+    nn,
+    ops,
+    parallel,
+    reporting,
+    storage,
+    tools,
+    train,
+)
+from marius_tpu.manager import (  # noqa: F401
+    encode_and_export,
+    marius_eval,
+    marius_init,
+    marius_train,
+)
