@@ -177,6 +177,29 @@ def sample_neighbor_batch(
     )
 
 
+def resolve_all_caps_from_edges(configs: Sequence[NeighborSamplingConfig],
+                                edges: "np.ndarray", num_nodes: int,
+                                cap_limit: int = 4096
+                                ) -> Tuple["NeighborSamplingConfig", ...]:
+    """resolve_all_caps without a built CSR: max degrees from bincount."""
+    import numpy as np
+
+    if not any(c.sampling_type.upper() == "ALL" for c in configs):
+        return tuple(configs)
+    e = np.asarray(edges)
+    max_out = int(np.bincount(e[:, 0], minlength=num_nodes).max()) if len(e) else 0
+    max_in = int(np.bincount(e[:, -1], minlength=num_nodes).max()) if len(e) else 0
+    out = []
+    for cfg in configs:
+        if cfg.sampling_type.upper() == "ALL":
+            need = max(max_in if cfg.use_incoming else 0,
+                       max_out if cfg.use_outgoing else 0, 1)
+            out.append(dataclasses.replace(cfg, max_neighbors=min(need, cap_limit)))
+        else:
+            out.append(cfg)
+    return tuple(out)
+
+
 def resolve_all_caps(configs: Sequence[NeighborSamplingConfig],
                      in_offsets: "np.ndarray", out_offsets: "np.ndarray",
                      cap_limit: int = 4096) -> Tuple["NeighborSamplingConfig", ...]:

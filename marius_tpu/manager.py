@@ -179,6 +179,9 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             graph = build_device_graph(edges, num_nodes, max(ds.num_relations, 1))
             from marius_tpu.data.samplers.neighbor import resolve_all_caps
             train_nbr = resolve_all_caps(train_nbr, graph.in_offsets, graph.out_offsets)
+        else:
+            from marius_tpu.data.samplers.neighbor import resolve_all_caps_from_edges
+            train_nbr = resolve_all_caps_from_edges(train_nbr, edges, num_nodes)
         log.info("Loaded NC dataset: %d nodes, %d edges, %d train nodes",
                  num_nodes, len(edges), len(train_nodes))
 
@@ -186,7 +189,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             from marius_tpu.train.nc_buffer import PartitionBufferNCTrainer
             trainer = PartitionBufferNCTrainer(
                 model, edges, features, labels, train_nodes,
-                cfg.train_neighbor_sampling, num_nodes=num_nodes,
+                train_nbr, num_nodes=num_nodes,
                 batch_size=cfg.training.batch_size,
                 num_partitions=cfg.storage.num_partitions,
                 buffer_capacity=cfg.storage.buffer_capacity,

@@ -25,7 +25,8 @@ _lock = threading.Lock()
 
 def _build() -> Optional[str]:
     if not os.path.exists(_src):
-        return None
+        # installed wheel: ship-prebuilt .so without the source tree
+        return _so if os.path.exists(_so) else None
     if (os.path.exists(_so)
             and os.path.getmtime(_so) >= os.path.getmtime(_src)):
         return _so

@@ -35,6 +35,7 @@ class DatasetStats:
     num_nodes: int = 0
     num_edges: int = 0
     num_relations: int = 1
+    num_edge_cols: int = -1   # explicit on-disk row width; -1 = infer
     num_train: int = 0
     num_valid: int = 0
     num_test: int = 0
@@ -56,6 +57,10 @@ def load_stats(dataset_dir: str) -> DatasetStats:
 
 
 def _edge_cols(stats: DatasetStats) -> int:
+    if stats.num_edge_cols > 0:
+        return stats.num_edge_cols
+    # legacy datasets without num_edge_cols: single-relation typed graphs are
+    # ambiguous here, which is why the converter now records the width
     return 3 if stats.num_relations > 1 else 2
 
 

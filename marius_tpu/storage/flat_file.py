@@ -82,9 +82,10 @@ class FlatFile:
 
 
 def write_edges(path: str, edges: np.ndarray) -> None:
+    """Replace the file's contents (truncating any longer previous file)."""
     arr = np.ascontiguousarray(edges, np.int32)
-    FlatFile(path, arr.shape[1], np.int32, create=True).write_range(0, arr) \
-        if os.path.exists(path) else arr.tofile(path)
+    with open(path, "wb") as f:
+        arr.tofile(f)
 
 
 def read_edges(path: str, num_cols: int = 3) -> np.ndarray:

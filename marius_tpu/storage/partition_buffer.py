@@ -147,10 +147,10 @@ class PartitionBuffer:
                 rows = self.part_rows(p)
                 self.host_values[rows] = vals[k * self.psize:(k + 1) * self.psize]
                 self.host_state[rows] = stats[k * self.psize:(k + 1) * self.psize]
+                self.resident[self.part_to_slot[p]] = -1
                 self.part_to_slot[p] = -1
 
-        free_slots = [int(s) for s in np.where(
-            ~np.isin(self.resident, list(new_set)))[0]]
+        free_slots = [int(s) for s in np.where(self.resident < 0)[0]]
         if admit:
             # batch all admits: ONE host->device transfer per array + one
             # compiled multi-slot update (transfer latency dominates swaps on

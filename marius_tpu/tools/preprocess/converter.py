@@ -18,7 +18,7 @@ import numpy as np
 
 from marius_tpu.storage.dataset import DatasetStats, save_stats
 from marius_tpu.tools.preprocess.partitioner import (
-    partition_edges,
+    partition_order,
     write_partition_offsets,
 )
 
@@ -202,20 +202,12 @@ class EdgeListConverter:
                 continue
             if self.num_partitions > 1 and (
                     name == "train" or self.partitioned_evaluation):
-                order = None
+                order, sizes = partition_order(edges, num_nodes, self.num_partitions)
+                edges = edges[order]
                 if w is not None:
-                    # track the reorder so weights stay row-aligned
-                    tagged = np.concatenate(
-                        [edges, np.arange(len(edges), dtype=np.int32)[:, None]], axis=1)
-                    tagged, sizes = partition_edges(tagged, num_nodes, self.num_partitions)
-                    order = tagged[:, -1]
-                    edges = tagged[:, :-1]
-                else:
-                    edges, sizes = partition_edges(edges, num_nodes, self.num_partitions)
+                    w = w[order]
                 write_partition_offsets(
                     os.path.join(edges_dir, f"{name}_partition_offsets.txt"), sizes)
-                if order is not None:
-                    w = w[order]
             np.ascontiguousarray(edges, np.int32).tofile(
                 os.path.join(edges_dir, f"{name}_edges.bin"))
             if w is not None:
@@ -233,6 +225,7 @@ class EdgeListConverter:
             num_nodes=int(num_nodes),
             num_edges=sum(len(e) for e in (train, valid, test) if e is not None),
             num_relations=int(num_rels),
+            num_edge_cols=3 if self.has_rels else 2,
             num_train=len(train) if train is not None else 0,
             num_valid=len(valid) if valid is not None else 0,
             num_test=len(test) if test is not None else 0,

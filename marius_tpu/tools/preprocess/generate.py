@@ -55,6 +55,7 @@ def generate_random_dataset_lp(
     save_split(output_dir, "test", test)
     stats = DatasetStats(
         num_nodes=num_nodes, num_edges=num_edges, num_relations=num_relations,
+        num_edge_cols=3 if num_relations > 1 else 2,
         num_train=len(train), num_valid=len(valid), num_test=len(test))
     save_stats(output_dir, stats)
     return stats
@@ -90,6 +91,7 @@ def generate_random_dataset_nc(
 
     stats = DatasetStats(
         num_nodes=num_nodes, num_edges=num_edges, num_relations=1,
+        num_edge_cols=2,
         num_train=n_train, num_valid=n_valid, num_test=num_nodes - n_train - n_valid,
         num_classes=num_classes, feature_dim=feature_dim)
     save_stats(output_dir, stats)

@@ -15,12 +15,10 @@ from typing import Tuple
 import numpy as np
 
 
-def partition_edges(edges: np.ndarray, num_nodes: int, num_partitions: int
+def partition_order(edges: np.ndarray, num_nodes: int, num_partitions: int
                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """Reorder edges into row-major (src_bucket, dst_bucket) runs.
-
-    Returns (reordered_edges, bucket_sizes[num_partitions**2]).
-    """
+    """Row order + bucket sizes for a row-major (src_bucket, dst_bucket)
+    grouping. src = edges[:, 0], dst = edges[:, -1]."""
     partition_size = -(-num_nodes // num_partitions)
     src_part = edges[:, 0] // partition_size
     dst_part = edges[:, -1] // partition_size
@@ -28,11 +26,19 @@ def partition_edges(edges: np.ndarray, num_nodes: int, num_partitions: int
     # torch .sort(stable=True) pair so intra-bucket edge order is preserved
     order = np.argsort(dst_part, kind="stable")
     order = order[np.argsort(src_part[order], kind="stable")]
-    reordered = edges[order]
-
     flat = src_part[order] * num_partitions + dst_part[order]
     bucket_sizes = np.bincount(flat, minlength=num_partitions ** 2)
-    return reordered, bucket_sizes.astype(np.int64)
+    return order, bucket_sizes.astype(np.int64)
+
+
+def partition_edges(edges: np.ndarray, num_nodes: int, num_partitions: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Reorder edges into row-major (src_bucket, dst_bucket) runs.
+
+    Returns (reordered_edges, bucket_sizes[num_partitions**2]).
+    """
+    order, bucket_sizes = partition_order(edges, num_nodes, num_partitions)
+    return edges[order], bucket_sizes
 
 
 def write_partition_offsets(path: str, bucket_sizes: np.ndarray) -> None:

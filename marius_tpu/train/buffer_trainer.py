@@ -195,7 +195,8 @@ class PartitionBufferLPTrainer:
 
                 all_ids = jnp.concatenate(
                     [src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
-                inv_rel_on = model.decoder.use_inverse_relations
+                inv_rel_on = (model.decoder.use_inverse_relations
+                              and self.has_rels)
                 if self.nbr_configs:
                     # GNN encoder over the resident subgraph: batch unique ids
                     # seed multi-hop sampling; raw rows are gathered for the
@@ -217,10 +218,13 @@ class PartitionBufferLPTrainer:
                     x0 = gather_rows_auto(
                         values, jnp.minimum(update_ids, buffer_rows - 1))
 
+                    k_drop, key = jax.random.split(key)
+
                     def loss_fn(x, dense_params):
                         encoded = encoder_forward(
                             model.encoder, dense_params["encoder"], x, None,
-                            nbr_batch, degrees=graph.degrees, train=True)
+                            nbr_batch, degrees=graph.degrees, train=True,
+                            dropout_key=k_drop)
                         loss, _ = lp_batch_loss(
                             model, dense_params, encoded, inv_src, inv_dst, rel,
                             inv_dst_negs,
@@ -424,12 +428,16 @@ class PartitionBufferLPTrainer:
     # TrainState view for evaluators / checkpointing
     @property
     def state(self) -> TrainState:
+        """Full-table TrainState view. Leaves stay HOST-side numpy so
+        checkpointing never copies the table through the device; evaluators
+        move it to HBM only when they actually score against it (full-table
+        evaluation inherently needs the table on device)."""
         self.buffer.flush()
         n = self.num_nodes
         return TrainState(
             table=EmbeddingTable(
-                values=jnp.asarray(self.buffer.host_values[:n]),
-                state=jnp.asarray(self.buffer.host_state[:n])),
+                values=self.buffer.host_values[:n],
+                state=self.buffer.host_state[:n]),
             params=self.params,
             opt_state=self.opt_state,
             key=jax.random.key(self.seed),

@@ -90,9 +90,10 @@ class NodeClassificationTrainer:
         self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
-    def _encode_batch(self, params, table_values, key, seeds, seed_mask, train: bool):
+    def _encode_batch(self, params, table_values, key, seeds, seed_mask,
+                      train: bool, hop_caps=None):
         nb = sample_neighbor_batch(key, self.graph, seeds, seed_mask,
-                                   self.nbr_configs, self.hop_caps)
+                                   self.nbr_configs, hop_caps or self.hop_caps)
         outer_ids = nb.node_ids[0]
         feats = None
         if self.features is not None:
@@ -171,6 +172,10 @@ class NodeClassificationEvaluator:
                  batch_size: Optional[int] = None, seed: int = 11):
         self.trainer = trainer
         self.batch_size = batch_size or trainer.batch_size
+        # hop caps must cover THIS batch size, not the trainer's — an
+        # undersized cap makes unique_padded silently truncate hop sets
+        self.hop_caps = tuple(estimate_hop_caps(
+            self.batch_size, trainer.nbr_configs, trainer.graph.num_nodes))
         padded, self.num_eval, self.num_batches = _pad_ids(eval_nodes, self.batch_size)
         self.eval_nodes = jnp.asarray(padded)
         self.seed = seed
@@ -186,7 +191,8 @@ class NodeClassificationEvaluator:
                 seeds, mask_b, idx = xs
                 k = jax.random.fold_in(jax.random.key(self.seed), idx)
                 nbatch, feats, emb, _ = tr._encode_batch(
-                    params, table_values, k, seeds, mask_b, False)
+                    params, table_values, k, seeds, mask_b, False,
+                    hop_caps=self.hop_caps)
                 logits = encoder_forward(
                     model.encoder, params["encoder"], emb, feats, nbatch,
                     degrees=tr.graph.degrees, train=False)
@@ -228,7 +234,8 @@ class NodeClassificationEvaluator:
                 seeds, mask_b, idx = xs
                 k = jax.random.fold_in(jax.random.key(self.seed), idx)
                 nbatch, feats, emb, _ = tr._encode_batch(
-                    params, table_values, k, seeds, mask_b, False)
+                    params, table_values, k, seeds, mask_b, False,
+                    hop_caps=self.hop_caps)
                 logits = encoder_forward(
                     model.encoder, params["encoder"], emb, feats, nbatch,
                     degrees=tr.graph.degrees, train=False)

@@ -173,8 +173,14 @@ class LinkPredictionTrainer:
 
         key, k_dst, k_src = jax.random.split(state.key, 3)
 
+        # Untyped graphs train only the dst-corruption direction, matching the
+        # reference (decoder_methods.cpp:99-102 skips lhs without relations)
+        # and this framework's evaluator.
+        inv_rel_on = model.decoder.use_inverse_relations and self.has_rels
+
         dst_negs = sample_negatives(k_dst, cfg, edges_b, num_nodes, inverse=False).ids
-        src_negs = sample_negatives(k_src, cfg, edges_b, num_nodes, inverse=True).ids
+        src_negs = (sample_negatives(k_src, cfg, edges_b, num_nodes, inverse=True).ids
+                    if inv_rel_on else jnp.zeros((0,), jnp.int32).reshape(0, 0))
 
         src = jnp.where(mask_b, edges_b[:, 0], num_nodes)
         dst = jnp.where(mask_b, edges_b[:, -1], num_nodes)
@@ -193,13 +199,15 @@ class LinkPredictionTrainer:
         inv_src = pos[:b]
         inv_dst = pos[b:2 * b]
         inv_dst_negs = pos[2 * b:2 * b + c * nneg].reshape(c, nneg)
-        inv_src_negs = pos[2 * b + c * nneg:].reshape(c, nneg)
+        inv_src_negs = (pos[2 * b + c * nneg:].reshape(c, nneg)
+                        if inv_rel_on else None)
 
         dst_filter = src_filter = None
         if self.train_filter_keys is not None:
             dst_keys, src_keys = self.train_filter_keys
             dst_filter = filter_mask_sampled(dst_keys, src, rel, dst_negs)
-            src_filter = filter_mask_sampled(src_keys, dst, rel, src_negs)
+            if inv_rel_on:
+                src_filter = filter_mask_sampled(src_keys, dst, rel, src_negs)
 
         # With a GNN encoder, the batch's unique nodes become sampling seeds;
         # raw embeddings are gathered for the outermost hop set instead
@@ -226,11 +234,12 @@ class LinkPredictionTrainer:
         degrees = self.graph.degrees if self.graph is not None else None
 
         use_direct = self.dense_accum and not self.nbr_configs
-        inv_rel_on = model.decoder.use_inverse_relations
+        k_drop, key = jax.random.split(key)
 
         def loss_fn(x, dense_params):
             encoded = encoder_forward(model.encoder, dense_params["encoder"], x,
-                                      feats, nbr_batch, degrees=degrees, train=True)
+                                      feats, nbr_batch, degrees=degrees,
+                                      train=True, dropout_key=k_drop)
             if use_direct:
                 # batch layout is [src; dst; dst_negs; src_negs]: slice instead
                 # of gather so backward is a fused pad, not a row scatter
@@ -245,7 +254,7 @@ class LinkPredictionTrainer:
             else:
                 loss, _ = lp_batch_loss(
                     model, dense_params, encoded, inv_src, inv_dst, rel,
-                    inv_dst_negs, inv_src_negs if inv_rel_on else None,
+                    inv_dst_negs, inv_src_negs,
                     mask_b, dst_filter, src_filter)
             return loss
 

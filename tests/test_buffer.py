@@ -173,3 +173,17 @@ def test_buffer_trainer_gnn_lp():
         nbr_configs=[NeighborSamplingConfig(max_neighbors=4)])
     res = ev.evaluate(tr.state)
     assert 0.0 < res["mrr"] <= 1.0
+
+
+def test_buffer_swap_shrink_and_regrow():
+    """Regression: evicting without admitting must free slots for later use."""
+    key = jax.random.key(2)
+    buf = PartitionBuffer.create(key, num_nodes=40, dim=4,
+                                 num_partitions=8, capacity=4)
+    buf.load([0, 1, 2, 3])
+    buf.swap_to_state([0, 1])            # evict 2, 3; admit nothing
+    assert sorted(int(p) for p in buf.resident if p >= 0) == [0, 1]
+    buf.swap_to_state([0, 1, 2, 3])      # 2, 3 must be re-admitted
+    assert sorted(int(p) for p in buf.resident) == [0, 1, 2, 3]
+    local = buf.global_to_local(np.array([10, 15]))  # partition 2, 3 heads
+    assert (local >= 0).all()

@@ -118,3 +118,45 @@ def test_nc_all_sampling_exact_below_cap():
         np.arange(100, dtype=np.int32), nbr, batch_size=50, seed=0)
     stats = trainer.train(1)
     assert np.isfinite(stats[0]["loss"])
+
+
+def test_nc_eval_batch_size_differs_from_train():
+    """Regression: evaluator hop caps must follow ITS batch size, not the
+    trainer's (undersized caps silently truncate hop sets)."""
+    import numpy as np
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import Model, NODE_CLASSIFICATION
+    from marius_tpu.train.nc import (
+        NodeClassificationEvaluator,
+        NodeClassificationTrainer,
+    )
+
+    rng = np.random.default_rng(0)
+    n, classes, fd = 200, 4, 8
+    labels = rng.integers(0, classes, n).astype(np.int32)
+    feats = (np.eye(classes, fd)[labels]
+             + 0.1 * rng.standard_normal((n, fd))).astype(np.float32)
+    edges = np.stack([rng.integers(0, n, 2000),
+                      rng.integers(0, n, 2000)], 1).astype(np.int32)
+    graph = build_device_graph(edges, n)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=fd),),
+        (LayerConfig(layer_type="GNN", input_dim=fd, output_dim=classes,
+                     gnn_type="GRAPH_SAGE", aggregator="MEAN"),),
+    ))
+    model = Model(NODE_CLASSIFICATION, enc, None, loss_type="CROSS_ENTROPY")
+    tr = NodeClassificationTrainer(
+        model, graph, feats, labels, np.arange(150, dtype=np.int32),
+        [NeighborSamplingConfig(max_neighbors=4)], batch_size=25)
+    tr.train(3)
+    small = NodeClassificationEvaluator(tr, np.arange(150, 200, dtype=np.int32),
+                                        batch_size=25)
+    big = NodeClassificationEvaluator(tr, np.arange(150, 200, dtype=np.int32),
+                                      batch_size=50)
+    assert big.hop_caps[0] == 50 and small.hop_caps[0] == 25
+    a, b = small.evaluate(tr.state), big.evaluate(tr.state)
+    # same nodes, same model: accuracy must agree closely despite sampling RNG
+    assert abs(a["accuracy"] - b["accuracy"]) < 0.25

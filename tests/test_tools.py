@@ -211,3 +211,43 @@ def test_converter_edge_weights(tmp_path):
     w = np.fromfile(out / "edges" / "train_edges_weights.bin", np.float32)
     assert w.shape == (100,)
     assert ((0 <= w) & (w < 1)).all()
+
+
+def test_weighted_partitioned_buckets_are_correct(tmp_path):
+    """Regression: the weight-tracking reorder must not disturb bucketing."""
+    rng = np.random.default_rng(7)
+    edges = rng.integers(0, 40, (200, 2)).astype(np.int64)
+    w = rng.random(200).astype(np.float32)
+    arr = np.concatenate([edges[:, :1], w[:, None].astype(np.int64) * 0 + 1,
+                          edges[:, 1:]], axis=1)  # dummy to carry via numpy fmt
+    out = tmp_path / "ds"
+    # write raw file with weights as 4th column
+    raw = tmp_path / "raw.tsv"
+    with open(raw, "w") as f:
+        for (s, d), ww in zip(edges, w):
+            f.write(f"{s}\t0\t{d}\t{ww:.6f}\n")
+    EdgeListConverter(output_dir=str(out), train_edges=str(raw), splits=(1.0,),
+                      edge_weight_column=3, num_partitions=4,
+                      remap_ids=False, num_nodes=40).convert()
+    train = load_split(str(out), "train")
+    sizes = read_partition_offsets(str(out / "edges" / "train_partition_offsets.txt"))
+    psize = 10
+    flat = (train[:, 0] // psize) * 4 + train[:, -1] // psize
+    assert np.all(np.diff(flat) >= 0), "bucket runs not contiguous"
+    np.testing.assert_array_equal(np.bincount(flat, minlength=16), sizes)
+
+
+def test_single_relation_typed_dataset_roundtrip(tmp_path):
+    """Regression: typed datasets with exactly ONE relation keep 3 columns."""
+    raw = tmp_path / "raw.tsv"
+    with open(raw, "w") as f:
+        for i in range(30):
+            f.write(f"a{i}\tonly_rel\tb{i}\n")
+    out = tmp_path / "ds"
+    EdgeListConverter(output_dir=str(out), train_edges=str(raw),
+                      splits=(1.0,)).convert()
+    stats = load_stats(str(out))
+    assert stats.num_relations == 1 and stats.num_edge_cols == 3
+    train = load_split(str(out), "train", stats)
+    assert train.shape == (30, 3)
+    assert (train[:, 1] == 0).all()
