@@ -25,8 +25,8 @@ from marius_tpu.nn.model import Model
 from marius_tpu.ops.edge_keys import (
     EdgeKeySet,
     build_edge_key_set,
-    filter_mask_all_nodes,
     filter_mask_sampled,
+    isin_triples,
 )
 from marius_tpu.reporting.metrics import compute_ranks, rank_statistics
 from marius_tpu.reporting.reporters import LinkPredictionReporter
@@ -78,12 +78,44 @@ class LinkPredictionEvaluator:
             self.dst_keys = build_edge_key_set(all_edges, corrupt_dst=True)
             self.src_keys = build_edge_key_set(all_edges, corrupt_dst=False)
 
+        # filtered mode streams all-node scoring over fixed node chunks so
+        # device memory stays (B, chunk) regardless of graph size (the (B, N)
+        # score matrix at 1M nodes would be 4GB/batch)
+        self.node_chunk = min(1 << max(0, (num_nodes - 1)).bit_length(), 8192)
+
         self._eval_fn = jax.jit(self._build_eval_fn())
 
     # ------------------------------------------------------------------
+    def _streamed_filtered_ranks(self, encoded: Array, adj_anchor: Array,
+                                 pos: Array, anchors: Array,
+                                 rels: Optional[Array], keys) -> Array:
+        """rank-1 counts vs ALL nodes, scanned in node chunks: rank_i =
+        sum_j [score(i, j) >= pos_i and (anchor_i, rel_i, j) not a true edge].
+        Replaces materializing the (B, num_nodes) matrix + filter mask."""
+        decoder = self.model.decoder
+        num_nodes = self.num_nodes
+        C = self.node_chunk
+        num_chunks = -(-num_nodes // C)
+        b = pos.shape[0]
+
+        def body(counts, start):
+            ids = start + jnp.arange(C, dtype=jnp.int32)
+            embs = encoded[jnp.minimum(ids, num_nodes - 1)]
+            scores = decoder.neg_scores(adj_anchor, embs[None, :, :], num_chunks=1)
+            valid = ids < num_nodes
+            fmask = isin_triples(
+                keys, anchors[:, None],
+                None if rels is None else rels[:, None], ids[None, :])
+            ge = (scores >= pos[:, None]) & valid[None, :] & ~fmask
+            return counts + jnp.sum(ge, axis=1).astype(jnp.int32), None
+
+        starts = jnp.arange(num_chunks, dtype=jnp.int32) * C
+        counts, _ = jax.lax.scan(body, jnp.zeros((b,), jnp.int32), starts)
+        return counts + 1
+
     def _batch_directions(self, encoded: Array, params, edges_b: Array, idx):
-        """Positive/negative scores for both corruption directions of one
-        batch; shared by the stats scan and the rank-export scan."""
+        """Per-direction (ranks, pos_scores) for one batch; shared by the
+        stats scan and the rank-export scan."""
         decoder = self.model.decoder
         num_nodes = self.num_nodes
         cfg = self.neg_config
@@ -100,10 +132,9 @@ class LinkPredictionEvaluator:
         adj_src = decoder.apply_relation(src_e, rels_f)
         pos = decoder.pos_scores(adj_src, dst_e)
         if self.filtered:
-            neg = decoder.neg_scores(adj_src, encoded[None, :, :], num_chunks=1)
-            fmask = filter_mask_all_nodes(self.dst_keys, src, rel, num_nodes)
-            neg = jnp.where(fmask, -1e9, neg)
-            directions.append((pos, neg, None))
+            ranks = self._streamed_filtered_ranks(
+                encoded, adj_src, pos, src, rel, self.dst_keys)
+            directions.append((ranks, pos))
         else:
             k = jax.random.fold_in(jax.random.key(self.seed), idx)
             neg_ids = sample_negatives(
@@ -114,17 +145,16 @@ class LinkPredictionEvaluator:
             if self.dst_keys is not None:
                 fmask = filter_mask_sampled(self.dst_keys, src, rel, neg_ids)
                 neg = jnp.where(fmask, -1e9, neg)
-            directions.append((pos, neg, None))
+            directions.append((compute_ranks(pos, neg), pos))
 
         if decoder.use_inverse_relations and rel is not None:
             inv_rels = decoder.select_relations(params["decoder"], rel, inverse=True)
             adj_dst = decoder.apply_relation(dst_e, inv_rels)
             inv_pos = decoder.pos_scores(adj_dst, src_e)
             if self.filtered:
-                inv_neg = decoder.neg_scores(adj_dst, encoded[None, :, :], num_chunks=1)
-                fmask = filter_mask_all_nodes(self.src_keys, dst, rel, num_nodes)
-                inv_neg = jnp.where(fmask, -1e9, inv_neg)
-                directions.append((inv_pos, inv_neg, None))
+                inv_ranks = self._streamed_filtered_ranks(
+                    encoded, adj_dst, inv_pos, dst, rel, self.src_keys)
+                directions.append((inv_ranks, inv_pos))
             else:
                 k = jax.random.fold_in(jax.random.key(self.seed), idx)
                 neg_ids = sample_negatives(
@@ -135,7 +165,7 @@ class LinkPredictionEvaluator:
                 if self.src_keys is not None:
                     fmask = filter_mask_sampled(self.src_keys, dst, rel, neg_ids)
                     inv_neg = jnp.where(fmask, -1e9, inv_neg)
-                directions.append((inv_pos, inv_neg, None))
+                directions.append((compute_ranks(inv_pos, inv_neg), inv_pos))
         return directions
 
     def _build_eval_fn(self):
@@ -144,9 +174,8 @@ class LinkPredictionEvaluator:
         def eval_fn(encoded: Array, params, edges: Array):
             def body(stats, xs):
                 edges_b, mask_b, idx = xs
-                for pos_s, neg_s, neg_m in self._batch_directions(
+                for ranks, _ in self._batch_directions(
                         encoded, params, edges_b, idx):
-                    ranks = compute_ranks(pos_s, neg_s, neg_m)
                     s = rank_statistics(ranks, mask_b, HITS_KS)
                     stats = {k: stats[k] + v for k, v in s.items()}
                 return stats, None
@@ -182,10 +211,7 @@ class LinkPredictionEvaluator:
         def ranks_fn(encoded, params, edges):
             def body(_, xs):
                 edges_b, idx = xs
-                outs = []
-                for pos_s, neg_s, neg_m in self._batch_directions(
-                        encoded, params, edges_b, idx):
-                    outs.append((compute_ranks(pos_s, neg_s, neg_m), pos_s))
+                outs = self._batch_directions(encoded, params, edges_b, idx)
                 return None, (jnp.stack([o[0] for o in outs]),
                               jnp.stack([o[1] for o in outs]))
 
