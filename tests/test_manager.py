@@ -140,3 +140,79 @@ def test_lp_async_pipeline(tmp_path):
     assert len(result["epochs"]) == 2
     assert result["epochs"][1]["loss"] < result["epochs"][0]["loss"]
     assert 0.0 < result["test"]["mrr"] <= 1.0
+
+
+GS_2_LAYER_ENCODER = {
+    "layers": [
+        [{"type": "EMBEDDING", "output_dim": 16}],
+        [{"type": "GNN", "input_dim": 16, "output_dim": 16, "bias": True,
+          "options": {"type": "GRAPH_SAGE", "aggregator": "GCN"},
+          "activation": "RELU"}],
+        [{"type": "GNN", "input_dim": 16, "output_dim": 16,
+          "options": {"type": "GRAPH_SAGE", "aggregator": "MEAN"}}],
+    ],
+    "train_neighbor_sampling": [
+        {"type": "UNIFORM", "options": {"max_neighbors": 4}},
+        {"type": "ALL"}],
+}
+
+GAT_ENCODER = {
+    "layers": [
+        [{"type": "EMBEDDING", "output_dim": 16}],
+        [{"type": "GNN", "input_dim": 16, "output_dim": 16,
+          "options": {"type": "GAT", "num_heads": 2}}],
+    ],
+    "train_neighbor_sampling": [
+        {"type": "UNIFORM", "options": {"max_neighbors": 4}}],
+}
+
+
+@pytest.mark.parametrize("variant", ["gs_2_layer", "gat_1_layer", "rgcn_1_layer"])
+def test_lp_gnn_config_matrix(tmp_path, variant):
+    """GNN-encoder LP fragments (reference matrix: gs_3_layer, gat_3_layer...)."""
+    overrides = {}
+    if variant == "gs_2_layer":
+        overrides["model.encoder"] = copy.deepcopy(GS_2_LAYER_ENCODER)
+    elif variant == "gat_1_layer":
+        overrides["model.encoder"] = copy.deepcopy(GAT_ENCODER)
+    else:
+        enc = copy.deepcopy(GAT_ENCODER)
+        enc["layers"][1][0]["options"] = {"type": "RGCN"}
+        overrides["model.encoder"] = enc
+    raw = _lp_config(tmp_path, variant, **overrides)
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 2
+    assert 0.0 < result["test"]["mrr"] <= 1.0
+
+
+def test_nc_with_learnable_embeddings(tmp_path):
+    """NC encoder mixing FEATURE + learnable EMBEDDING blocks
+    (reference matrix: *_feat fragments use the same composition)."""
+    ds_dir = str(tmp_path / "ds_nce")
+    generate_random_dataset_nc(ds_dir, num_nodes=60, num_edges=600,
+                               num_classes=4, feature_dim=8)
+    raw = {
+        "model": {
+            "learning_task": "NODE_CLASSIFICATION",
+            "encoder": {
+                "layers": [
+                    [{"type": "FEATURE", "output_dim": 8},
+                     {"type": "EMBEDDING", "output_dim": 8}],
+                    [{"type": "REDUCTION", "options": {"type": "CONCAT"}}],
+                    [{"type": "GNN", "input_dim": 16, "output_dim": 4,
+                      "options": {"type": "GRAPH_SAGE", "aggregator": "MEAN"}}],
+                ],
+                "train_neighbor_sampling": [
+                    {"type": "UNIFORM", "options": {"max_neighbors": 4}}],
+            },
+            "loss": {"type": "CROSS_ENTROPY"},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.01}},
+            "sparse_optimizer": {"type": "ADAGRAD", "options": {"learning_rate": 0.1}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds_dir}, "save_model": False},
+        "training": {"batch_size": 30, "num_epochs": 2},
+        "evaluation": {"batch_size": 30},
+    }
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 2
+    assert 0.0 <= result["test"]["accuracy"] <= 1.0
