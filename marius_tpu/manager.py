@@ -119,6 +119,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 randomly_assign_edge_buckets=cfg.storage.randomly_assign_edge_buckets,
                 dtype=_dtype(cfg),
                 nbr_configs=train_nbr,
+                features=features,
             )
         else:
             # Async pipeline mapping (PipelineTrainer, trainer.cpp:35-74): K

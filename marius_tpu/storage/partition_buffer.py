@@ -290,3 +290,24 @@ class ReadOnlyPartitionCache:
                 slot * self.psize)
             self.resident[slot] = p
             self.part_to_slot[p] = slot
+
+    def mirror_layout(self, resident: np.ndarray, part_to_slot: np.ndarray) -> None:
+        """Adopt ANOTHER buffer's slot assignment (e.g. the embedding
+        PartitionBuffer's) so buffer-local ids index both tiers identically."""
+        if self.resident is None:
+            self.load([-1] * self.capacity)
+        for slot, p in enumerate(resident):
+            p = int(p)
+            if int(self.resident[slot]) == p:
+                continue
+            if p >= 0:
+                self.device = _update_slot(
+                    self.device,
+                    jnp.asarray(self.host[p * self.psize:(p + 1) * self.psize]),
+                    slot * self.psize)
+            old = int(self.resident[slot])
+            if old >= 0 and self.part_to_slot[old] == slot:
+                self.part_to_slot[old] = -1
+            self.resident[slot] = p
+            if p >= 0:
+                self.part_to_slot[p] = slot

@@ -81,11 +81,13 @@ class PartitionBufferLPTrainer:
         randomly_assign_edge_buckets: bool = True,
         nbr_configs=(),                   # GNN encoders: per-layer sampling,
                                           # restricted to the resident subgraph
+        features=None,                    # (N, F) float32 — FEATURE layers;
+                                          # partition-cached alongside the table
     ):
         assert model.learning_task == LINK_PREDICTION
         assert model.has_embeddings, "partition-buffer LP needs an embedding table"
-        assert not model.encoder.has_features, \
-            "feature inputs with the LP partition buffer are not supported yet"
+        if model.encoder.has_features:
+            assert features is not None, "FEATURE layers need a feature matrix"
         if model.encoder.num_gnn_stages:
             assert nbr_configs, "GNN encoder needs neighbor sampling configs"
         assert batch_size % neg_config.num_chunks == 0
@@ -133,6 +135,16 @@ class PartitionBufferLPTrainer:
                 self.unique_cap, self.nbr_configs, self.buffer.buffer_rows))
         else:
             self.hop_caps = ()
+        self.feature_cache = None
+        self._features_host = None
+        if features is not None and model.encoder.has_features:
+            f = np.zeros((num_nodes + 1, features.shape[1]), np.float32)
+            f[:num_nodes] = features
+            self._features_host = f
+            from marius_tpu.storage.partition_buffer import ReadOnlyPartitionCache
+            self.feature_cache = ReadOnlyPartitionCache.create(
+                np.asarray(features, np.float32), num_nodes, num_partitions,
+                self.capacity)
         self._state_fn = None
         self._max_batches = 0
         self._max_graph_edges = 0
@@ -172,7 +184,7 @@ class PartitionBufferLPTrainer:
         capacity = self.capacity
 
         def state_fn(values, state, params, opt_state, key, edges, masks,
-                     slot_valid, graph):
+                     slot_valid, graph, feats_buf):
             def batch_step(carry, xs):
                 values, state, params, opt_state, key = carry
                 edges_b, mask_b = xs
@@ -219,10 +231,15 @@ class PartitionBufferLPTrainer:
                         values, jnp.minimum(update_ids, buffer_rows - 1))
 
                     k_drop, key = jax.random.split(key)
+                    feats = None
+                    if feats_buf is not None:
+                        feats = feats_buf[jnp.minimum(update_ids, buffer_rows - 1)]
+                        feats = jnp.where((update_ids < buffer_rows)[:, None],
+                                          feats, 0.0)
 
                     def loss_fn(x, dense_params):
                         encoded = encoder_forward(
-                            model.encoder, dense_params["encoder"], x, None,
+                            model.encoder, dense_params["encoder"], x, feats,
                             nbr_batch, degrees=graph.degrees, train=True,
                             dropout_key=k_drop)
                         loss, _ = lp_batch_loss(
@@ -390,6 +407,11 @@ class PartitionBufferLPTrainer:
                 if s_idx + 1 < len(states):
                     fut = pool.submit(prep, s_idx + 1)
                 self.buffer.swap_to_state(st)
+                if self.feature_cache is not None:
+                    # mirror the embedding buffer's slots: local ids must
+                    # index both tiers identically
+                    self.feature_cache.mirror_layout(
+                        self.buffer.resident, self.buffer.part_to_slot)
                 local = edges_global
                 for col in (0, cols - 1):
                     local[:, col] = native.global_to_local(
@@ -406,7 +428,9 @@ class PartitionBufferLPTrainer:
                     self.buffer.device_values, self.buffer.device_state,
                     self.params, self.opt_state, key,
                     jnp.asarray(padded), jnp.asarray(masks),
-                    jnp.asarray(self.buffer.slot_valid_counts()), graph)
+                    jnp.asarray(self.buffer.slot_valid_counts()), graph,
+                    self.feature_cache.device
+                    if self.feature_cache is not None else None)
                 losses.append(loss)  # lazy: don't block the dispatch queue
 
         total_loss = float(jnp.sum(jnp.stack(losses)))
@@ -456,5 +480,11 @@ class PartitionBufferLPTrainer:
 
     # GNN-path attributes the manager probes on trainers
     graph = None
-    nbr_configs = ()
-    features = None
+
+    @property
+    def features(self):
+        """(N+1, F) sentinel-padded device features for full-graph evaluation
+        (train-time features stay in the partition cache)."""
+        if self._features_host is None:
+            return None
+        return jnp.asarray(self._features_host)

@@ -13,6 +13,7 @@ jitted scan and only ~10 scalars ever reach the host.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -190,6 +191,101 @@ class LinkPredictionEvaluator:
             return stats
 
         return eval_fn
+
+    def evaluate_from_host_table(self, host_values: "np.ndarray", params,
+                                 edge_slice: int = 4096,
+                                 node_tile: int = 262_144) -> Dict[str, float]:
+        """Filtered evaluation when the encoded table does NOT fit in HBM:
+        the table stays in host RAM and is streamed through the device one
+        node tile at a time (the out-of-core twin of the in-HBM streamed
+        scan). Shallow (embedding/feature-free) encoders only.
+
+        Device memory: O(edge_slice * d + node_tile * d) regardless of
+        num_nodes. Completes the reference's full-graph eval for
+        PartitionBuffer-backed tables (graph_storage.cpp:31-51 reads an
+        InMemory mirror; here nothing is mirrored).
+        """
+        assert self.filtered, "host-tiled evaluation is for filtered mode"
+        assert not self.nbr_configs, "host-tiled evaluation: shallow encoders"
+        decoder = self.model.decoder
+        num_nodes = self.num_nodes
+        host = np.asarray(host_values)
+
+        edges = np.asarray(self.edges)[:self.num_edges]
+        rels_np = edges[:, 1] if self.has_rels else None
+
+        # per-direction (adjusted anchors, positive scores, anchor ids)
+        @partial(jax.jit, static_argnames=("inverse",))
+        def adjust(anchor_e, other_e, rel_ids, inverse):
+            rels = (None if rel_ids is None else decoder.select_relations(
+                params["decoder"], rel_ids, inverse=inverse))
+            adj = decoder.apply_relation(anchor_e, rels)
+            return adj, decoder.pos_scores(adj, other_e)
+
+        directions = []
+        src_e = jnp.asarray(host[edges[:, 0]])
+        dst_e = jnp.asarray(host[edges[:, -1]])
+        rel_j = None if rels_np is None else jnp.asarray(rels_np)
+        adj, pos = adjust(src_e, dst_e, rel_j, False)
+        directions.append((adj, pos, jnp.asarray(edges[:, 0]), self.dst_keys))
+        if decoder.use_inverse_relations and rels_np is not None:
+            adj2, pos2 = adjust(dst_e, src_e, rel_j, True)
+            directions.append((adj2, pos2, jnp.asarray(edges[:, -1]), self.src_keys))
+
+        e = len(edges)
+        n_slices = -(-e // edge_slice)
+        pad_e = n_slices * edge_slice
+
+        @jax.jit
+        def tile_counts(adj, pos, anchors, rels, tile, tile_start, keys):
+            # (S, tile) scores for one edge slice against one node tile
+            scores = decoder.neg_scores(adj, tile[None, :, :], num_chunks=1)
+            ids = tile_start + jnp.arange(tile.shape[0], dtype=jnp.int32)
+            valid = ids < num_nodes
+            fmask = isin_triples(keys, anchors[:, None],
+                                 None if rels is None else rels[:, None],
+                                 ids[None, :])
+            ge = (scores >= pos[:, None]) & valid[None, :] & ~fmask
+            return jnp.sum(ge, axis=1).astype(jnp.int32)
+
+        all_ranks = []
+        for adj, pos, anchors, keys in directions:
+            counts = np.zeros(e, np.int64)
+            for start in range(0, num_nodes, node_tile):
+                block = host[start:start + node_tile]
+                if len(block) < node_tile:
+                    block = np.concatenate(
+                        [block, np.zeros((node_tile - len(block),
+                                          block.shape[1]), block.dtype)])
+                tile = jnp.asarray(block)
+                for s in range(n_slices):
+                    sl = slice(s * edge_slice, min((s + 1) * edge_slice, e))
+                    k = sl.stop - sl.start
+                    pad = edge_slice - k
+                    a = jnp.asarray(np.pad(np.asarray(adj)[sl], ((0, pad), (0, 0))))
+                    p = jnp.asarray(np.pad(np.asarray(pos)[sl], (0, pad),
+                                           constant_values=np.inf))
+                    an = jnp.asarray(np.pad(np.asarray(anchors)[sl], (0, pad)))
+                    r = (None if rels_np is None else
+                         jnp.asarray(np.pad(rels_np[sl.start:sl.stop], (0, pad))))
+                    c = np.asarray(tile_counts(a, p, an, r, tile, start, keys))
+                    counts[sl] += c[:k]
+            all_ranks.append(counts + 1)
+
+        reporter = LinkPredictionReporter(HITS_KS)
+        stats = {k2: 0.0 for k2 in ["count", "rr_sum", "rank_sum"]
+                 + [f"hits{k2}_sum" for k2 in HITS_KS]}
+        for ranks in all_ranks:
+            r = ranks.astype(np.float64)
+            stats["count"] += len(r)
+            stats["rr_sum"] += float(np.sum(1.0 / r))
+            stats["rank_sum"] += float(np.sum(r))
+            for k2 in HITS_KS:
+                stats[f"hits{k2}_sum"] += float(np.sum(r <= k2))
+        reporter.add_statistics(stats)
+        results = reporter.results()
+        reporter.report()
+        return results
 
     def compute_all_ranks(self, state: TrainState, encoded: Optional[Array] = None):
         """Per-edge (rank, positive score) for every eval edge and corruption

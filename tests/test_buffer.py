@@ -187,3 +187,37 @@ def test_buffer_swap_shrink_and_regrow():
     assert sorted(int(p) for p in buf.resident) == [0, 1, 2, 3]
     local = buf.global_to_local(np.array([10, 15]))  # partition 2, 3 heads
     assert (local >= 0).all()
+
+
+def test_buffer_trainer_gnn_lp_with_features():
+    """GNN-encoded LP over the buffer with FEATURE inputs partition-cached
+    alongside the embedding table (slot layouts mirrored)."""
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.buffer_trainer import PartitionBufferLPTrainer
+
+    rng = np.random.default_rng(4)
+    n, r, e, fd = 80, 4, 1200, 6
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, r, e),
+                      rng.integers(0, n, e)], axis=1).astype(np.int32)
+    feats = rng.standard_normal((n, fd)).astype(np.float32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=10),
+         LayerConfig(layer_type="FEATURE", output_dim=fd)),
+        (LayerConfig(layer_type="REDUCTION", reduction="CONCAT",
+                     output_dim=16),),
+        (LayerConfig(layer_type="GNN", input_dim=16, output_dim=16,
+                     gnn_type="GRAPH_SAGE", aggregator="MEAN"),),
+    ))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, 16))
+    tr = PartitionBufferLPTrainer(
+        model, n, r, edges, NegativeSamplingConfig(2, 8),
+        batch_size=100, num_partitions=4, buffer_capacity=2,
+        nbr_configs=[NeighborSamplingConfig(max_neighbors=4)],
+        features=feats)
+    stats = tr.train(3)
+    assert stats[-1]["loss"] < stats[0]["loss"]

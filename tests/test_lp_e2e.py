@@ -116,3 +116,25 @@ def test_train_filter_keys():
         batch_size=100, seed=0, train_filter_keys=keys)
     stats = trainer.train(1)
     assert np.isfinite(stats[0]["loss"])
+
+
+def test_host_tiled_eval_matches_device_eval():
+    """evaluate_from_host_table must reproduce the in-HBM streamed filtered
+    MRR exactly (table streamed in node tiles, edges in slices)."""
+    train, valid, test = generate_random_lp_dataset()
+    model = _model()
+    trainer = LinkPredictionTrainer(
+        model, NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+        batch_size=100, seed=0)
+    trainer.train(2)
+    all_edges = np.concatenate([train, valid, test])
+    ev = LinkPredictionEvaluator(model, NUM_NODES, NUM_RELS, test,
+                                 all_edges=all_edges, batch_size=50,
+                                 filtered=True)
+    res_dev = ev.evaluate(trainer.state)
+    host = np.asarray(trainer.state.table.values)
+    res_host = ev.evaluate_from_host_table(
+        host, trainer.state.params, edge_slice=32, node_tile=16)
+    assert abs(res_dev["mrr"] - res_host["mrr"]) < 1e-5
+    assert abs(res_dev["mean_rank"] - res_host["mean_rank"]) < 1e-3
