@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from marius_tpu.data.batch import LayerAdjacency, NeighborBatch
 from marius_tpu.data.graph import DeviceGraph
-from marius_tpu.ops.unique import unique_padded
+from marius_tpu.ops.unique import unique_padded_auto
 
 Array = jax.Array
 
@@ -140,7 +140,7 @@ def sample_neighbor_batch(
 
         candidates = jnp.concatenate([p.reshape(-1) for p in parts])
         cap = int(hop_caps[depth + 1])
-        uniq = unique_padded(candidates, size=cap, fill_value=fill)
+        uniq = unique_padded_auto(candidates, size=cap, fill_value=fill)
 
         self_idx = uniq.inverse[:n]
         off = n

@@ -26,11 +26,9 @@ N_BUF = 4        # in-flight DMAs
 
 
 def _gather_kernel(ids_ref, table_ref, out_ref, sems):
-    pid = pl.program_id(0)
-
     def get_dma(slot, i):
         return pltpu.make_async_copy(
-            table_ref.at[ids_ref[pid * BLOCK + i]],
+            table_ref.at[ids_ref[i]],
             out_ref.at[i],
             sems.at[slot],
         )
@@ -59,18 +57,19 @@ def gather_rows_pallas(table: jax.Array, ids: jax.Array,
     d = table.shape[1]
     assert d % 128 == 0, \
         "row DMA needs lane-aligned rows (Mosaic tiling); pad dim to 128"
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(k // BLOCK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # table stays in HBM
-        out_specs=pl.BlockSpec((BLOCK, d), lambda i, ids: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((N_BUF,))],
-    )
     return pl.pallas_call(
         _gather_kernel,
-        grid_spec=grid_spec,
+        grid=(k // BLOCK,),
+        in_specs=[
+            # ids blocked per program into SMEM (whole-array scalar prefetch
+            # would overflow SMEM past ~250k ids)
+            pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((BLOCK, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, d), table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((N_BUF,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=False),
     )(ids, table)

@@ -116,3 +116,15 @@ def test_mask_zeroes_padded_edges(scores):
                                   reduction="SUM", mask=jnp.array(mask)))
     want = torch_softmax_ce(pos[:4], neg[:4], "SUM")
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_norm_regularizer():
+    """nn/regularizer.cpp:6 parity: coefficient * mean of p-powered row norms."""
+    import jax.numpy as jnp
+    import numpy as np
+    from marius_tpu.nn.regularizer import norm_regularizer
+
+    x = jnp.asarray([[3.0, 4.0], [0.0, 2.0]])
+    np.testing.assert_allclose(float(norm_regularizer(x, p=2)), (25 + 4) / 2)
+    np.testing.assert_allclose(float(norm_regularizer(x, p=1, coefficient=0.5)),
+                               0.5 * (7 + 2) / 2)
