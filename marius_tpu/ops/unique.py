@@ -38,51 +38,11 @@ def unique_padded(ids: Array, size: int, fill_value: int) -> UniqueResult:
     return UniqueResult(uniq.astype(ids.dtype), inverse.reshape(ids.shape), count)
 
 
-def unique_padded_sorted(ids: Array, size: int, fill_value: int) -> UniqueResult:
-    """unique_padded without scatters.
-
-    XLA lowers jnp.unique's compaction and inverse map to two row-serialized
-    scatters over the input length (~7ns/row on v5e — 15ms for a 1M-candidate
-    GNN hop). This variant uses only sorts and a vectorized binary search:
-      1. sort ids;
-      2. flag first occurrences (elementwise);
-      3. compact the flagged values to the front with a stable sort on the
-         negated flag (sorts are parallel; scatters are not);
-      4. inverse = binary search of each input in the unique array.
-    Profiled ~2-3x faster than jnp.unique at >100k inputs; identical results.
-    """
-    flat = ids.reshape(-1)
-    n = flat.shape[0]
-    sorted_ids = jnp.sort(flat)
-    first = jnp.concatenate([jnp.ones((1,), bool),
-                             sorted_ids[1:] != sorted_ids[:-1]])
-    # stable sort: first-occurrence values float to the front, order preserved
-    compact_key = jnp.where(first, sorted_ids, fill_value)
-    uniq_full = jnp.sort(compact_key)
-    # duplicates collapsed to fill_value sort to the tail; truncate to `size`
-    uniq = jax.lax.dynamic_slice_in_dim(uniq_full, 0, size)
-
-    # inverse: position of each input in `uniq` (uniq is sorted; padding is
-    # fill_value which compares greater than every valid id)
-    steps = max(1, int(np.ceil(np.log2(max(size, 2)))) + 1)
-    lo = jnp.zeros_like(flat)
-    hi = jnp.full_like(flat, size)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        less = uniq[jnp.minimum(mid, size - 1)] < flat
-        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    inverse = jnp.minimum(lo, size - 1)
-    count = jnp.sum(uniq < fill_value).astype(jnp.int32)
-    return UniqueResult(uniq.astype(ids.dtype), inverse.reshape(ids.shape), count)
-
-
 def unique_padded_bitmap(ids: Array, size: int, fill_value: int) -> UniqueResult:
     """Dedup via a node-id-space bitmap — the reference's computeDeltaIds
-    bitmap (neighbor.cpp:511-524) without sorts entirely.
+    bitmap (neighbor.cpp:511-524) without sorts entirely. (A sort-only
+    compaction variant was benchmarked and rejected: TPU sorts cost ~60ms at
+    1M elements, 5x worse than jnp.unique.)
 
     1. mark[v] = 1 for every candidate (one scalar scatter over the input);
     2. prefix = cumsum(mark) assigns each marked id its compacted slot
@@ -115,9 +75,12 @@ BITMAP_THRESHOLD = 65_536
 
 
 def unique_padded_auto(ids: Array, size: int, fill_value: int) -> UniqueResult:
-    """Pick the dedup strategy by input size: sort-based jnp.unique for small
-    inputs, the bitmap for large multi-hop candidate sets (v5e: 26ms -> 15ms
-    at 1M candidates). Requires fill_value == max valid id + 1."""
-    if ids.size >= BITMAP_THRESHOLD:
+    """Pick the dedup strategy: sort-based jnp.unique for small inputs or
+    huge id spaces, the bitmap for large multi-hop candidate sets (v5e: 26ms
+    -> 15ms at 1M candidates). The bitmap allocates O(fill_value) temporaries,
+    so it only wins when the input is at least comparable to the id space —
+    a 100M-node graph with a 1M-candidate hop must keep the sort path.
+    Requires fill_value == max valid id + 1."""
+    if ids.size >= BITMAP_THRESHOLD and fill_value <= 8 * ids.size:
         return unique_padded_bitmap(ids, size, fill_value)
     return unique_padded(ids, size, fill_value)

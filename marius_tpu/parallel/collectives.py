@@ -41,7 +41,31 @@ def sharded_gather(table_shard: Array, ids: Array, axis_name: str) -> Array:
     mine = (local >= 0) & (local < shard_size)
     rows = jnp.take(table_shard, jnp.clip(local, 0, shard_size - 1), axis=0)
     rows = jnp.where(mine[:, None], rows, 0)
+    # Gradient note (context matters!):
+    # * differentiating OUTSIDE the shard_map (jax.grad of a function that
+    #   contains it): plain psum is exact — shard_map divides the replicated
+    #   output's cotangent by the axis size and psum's transpose multiplies
+    #   by it, cancelling.
+    # * differentiating INSIDE the shard_map body: psum's transpose psums the
+    #   per-shard cotangents, overcounting by the axis size — use
+    #   sharded_gather_inner_grad there instead (identity backward, since
+    #   d(sum_j rows_j)/d(rows_i) = I locally).
+    # Both verified against the dense reference in tests/test_collectives.py.
     return jax.lax.psum(rows, axis_name)
+
+
+def sharded_gather_inner_grad(table_shard: Array, ids: Array,
+                              axis_name: str) -> Array:
+    """sharded_gather for use where the grad is taken INSIDE the shard_map
+    body (e.g. make_sharded_lp_step): forward psum, identity backward."""
+    shard_size = table_shard.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    local = ids - me * shard_size
+    mine = (local >= 0) & (local < shard_size)
+    rows = jnp.take(table_shard, jnp.clip(local, 0, shard_size - 1), axis=0)
+    rows = jnp.where(mine[:, None], rows, 0)
+    summed = jax.lax.psum(rows, axis_name)
+    return rows + jax.lax.stop_gradient(summed - rows)
 
 
 def sharded_scatter_add(table_shard: Array, ids: Array, values: Array,
@@ -99,7 +123,7 @@ def make_sharded_lp_step(model, mesh, num_nodes_padded: int, axis_name: str = "n
                                dst_negs.reshape(-1), src_negs.reshape(-1)])
 
         def loss_fn(v_shard, dense_params):
-            x = sharded_gather(v_shard, ids, axis_name)
+            x = sharded_gather_inner_grad(v_shard, ids, axis_name)
             d = x.shape[-1]
             loss, _ = lp_batch_loss_direct(
                 model, dense_params, x[:b], x[b:2 * b], rel,
@@ -112,11 +136,11 @@ def make_sharded_lp_step(model, mesh, num_nodes_padded: int, axis_name: str = "n
 
         loss, (G, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             values, params)
-        # G = dL/dshard through the psum-gather: each shard's G holds exactly
-        # its owned rows' summed grads (zeros elsewhere), so Adagrad applies
-        # owner-locally with no communication. Dense grads are identical
-        # across shards (replicated batch) — with a data axis, psum them here
-        # (the NCCL all_reduce analogue).
+        # G = dL/dshard through the psum-gather: exact per-owned-row grads
+        # (see the gradient note in sharded_gather; regression-tested against
+        # the dense reference). Dense grads are identical across shards
+        # (replicated batch) — with a data axis, psum them here (the NCCL
+        # all_reduce analogue).
         acc = state + G * G
         new_values = values - model.sparse_lr * G / (jnp.sqrt(acc) + ADAGRAD_EPS)
         return new_values, acc, gdense, loss

@@ -291,7 +291,7 @@ class ReadOnlyPartitionCache:
             self.resident[slot] = p
             self.part_to_slot[p] = slot
 
-    def mirror_layout(self, resident: np.ndarray, part_to_slot: np.ndarray) -> None:
+    def mirror_layout(self, resident: np.ndarray) -> None:
         """Adopt ANOTHER buffer's slot assignment (e.g. the embedding
         PartitionBuffer's) so buffer-local ids index both tiers identically."""
         if self.resident is None:

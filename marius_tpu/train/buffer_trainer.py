@@ -88,6 +88,9 @@ class PartitionBufferLPTrainer:
         assert model.has_embeddings, "partition-buffer LP needs an embedding table"
         if model.encoder.has_features:
             assert features is not None, "FEATURE layers need a feature matrix"
+            assert model.encoder.num_gnn_stages, \
+                "buffer LP consumes features only through the GNN encoder " \
+                "path; shallow FEATURE encoders are not supported"
         if model.encoder.num_gnn_stages:
             assert nbr_configs, "GNN encoder needs neighbor sampling configs"
         assert batch_size % neg_config.num_chunks == 0
@@ -410,8 +413,7 @@ class PartitionBufferLPTrainer:
                 if self.feature_cache is not None:
                     # mirror the embedding buffer's slots: local ids must
                     # index both tiers identically
-                    self.feature_cache.mirror_layout(
-                        self.buffer.resident, self.buffer.part_to_slot)
+                    self.feature_cache.mirror_layout(self.buffer.resident)
                 local = edges_global
                 for col in (0, cols - 1):
                     local[:, col] = native.global_to_local(
@@ -484,7 +486,11 @@ class PartitionBufferLPTrainer:
     @property
     def features(self):
         """(N+1, F) sentinel-padded device features for full-graph evaluation
-        (train-time features stay in the partition cache)."""
+        (train-time features stay in the partition cache). Transferred once on
+        first access and cached; for feature tables too large for HBM use
+        evaluate_from_host_table-style streaming instead."""
         if self._features_host is None:
             return None
-        return jnp.asarray(self._features_host)
+        if getattr(self, "_features_dev", None) is None:
+            self._features_dev = jnp.asarray(self._features_host)
+        return self._features_dev

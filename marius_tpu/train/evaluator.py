@@ -207,6 +207,17 @@ class LinkPredictionEvaluator:
         """
         assert self.filtered, "host-tiled evaluation is for filtered mode"
         assert not self.nbr_configs, "host-tiled evaluation: shallow encoders"
+        # host rows are consumed as-is: the encoder must be an identity
+        # EMBEDDING slice (no bias/activation/offset), else metrics would
+        # silently diverge from evaluate()
+        for stage in self.model.encoder.stages:
+            for layer in stage:
+                assert (layer.layer_type.upper() == "EMBEDDING"
+                        and not layer.bias
+                        and layer.activation.upper() == "NONE"
+                        and layer.offset == 0), \
+                    "host-tiled evaluation supports identity embedding " \
+                    "encoders only; use evaluate() for transformed encoders"
         decoder = self.model.decoder
         num_nodes = self.num_nodes
         host = np.asarray(host_values)
@@ -250,6 +261,25 @@ class LinkPredictionEvaluator:
 
         all_ranks = []
         for adj, pos, anchors, keys in directions:
+            # pre-pad every edge slice ONCE (devices arrays; reused across all
+            # node tiles — re-converting per tile would re-transfer the whole
+            # E x d anchor block thousands of times)
+            adj_np = np.asarray(adj)
+            pos_np = np.asarray(pos)
+            anchors_np = np.asarray(anchors)
+            slices = []
+            for s in range(n_slices):
+                sl = slice(s * edge_slice, min((s + 1) * edge_slice, e))
+                pad = edge_slice - (sl.stop - sl.start)
+                slices.append((
+                    sl,
+                    jnp.asarray(np.pad(adj_np[sl], ((0, pad), (0, 0)))),
+                    jnp.asarray(np.pad(pos_np[sl], (0, pad),
+                                       constant_values=np.inf)),
+                    jnp.asarray(np.pad(anchors_np[sl], (0, pad))),
+                    None if rels_np is None else
+                    jnp.asarray(np.pad(rels_np[sl.start:sl.stop], (0, pad))),
+                ))
             counts = np.zeros(e, np.int64)
             for start in range(0, num_nodes, node_tile):
                 block = host[start:start + node_tile]
@@ -258,18 +288,9 @@ class LinkPredictionEvaluator:
                         [block, np.zeros((node_tile - len(block),
                                           block.shape[1]), block.dtype)])
                 tile = jnp.asarray(block)
-                for s in range(n_slices):
-                    sl = slice(s * edge_slice, min((s + 1) * edge_slice, e))
-                    k = sl.stop - sl.start
-                    pad = edge_slice - k
-                    a = jnp.asarray(np.pad(np.asarray(adj)[sl], ((0, pad), (0, 0))))
-                    p = jnp.asarray(np.pad(np.asarray(pos)[sl], (0, pad),
-                                           constant_values=np.inf))
-                    an = jnp.asarray(np.pad(np.asarray(anchors)[sl], (0, pad)))
-                    r = (None if rels_np is None else
-                         jnp.asarray(np.pad(rels_np[sl.start:sl.stop], (0, pad))))
+                for sl, a, p, an, r in slices:
                     c = np.asarray(tile_counts(a, p, an, r, tile, start, keys))
-                    counts[sl] += c[:k]
+                    counts[sl] += c[:sl.stop - sl.start]
             all_ranks.append(counts + 1)
 
         reporter = LinkPredictionReporter(HITS_KS)

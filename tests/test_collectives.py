@@ -82,6 +82,83 @@ def test_sharded_adagrad_matches_dense_accum():
 
 
 @needs8
+def test_sharded_gather_gradient_matches_dense():
+    """Regression: psum's transpose would overcount replicated cotangents by
+    n_shards; the identity-backward routing must give exact row grads."""
+    mesh = _mesh()
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 64, 24).astype(np.int32))
+    w = jnp.asarray(rng.standard_normal((24, 8)).astype(np.float32))
+
+    def sharded_loss(t):
+        f = jax.shard_map(lambda ts, i: sharded_gather(ts, i, "node"),
+                          mesh=mesh, in_specs=(P("node", None), P()),
+                          out_specs=P(), check_vma=False)
+        return jnp.sum(f(t, ids) * w)
+
+    def dense_loss(t):
+        return jnp.sum(t[ids] * w)
+
+    g_sharded = jax.grad(sharded_loss)(table)
+    g_dense = jax.grad(dense_loss)(table)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_dense),
+                               rtol=1e-5)
+
+
+@needs8
+def test_sharded_lp_step_adagrad_matches_dense():
+    """The step's Adagrad accumulator must equal the dense reference's (a
+    scale error in G is invisible to loss values because Adagrad from a zero
+    accumulator is scale-invariant in G)."""
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import (
+        LINK_PREDICTION,
+        Model,
+        init_model_params,
+        lp_batch_loss_direct,
+    )
+
+    mesh = _mesh()
+    rng = np.random.default_rng(6)
+    n_pad, r, d = 64, 4, 16
+    enc = EncoderConfig(stages=((LayerConfig(layer_type="EMBEDDING",
+                                             output_dim=d),),))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d))
+    params = init_model_params(jax.random.key(0), model)
+    step = make_sharded_lp_step(model, mesh, n_pad)
+
+    values = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32) * 0.1)
+    state = jnp.zeros((n_pad, d), jnp.float32)
+    b, c, nneg = 16, 2, 4
+    edges = jnp.asarray(np.stack([
+        rng.integers(0, n_pad, b), rng.integers(0, r, b),
+        rng.integers(0, n_pad, b)], 1).astype(np.int32))
+    dst_negs = jnp.asarray(rng.integers(0, n_pad, (c, nneg)).astype(np.int32))
+    src_negs = jnp.asarray(rng.integers(0, n_pad, (c, nneg)).astype(np.int32))
+    mask = jnp.ones((b,), bool)
+
+    _, acc, _, _ = step(values, state, params, edges, dst_negs, src_negs, mask)
+
+    # dense single-device reference of the same step
+    def loss_fn(v):
+        ids = jnp.concatenate([edges[:, 0], edges[:, 2],
+                               dst_negs.reshape(-1), src_negs.reshape(-1)])
+        x = v[ids]
+        loss, _ = lp_batch_loss_direct(
+            model, params, x[:b], x[b:2 * b], edges[:, 1],
+            x[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
+            x[2 * b + c * nneg:].reshape(c, nneg, d), mask, None, None)
+        return loss
+
+    G_ref = jax.grad(loss_fn)(values)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(G_ref) ** 2,
+                               rtol=1e-4, atol=1e-8)
+
+
+@needs8
 def test_sharded_lp_step_trains():
     from marius_tpu.nn.decoders.edge import EdgeDecoder
     from marius_tpu.nn.encoder import EncoderConfig
