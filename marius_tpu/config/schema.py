@@ -60,6 +60,7 @@ class StorageConfig:
     embeddings_dtype: str = "float"   # float | bfloat16 (StorageConfig dtype option)
     model_dir: str = ""
     save_model: bool = True
+    export_encoded_nodes: bool = False   # StorageConfig (marius_config.py:525)
 
 
 @dataclasses.dataclass
@@ -296,6 +297,7 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
         model_dir=model_dir or s.get("model_dir", "") or
         (os.path.join(dataset.dataset_dir, "model_0") if dataset.dataset_dir else ""),
         save_model=bool(s.get("save_model", True)),
+        export_encoded_nodes=bool(s.get("export_encoded_nodes", False)),
     )
 
     training = TrainingConfig(

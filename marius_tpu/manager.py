@@ -291,6 +291,10 @@ def marius_train(config, model_dir: Optional[str] = None) -> Dict[str, Any]:
         os.makedirs(cfg.storage.model_dir, exist_ok=True)
         ckpt.save_state(cfg.storage.model_dir, rt.trainer.state, metadata=_meta(rt))
         log.info("Saved model to %s", cfg.storage.model_dir)
+    if cfg.storage.export_encoded_nodes:
+        # encode_and_export (marius.cpp:159-162)
+        encode_and_export(rt)
+        log.info("Exported encoded nodes")
     final["runtime"] = rt
     return final
 

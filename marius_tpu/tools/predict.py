@@ -35,9 +35,7 @@ def run_predict(
 
     if cfg.learning_task == "LINK_PREDICTION":
         if input_file is not None:
-            stats = load_stats(cfg.storage.dataset.dataset_dir)
-            ncols = 3 if stats.num_relations > 1 else 2
-            edges = np.fromfile(input_file, np.int32).reshape(-1, ncols)
+            edges = _load_input_edges(input_file, cfg.storage.dataset.dataset_dir)
             tr = rt.trainer
             evaluator = LinkPredictionEvaluator(
                 cfg.model, cfg.storage.dataset.num_nodes,
@@ -77,6 +75,41 @@ def run_predict(
         for k, v in results.items():
             f.write(f"{k}: {v}\n")
     return results
+
+
+def _load_input_edges(input_file: str, dataset_dir: str) -> np.ndarray:
+    """Custom inference input: a binary pre-mapped edge file, or a raw
+    delimited file whose node/relation ids are mapped through the dataset's
+    mapping files (marius_predict's raw-input preprocessing path)."""
+    from marius_tpu.storage.dataset import load_stats
+
+    stats = load_stats(dataset_dir)
+    from marius_tpu.storage.dataset import _edge_cols
+    ncols = _edge_cols(stats)
+    if input_file.endswith(".bin"):
+        return np.fromfile(input_file, np.int32).reshape(-1, ncols)
+
+    import pandas as pd
+    df = pd.read_csv(input_file, sep=None, engine="python", header=None,
+                     dtype=str, keep_default_na=False)
+    node_map_path = os.path.join(dataset_dir, "nodes", "node_mapping.txt")
+    if os.path.exists(node_map_path):
+        nm = np.genfromtxt(node_map_path, delimiter=",", dtype=str)
+        node_map = dict(zip(nm[:, 0], nm[:, 1].astype(np.int32)))
+        map_node = np.vectorize(lambda v: node_map[v])
+    else:
+        map_node = lambda col: col.astype(np.int32)  # noqa: E731
+    cols = [map_node(df.iloc[:, 0].to_numpy())]
+    if ncols == 3:
+        rel_map_path = os.path.join(dataset_dir, "edges", "relation_mapping.txt")
+        if os.path.exists(rel_map_path):
+            rm = np.genfromtxt(rel_map_path, delimiter=",", dtype=str)
+            rel_map = dict(zip(rm[:, 0], rm[:, 1].astype(np.int32)))
+            cols.append(np.vectorize(lambda v: rel_map[v])(df.iloc[:, 1].to_numpy()))
+        else:
+            cols.append(df.iloc[:, 1].to_numpy().astype(np.int32))
+    cols.append(map_node(df.iloc[:, ncols - 1].to_numpy()))
+    return np.stack(cols, axis=1).astype(np.int32)
 
 
 def _split_exists(dataset_dir: str, split: str) -> bool:

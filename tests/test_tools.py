@@ -251,3 +251,61 @@ def test_single_relation_typed_dataset_roundtrip(tmp_path):
     train = load_split(str(out), "train", stats)
     assert train.shape == (30, 3)
     assert (train[:, 1] == 0).all()
+
+
+def test_predict_raw_input_mapping(tmp_path):
+    """marius_predict on a RAW delimited input file: ids map through the
+    dataset's node/relation mapping files (run_predict raw-input path)."""
+    import yaml
+    from marius_tpu.tools.predict import _load_input_edges
+
+    raw = tmp_path / "raw.tsv"
+    _write_raw_triples(raw, n=100, nodes=20, rels=3, seed=1)
+    ds = tmp_path / "ds"
+    EdgeListConverter(output_dir=str(ds), train_edges=str(raw),
+                      splits=(1.0,)).convert()
+    # new raw file with known entities
+    q = tmp_path / "query.tsv"
+    with open(q, "w") as f:
+        f.write("n1\tr0\tn2\nn3\tr1\tn4\n")
+    edges = _load_input_edges(str(q), str(ds))
+    assert edges.shape == (2, 3)
+    stats = load_stats(str(ds))
+    assert (edges >= 0).all()
+    assert edges[:, [0, 2]].max() < stats.num_nodes
+    # mapping consistency: same raw id -> same mapped id as the training data
+    nm = np.genfromtxt(ds / "nodes" / "node_mapping.txt", delimiter=",", dtype=str)
+    node_map = dict(zip(nm[:, 0], nm[:, 1].astype(int)))
+    assert edges[0, 0] == node_map["n1"] and edges[1, 2] == node_map["n4"]
+
+
+def test_export_encoded_nodes_config(tmp_path):
+    import yaml
+    from marius_tpu.config.schema import load_config
+    from marius_tpu.manager import marius_train
+    from marius_tpu.tools.preprocess import generate_random_dataset_lp
+
+    ds = str(tmp_path / "ds")
+    generate_random_dataset_lp(ds, num_nodes=40, num_edges=300, num_relations=4)
+    raw = {
+        "model": {
+            "learning_task": "LINK_PREDICTION",
+            "encoder": {"layers": [[{"type": "EMBEDDING", "output_dim": 8}]]},
+            "decoder": {"type": "DISTMULT", "options": {"input_dim": 8}},
+            "loss": {"type": "SOFTMAX_CE"},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.1}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds},
+                    "model_dir": str(tmp_path / "m0"),
+                    "export_encoded_nodes": True},
+        "training": {"batch_size": 50,
+                     "negative_sampling": {"num_chunks": 2,
+                                           "negatives_per_positive": 8},
+                     "num_epochs": 1},
+        "evaluation": {"batch_size": 50,
+                       "negative_sampling": {"filtered": False, "num_chunks": 2,
+                                             "negatives_per_positive": 8}},
+    }
+    marius_train(load_config(raw))
+    encoded = np.fromfile(tmp_path / "m0" / "encoded_nodes.bin", np.float32)
+    assert encoded.shape == (40 * 8,)
