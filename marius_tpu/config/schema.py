@@ -104,6 +104,7 @@ class MariusConfig:
     evaluation: EvaluationConfig = dataclasses.field(default_factory=EvaluationConfig)
     train_neighbor_sampling: Tuple[NeighborSamplingConfig, ...] = ()
     eval_neighbor_sampling: Tuple[NeighborSamplingConfig, ...] = ()
+    hop_caps: Tuple[int, ...] = ()   # optional static per-hop unique-node caps
     learning_task: str = "LINK_PREDICTION"
 
 
@@ -330,5 +331,6 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
         train_neighbor_sampling=_neighbor_sampling(enc_raw.get("train_neighbor_sampling")),
         eval_neighbor_sampling=_neighbor_sampling(
             enc_raw.get("eval_neighbor_sampling") or enc_raw.get("train_neighbor_sampling")),
+        hop_caps=tuple(int(x) for x in (enc_raw.get("hop_caps") or [])),
         learning_task=learning_task,
     )

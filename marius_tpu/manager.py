@@ -142,6 +142,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 graph=graph,
                 nbr_configs=train_nbr,
                 features=features,
+                hop_caps=cfg.hop_caps or None,
                 dtype=_dtype(cfg),
             )
 
@@ -216,6 +217,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 model, graph, features, labels, train_nodes,
                 train_nbr,
                 batch_size=cfg.training.batch_size,
+                hop_caps=cfg.hop_caps or None,
                 seed=cfg.training.seed,
             )
 
