@@ -138,3 +138,22 @@ def test_host_tiled_eval_matches_device_eval():
         host, trainer.state.params, edge_slice=32, node_tile=16)
     assert abs(res_dev["mrr"] - res_host["mrr"]) < 1e-5
     assert abs(res_dev["mean_rank"] - res_host["mean_rank"]) < 1e-3
+
+
+def test_training_is_exactly_reproducible():
+    """Same seed -> bit-identical losses and tables (the reference's hogwild
+    pipeline cannot promise this; the compiled PRNG-keyed epoch can)."""
+    train, valid, test = generate_random_lp_dataset()
+
+    def run():
+        tr = LinkPredictionTrainer(
+            _model(), NUM_NODES, NUM_RELS, train,
+            NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+            batch_size=100, seed=42)
+        stats = tr.train(2)
+        return stats, np.asarray(tr.state.table.values)
+
+    (s1, t1), (s2, t2) = run(), run()
+    assert s1[0]["loss"] == s2[0]["loss"]
+    assert s1[1]["loss"] == s2[1]["loss"]
+    np.testing.assert_array_equal(t1, t2)
