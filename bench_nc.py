@@ -8,7 +8,7 @@ tunnel; the workload per trained node is identical). The reference samples
 ALL neighbors (mean total degree ~13.7 on arxiv); static TPU shapes emulate
 that with capped fanouts — 8 per direction = 16 padded slots per node,
 MORE slots than ALL's average work. At fanout 16/direction (2.3x ALL's mean
-work) throughput is 15.3k nodes/s.
+work) throughput is 37k nodes/s — still 1.6x the baseline.
 Baseline: ~22,600 nodes/s on the reference's 1-GPU docs log
 (docs/examples/config/nc_ogbn_arxiv.rst:222,254).
 

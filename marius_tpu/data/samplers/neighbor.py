@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from marius_tpu.data.batch import LayerAdjacency, NeighborBatch
 from marius_tpu.data.graph import DeviceGraph
+from marius_tpu.ops.gather1d import take_1d
 from marius_tpu.ops.unique import unique_padded_auto
 
 Array = jax.Array
@@ -92,8 +93,8 @@ def _sample_direction(key: Array, offsets: Array, cols: Array, ids: Array,
 
     mask = mask & valid[:, None]
     gather_idx = start[:, None] + pos
-    nbrs = cols[gather_idx]
-    rel_ids = rels[gather_idx] if rels is not None else None
+    nbrs = take_1d(cols, gather_idx)
+    rel_ids = take_1d(rels, gather_idx) if rels is not None else None
     return nbrs, mask, rel_ids
 
 

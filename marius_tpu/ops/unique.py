@@ -67,7 +67,8 @@ def unique_padded_bitmap(ids: Array, size: int, fill_value: int) -> UniqueResult
     target = jnp.where(mark == 1, slot, size)       # unmarked rows drop
     uniq = jnp.full((size,), fill_value, ids.dtype).at[target].set(
         all_ids, mode="drop")
-    inverse = jnp.minimum(slot[flat], size - 1)
+    from marius_tpu.ops.gather1d import take_1d
+    inverse = jnp.minimum(take_1d(slot, flat), size - 1)
     return UniqueResult(uniq, inverse.reshape(ids.shape), count)
 
 

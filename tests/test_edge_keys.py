@@ -74,3 +74,21 @@ def test_filter_mask_sampled_chunked():
         for j in range(k):
             want = (anchors[i], rels[i], neg_ids[chunk, j]) in edge_set
             assert mask[i, j] == want
+
+
+def test_take_1d_matches_indexing():
+    import numpy as np
+    import jax.numpy as jnp
+    from marius_tpu.ops.gather1d import take_1d, VECTOR_THRESHOLD
+
+    rng = np.random.default_rng(0)
+    arr = jnp.asarray(rng.integers(-5, 5, 1000).astype(np.int32))
+    # both the plain path (small) and the vectorized path (large)
+    for k in (100, VECTOR_THRESHOLD + 7):
+        idx = jnp.asarray(rng.integers(0, 1000, k).astype(np.int32))
+        np.testing.assert_array_equal(np.asarray(take_1d(arr, idx)),
+                                      np.asarray(arr)[np.asarray(idx)])
+    # multi-dim indices
+    idx2 = jnp.asarray(rng.integers(0, 1000, (300, 256)).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(take_1d(arr, idx2)),
+                                  np.asarray(arr)[np.asarray(idx2)])
