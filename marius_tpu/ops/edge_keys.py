@@ -73,16 +73,24 @@ def isin_triples(keys: EdgeKeySet, anchor: Array, rel: Optional[Array], other: A
     lo = jnp.zeros_like(qa)
     hi = jnp.full_like(qa, n)
 
+    from marius_tpu.ops.gather1d import take_1d
+
     def body(_, carry):
         lo, hi = carry
         mid = (lo + hi) // 2
         midc = jnp.minimum(mid, n - 1)
-        less = _lex_less(keys.anchor[midc], keys.rel[midc], keys.other[midc], qa, qr, qo)
+        # scalar gathers serialize on TPU; take_1d vectorizes them — the
+        # binary search does ~log2(E) rounds of three gathers over every
+        # query, which dominates streamed filtered evaluation
+        less = _lex_less(take_1d(keys.anchor, midc), take_1d(keys.rel, midc),
+                         take_1d(keys.other, midc), qa, qr, qo)
         return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     pos = jnp.minimum(lo, n - 1)
-    found = (lo < n) & (keys.anchor[pos] == qa) & (keys.rel[pos] == qr) & (keys.other[pos] == qo)
+    from marius_tpu.ops.gather1d import take_1d
+    found = ((lo < n) & (take_1d(keys.anchor, pos) == qa)
+             & (take_1d(keys.rel, pos) == qr) & (take_1d(keys.other, pos) == qo))
     return found.reshape(shape)
 
 
