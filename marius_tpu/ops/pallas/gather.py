@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 256      # ids per grid program
+BLOCK = 1024     # ids per grid program — must match XLA's int32
+                 # tiling T(1024), or Mosaic rejects the SMEM block layout
 N_BUF = 4        # in-flight DMAs
 
 

@@ -12,7 +12,7 @@ from marius_tpu.ops.pallas.gather import gather_rows_pallas
 def test_gather_kernel_matches_take():
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.standard_normal((777, 128)).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, 777, 512).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, 777, 2048).astype(np.int32))
     out = gather_rows_pallas(table, ids, interpret=True)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(table)[np.asarray(ids)])
