@@ -78,6 +78,15 @@ class TrainingConfig:
     resume_training: bool = False
     resume_from_checkpoint: str = ""
     seed: int = 0
+    # Multi-chip mesh (SURVEY §2.3 TPU north star; the reference's analogue
+    # is multi-GPU data parallelism, model.cpp:136-159). data x node must
+    # equal the number of devices used; -1 on either axis = fill with all
+    # remaining devices. mesh_mode "gspmd" lets XLA infer collectives from
+    # sharding annotations; "explicit" uses the hand-written shard_map step
+    # (parallel/collectives.py, shallow encoders).
+    mesh_data: int = 1
+    mesh_node: int = 1
+    mesh_mode: str = "gspmd"
 
 
 @dataclasses.dataclass
@@ -313,6 +322,9 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
         resume_training=bool(t.get("resume_training", False)),
         resume_from_checkpoint=str(t.get("resume_from_checkpoint", "")),
         seed=int(t.get("seed", 0)),
+        mesh_data=int((t.get("mesh") or {}).get("data", 1)),
+        mesh_node=int((t.get("mesh") or {}).get("node", 1)),
+        mesh_mode=str((t.get("mesh") or {}).get("mode", "gspmd")).lower(),
     )
 
     evaluation = EvaluationConfig(

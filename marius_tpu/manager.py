@@ -64,7 +64,10 @@ def _load_lp_data(cfg: MariusConfig):
     stats = None
     if ds.dataset_dir and os.path.exists(os.path.join(ds.dataset_dir, "dataset.yaml")):
         stats = load_stats(ds.dataset_dir)
-    train = load_split(ds.dataset_dir, "train", stats)
+    # FLAT_FILE edge tier: memory-map the binary file so train edges are
+    # paged from disk instead of materialized (storage.h:149 FlatFile)
+    train = load_split(ds.dataset_dir, "train", stats,
+                       mmap=cfg.storage.edges_backend == "FLAT_FILE")
     valid = test = None
     try:
         valid = load_split(ds.dataset_dir, "valid", stats)
@@ -77,10 +80,28 @@ def _load_lp_data(cfg: MariusConfig):
     return train, valid, test
 
 
+def _build_mesh(cfg: MariusConfig):
+    """training.mesh -> jax.sharding.Mesh (None when single-device)."""
+    t = cfg.training
+    import jax
+
+    if t.mesh_data in (0, 1) and t.mesh_node in (0, 1):
+        return None
+    from marius_tpu.parallel.mesh import make_mesh
+    n_dev = len(jax.devices())
+    node = t.mesh_node if t.mesh_node > 0 else max(1, n_dev // max(t.mesh_data, 1))
+    data = t.mesh_data if t.mesh_data > 0 else max(1, n_dev // node)
+    return make_mesh(num_data=data, num_node=node,
+                     devices=jax.devices()[:data * node])
+
+
 def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
     log = get_logger(cfg.storage.model_dir or None)
     ds = cfg.storage.dataset
     model = cfg.model
+    mesh = _build_mesh(cfg)
+    if mesh is not None:
+        log.info("Device mesh: %s (mode=%s)", dict(mesh.shape), cfg.training.mesh_mode)
 
     if cfg.learning_task == LINK_PREDICTION:
         train_edges, valid_edges, test_edges = _load_lp_data(cfg)
@@ -120,6 +141,8 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 dtype=_dtype(cfg),
                 nbr_configs=train_nbr,
                 features=features,
+                mesh=mesh,
+                prefetching=cfg.storage.prefetching,
             )
         else:
             # Async pipeline mapping (PipelineTrainer, trainer.cpp:35-74): K
@@ -144,6 +167,9 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 features=features,
                 hop_caps=cfg.hop_caps or None,
                 dtype=_dtype(cfg),
+                mesh=mesh,
+                sharding_mode=cfg.training.mesh_mode,
+                edges_backend=cfg.storage.edges_backend,
             )
 
         all_edges_list = [train_edges] + [e for e in (valid_edges, test_edges) if e is not None]
@@ -219,6 +245,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 batch_size=cfg.training.batch_size,
                 hop_caps=cfg.hop_caps or None,
                 seed=cfg.training.seed,
+                mesh=mesh,
             )
 
             def make_nc_eval(split):

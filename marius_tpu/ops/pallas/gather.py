@@ -65,7 +65,7 @@ def gather_rows_pallas(table: jax.Array, ids: jax.Array,
             # ids blocked per program into SMEM (whole-array scalar prefetch
             # would overflow SMEM past ~250k ids)
             pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # table stays in HBM
         ],
         out_specs=pl.BlockSpec((BLOCK, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -100,52 +100,137 @@ def sharded_adagrad_update(values_shard: Array, state_shard: Array,
     return new_values, new_state
 
 
-def make_sharded_lp_step(model, mesh, num_nodes_padded: int, axis_name: str = "node"):
-    """A shard_map link-prediction train step over a row-sharded table.
+def make_sharded_lp_update(model, mesh, num_nodes_padded: int,
+                           node_axis: str = "node",
+                           data_axis: str | None = None,
+                           has_rels: bool = True,
+                           use_inverse: bool = True,
+                           use_filters: bool = False):
+    """The explicit-collective LP train update over a (data x node) mesh.
 
-    Returns step(values_shard, state_shard, params, edges, negs, mask) jitted
-    over `mesh`: gathers ride psum over ICI, sparse updates stay owner-local,
-    dense decoder grads psum across chips (the NCCL all_reduce analogue,
-    model.cpp:136-159).
+    This is the first-class multi-chip train step (SURVEY §2.3 north star,
+    the TPU analogue of model.cpp:136-159 NCCL all_reduce + the hogwild host
+    table): the table and its Adagrad accumulator are row-sharded over
+    ``node_axis``; the batch (positives, negative chunks, masks, filters) is
+    sharded over ``data_axis``. Inside the shard_map body:
+
+    - gathers assemble full rows with ONE psum over the node axis (K*d
+      elements over ICI, independent of table size);
+    - the sparse Adagrad accumulator G is psum'd over the data axis, so
+      duplicate rows touched by different data shards combine exactly as on
+      one device;
+    - dense grads are psum'd over the data axis (the NCCL all_reduce
+      analogue) and the dense optimizer is applied INSIDE the step;
+    - MEAN loss reduction stays exact: each data shard weights its local
+      mean by local_count / psum(local_count), so the global mean (and its
+      gradient) match the single-device trajectory bit-for-bit in math.
+
+    Returns ``update(values, state, params, opt_state, batch) ->
+    (values, state, params, opt_state, loss)`` jitted over ``mesh``, where
+    ``batch`` is a dict with keys src, dst, mask, dst_negs [, rel]
+    [, src_negs] [, dst_filter, src_filter] [, dropout_key].
     """
     from jax.sharding import PartitionSpec as P
 
+    from marius_tpu.nn.encoder import encoder_forward
     from marius_tpu.nn.model import lp_batch_loss_direct
+    from marius_tpu.nn.optimizers import apply_optimizer
 
-    n_shards = mesh.shape[axis_name]
-    assert num_nodes_padded % n_shards == 0
+    n_shards = mesh.shape[node_axis]
+    assert num_nodes_padded % n_shards == 0, \
+        f"table rows {num_nodes_padded} not divisible by node axis {n_shards}"
+    reduction = model.loss_reduction.upper()
+    assert reduction in ("SUM", "MEAN"), reduction
+    mean = reduction == "MEAN"
 
-    def step(values, state, params, edges, dst_negs, src_negs, mask):
-        b = edges.shape[0]
+    def psum_data(x):
+        return jax.lax.psum(x, data_axis) if data_axis is not None else x
+
+    def step(values, state, params, opt_state, batch):
+        src, dst, mask = batch["src"], batch["dst"], batch["mask"]
+        dst_negs = batch["dst_negs"]
+        rel = batch.get("rel")
+        src_negs = batch.get("src_negs")
+        dst_filter = batch.get("dst_filter")
+        src_filter = batch.get("src_filter")
+        b = src.shape[0]
         c, nneg = dst_negs.shape
-        rel = edges[:, 1] if edges.shape[1] == 3 else None
-        ids = jnp.concatenate([edges[:, 0], edges[:, -1],
-                               dst_negs.reshape(-1), src_negs.reshape(-1)])
+        parts = [src, dst, dst_negs.reshape(-1)]
+        if src_negs is not None:
+            parts.append(src_negs.reshape(-1))
+        ids = jnp.concatenate(parts)
+
+        # MEAN exactness: global_mean = sum_shards local_mean * w where
+        # w = local_count / total_count (the loss-specific denominator
+        # constant cancels; see docstring).
+        if mean:
+            local_count = jnp.sum(mask.astype(jnp.float32))
+            total_count = jnp.maximum(psum_data(local_count), 1.0)
+            w = local_count / total_count
+        else:
+            w = 1.0
 
         def loss_fn(v_shard, dense_params):
-            x = sharded_gather_inner_grad(v_shard, ids, axis_name)
+            x = sharded_gather_inner_grad(v_shard, ids, node_axis)
+            # shallow stages only (no GNN => no dropout keys needed)
+            x = encoder_forward(model.encoder, dense_params["encoder"], x,
+                                None, None, train=True)
             d = x.shape[-1]
             loss, _ = lp_batch_loss_direct(
                 model, dense_params, x[:b], x[b:2 * b], rel,
                 x[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
                 x[2 * b + c * nneg:].reshape(c, nneg, d)
-                if (model.decoder.use_inverse_relations and rel is not None)
-                else None,
-                mask, None, None)
-            return loss
+                if src_negs is not None else None,
+                mask, dst_filter, src_filter)
+            return loss * w
 
         loss, (G, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             values, params)
         # G = dL/dshard through the psum-gather: exact per-owned-row grads
         # (see the gradient note in sharded_gather; regression-tested against
-        # the dense reference). Dense grads are identical across shards
-        # (replicated batch) — with a data axis, psum them here (the NCCL
-        # all_reduce analogue).
+        # the dense reference). Combine data shards' contributions.
+        G = psum_data(G)
+        gdense = psum_data(gdense)
+        loss = psum_data(loss)
         acc = state + G * G
         new_values = values - model.sparse_lr * G / (jnp.sqrt(acc) + ADAGRAD_EPS)
-        return new_values, acc, gdense, loss
+        new_params, new_opt_state = apply_optimizer(
+            model.dense_optimizer, params, opt_state, gdense)
+        return new_values, acc, new_params, new_opt_state, loss
 
-    in_specs = (P(axis_name, None), P(axis_name, None), P(), P(), P(), P(), P())
-    out_specs = (P(axis_name, None), P(axis_name, None), P(), P())
-    return jax.jit(jax.shard_map(step, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs, check_vma=False))
+    da = data_axis
+    batch_specs = {"src": P(da), "dst": P(da), "mask": P(da),
+                   "dst_negs": P(da, None)}
+    if has_rels:
+        batch_specs["rel"] = P(da)
+    if use_inverse:
+        batch_specs["src_negs"] = P(da, None)
+    if use_filters:
+        batch_specs["dst_filter"] = P(da, None)
+        if use_inverse:
+            batch_specs["src_filter"] = P(da, None)
+
+    in_specs = (P(node_axis, None), P(node_axis, None), P(), P(), batch_specs)
+    out_specs = (P(node_axis, None), P(node_axis, None), P(), P(), P())
+    return jax.shard_map(step, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def make_sharded_lp_step(model, mesh, num_nodes_padded: int, axis_name: str = "node"):
+    """Node-sharded-only LP step (compat surface over make_sharded_lp_update):
+    step(values, state, params, opt_state, edges, dst_negs, src_negs, mask) ->
+    (values, state, params, opt_state, loss). Dense grads are psum'd over the
+    data axis and the dense optimizer applied inside the update (both were
+    deferred to comments before round 2)."""
+    update = make_sharded_lp_update(
+        model, mesh, num_nodes_padded, node_axis=axis_name, data_axis=None,
+        has_rels=True, use_inverse=model.decoder.use_inverse_relations)
+
+    def step(values, state, params, opt_state, edges, dst_negs, src_negs, mask):
+        batch = {"src": edges[:, 0], "dst": edges[:, -1], "rel": edges[:, 1],
+                 "mask": mask, "dst_negs": dst_negs}
+        if model.decoder.use_inverse_relations:
+            batch["src_negs"] = src_negs
+        return update(values, state, params, opt_state, batch)
+
+    return jax.jit(step)

@@ -69,10 +69,18 @@ def save_split(dataset_dir: str, split: str, edges: np.ndarray) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.ascontiguousarray(edges, np.int32).tofile(path)
 
-def load_split(dataset_dir: str, split: str, stats: Optional[DatasetStats] = None) -> np.ndarray:
+def load_split(dataset_dir: str, split: str, stats: Optional[DatasetStats] = None,
+               mmap: bool = False) -> np.ndarray:
+    """Load an edge split. ``mmap=True`` returns a read-only np.memmap over
+    the binary file (the FLAT_FILE storage tier, storage.h:149): rows are
+    paged in on access instead of materialized in RAM."""
     stats = stats or load_stats(dataset_dir)
     path = os.path.join(dataset_dir, EDGE_FILES[split])
-    return np.fromfile(path, np.int32).reshape(-1, _edge_cols(stats))
+    cols = _edge_cols(stats)
+    if mmap:
+        n = os.path.getsize(path) // (4 * cols)
+        return np.memmap(path, np.int32, mode="r", shape=(n, cols))
+    return np.fromfile(path, np.int32).reshape(-1, cols)
 
 
 def save_node_array(dataset_dir: str, name: str, arr: np.ndarray) -> None:

@@ -42,6 +42,8 @@ class PartitionBuffer:
     device_state: Optional[jax.Array] = None
     resident: Optional[np.ndarray] = None       # (capacity,) partition ids, -1 empty
     part_to_slot: Optional[np.ndarray] = None   # (num_partitions,) slot or -1
+    sharding: Optional[object] = None           # jax.sharding.Sharding for the
+                                                # device arrays (multi-chip)
 
     @property
     def psize(self) -> int:
@@ -116,8 +118,14 @@ class PartitionBuffer:
             else:
                 blocks_v.append(self.host_values[self.part_rows(p)])
                 blocks_s.append(self.host_state[self.part_rows(p)])
-        self.device_values = jnp.asarray(np.concatenate(blocks_v, axis=0))
-        self.device_state = jnp.asarray(np.concatenate(blocks_s, axis=0))
+        if self.sharding is not None:
+            self.device_values = jax.device_put(
+                np.concatenate(blocks_v, axis=0), self.sharding)
+            self.device_state = jax.device_put(
+                np.concatenate(blocks_s, axis=0), self.sharding)
+        else:
+            self.device_values = jnp.asarray(np.concatenate(blocks_v, axis=0))
+            self.device_state = jnp.asarray(np.concatenate(blocks_s, axis=0))
         self.resident = np.asarray(parts, np.int32)
         self.part_to_slot = np.full(self.num_partitions, -1, np.int32)
         for slot, p in enumerate(parts):

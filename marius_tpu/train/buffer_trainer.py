@@ -60,6 +60,17 @@ Array = jax.Array
 _EMPTY_GRAPH = None
 
 
+class _Immediate:
+    """Future-alike that defers work to .result() — the prefetching=false
+    (synchronous IO) stand-in for ThreadPoolExecutor.submit."""
+
+    def __init__(self, fn, *args):
+        self._fn, self._args = fn, args
+
+    def result(self):
+        return self._fn(*self._args)
+
+
 class PartitionBufferLPTrainer:
     """Shallow-encoder LP training with an out-of-HBM embedding table."""
 
@@ -83,6 +94,11 @@ class PartitionBufferLPTrainer:
                                           # restricted to the resident subgraph
         features=None,                    # (N, F) float32 — FEATURE layers;
                                           # partition-cached alongside the table
+        mesh=None,                        # jax.sharding.Mesh — device buffer
+                                          # rows sharded over NODE_AXIS,
+                                          # batches over DATA_AXIS (GSPMD)
+        prefetching: bool = True,         # overlap next-state host prep with
+                                          # device compute (storage.prefetching)
     ):
         assert model.learning_task == LINK_PREDICTION
         assert model.has_embeddings, "partition-buffer LP needs an embedding table"
@@ -107,10 +123,24 @@ class PartitionBufferLPTrainer:
         self.num_cache_partitions = num_cache_partitions
         self.randomly_assign = randomly_assign_edge_buckets
 
+        self.mesh = mesh
+        self.prefetching = prefetching
         key = jax.random.key(seed)
         self.buffer = PartitionBuffer.create(
             jax.random.fold_in(key, 0), num_nodes, model.encoder.embedding_dim,
             num_partitions, self.capacity, dtype=dtype)
+        if mesh is not None:
+            # row-shard the HBM working set over the node axis (replicate if
+            # the buffer doesn't split evenly); batches shard over data inside
+            # the compiled state function
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from marius_tpu.parallel.mesh import NODE_AXIS
+            n_node = mesh.shape[NODE_AXIS]
+            if self.buffer.buffer_rows % n_node == 0:
+                self.buffer.sharding = NamedSharding(mesh, P(NODE_AXIS, None))
+            else:
+                self.buffer.sharding = NamedSharding(mesh, P())
 
         self.params = init_model_params(jax.random.fold_in(key, 1), model)
         self.opt_state = init_optimizer(model.dense_optimizer, self.params)
@@ -191,6 +221,16 @@ class PartitionBufferLPTrainer:
             def batch_step(carry, xs):
                 values, state, params, opt_state, key = carry
                 edges_b, mask_b = xs
+                if self.mesh is not None:
+                    # GSPMD data parallelism over the batch (dense-grad psum
+                    # inserted by XLA — model.cpp:136-159 analogue)
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    from marius_tpu.parallel.mesh import DATA_AXIS
+                    edges_b = jax.lax.with_sharding_constraint(
+                        edges_b, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+                    mask_b = jax.lax.with_sharding_constraint(
+                        mask_b, NamedSharding(self.mesh, P(DATA_AXIS)))
                 key, k_dst, k_src = jax.random.split(key, 3)
 
                 def in_buffer_negs(k):
@@ -404,11 +444,15 @@ class PartitionBufferLPTrainer:
 
         losses = []
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(prep, 0)
+            # storage.prefetching=false: next-state host prep runs inline
+            # after the current state (the reference's synchronous IO mode)
+            submit = pool.submit if self.prefetching else \
+                (lambda f, *a: _Immediate(f, *a))
+            fut = submit(prep, 0)
             for s_idx, st in enumerate(states):
                 edges_global = fut.result()
                 if s_idx + 1 < len(states):
-                    fut = pool.submit(prep, s_idx + 1)
+                    fut = submit(prep, s_idx + 1)
                 self.buffer.swap_to_state(st)
                 if self.feature_cache is not None:
                     # mirror the embedding buffer's slots: local ids must

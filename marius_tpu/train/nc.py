@@ -60,13 +60,25 @@ class NodeClassificationTrainer:
         hop_caps: Optional[Sequence[int]] = None,
         seed: int = 0,
         dtype=jnp.float32,
+        mesh=None,   # jax.sharding.Mesh — data-parallel seed-node sharding:
+                     # each data shard samples/encodes its sub-batch
+                     # independently, dense grads psum over the data axis
+                     # (model.cpp:136-159 all_reduce analogue)
     ):
         self.model = model
         self.graph = graph
         self.batch_size = batch_size
         self.nbr_configs = tuple(nbr_configs)
+        self.mesh = mesh
+        local_batch = batch_size
+        if mesh is not None:
+            from marius_tpu.parallel.mesh import DATA_AXIS
+            self._n_data = mesh.shape[DATA_AXIS]
+            assert batch_size % self._n_data == 0, \
+                f"batch_size {batch_size} % data axis {self._n_data} != 0"
+            local_batch = batch_size // self._n_data
         self.hop_caps = tuple(hop_caps or estimate_hop_caps(
-            batch_size, nbr_configs, graph.num_nodes))
+            local_batch, nbr_configs, graph.num_nodes))
 
         num_nodes = graph.num_nodes
         # sentinel row at index N so clamped padded gathers read zeros
@@ -105,33 +117,83 @@ class NodeClassificationTrainer:
         return nb, feats, emb, outer_uniq
 
     def _batch_step(self, state: TrainState, seeds: Array, mask_b: Array):
+        if self.mesh is None:
+            return self._batch_step_local(state, seeds, mask_b, None)
+        return self._sharded_batch_step(state, seeds, mask_b)
+
+    def _batch_step_local(self, state: TrainState, seeds: Array, mask_b: Array,
+                          data_axis: Optional[str]):
+        """One train batch. With ``data_axis`` set this runs as a shard_map
+        body: seeds/mask are the shard's sub-batch, dense grads and the
+        embedding-grad accumulator psum over the axis, and MEAN losses are
+        re-weighted by local/total valid counts so the global trajectory
+        matches single-device math."""
         model = self.model
         key, k_s = jax.random.split(state.key)
+        if data_axis is not None:
+            k_s = jax.random.fold_in(k_s, jax.lax.axis_index(data_axis))
 
         table_values = state.table.values if state.table is not None else None
         nb, feats, emb0, outer_ids = self._encode_batch(
             state.params, table_values, k_s, seeds, mask_b, True)
         labels_b = self.labels[jnp.minimum(seeds, self.graph.num_nodes)]
+        loss_mask = mask_b & nb.seed_mask
+
+        w = 1.0
+        if data_axis is not None and model.loss_reduction.upper() == "MEAN":
+            local = jnp.sum(loss_mask.astype(jnp.float32))
+            total = jnp.maximum(jax.lax.psum(local, data_axis), 1.0)
+            w = local / total
 
         def loss_fn(emb, dense_params):
             logits = encoder_forward(
                 model.encoder, dense_params["encoder"], emb, feats, nb,
                 degrees=self.graph.degrees, train=True,
                 dropout_key=jax.random.fold_in(k_s, 99))
-            return nc_batch_loss(model, logits, labels_b, mask_b & nb.seed_mask)
+            return nc_batch_loss(model, logits, labels_b, loss_mask) * w
 
         if emb0 is not None:
             loss, (g_emb, g_dense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 emb0, state.params)
-            new_table = sparse_adagrad_update(state.table, outer_ids, g_emb, model.sparse_lr)
+            if data_axis is not None:
+                # combine shards' row grads exactly: dense accumulator psum
+                from marius_tpu.parallel.embedding_table import (
+                    ADAGRAD_EPS,
+                    EmbeddingTable,
+                )
+                G = jnp.zeros_like(state.table.values).at[outer_ids].add(
+                    g_emb, mode="drop")
+                G = jax.lax.psum(G, data_axis)
+                acc = state.table.state + G * G
+                values = state.table.values - model.sparse_lr * G / (
+                    jnp.sqrt(acc) + ADAGRAD_EPS)
+                new_table = EmbeddingTable(values=values, state=acc)
+            else:
+                new_table = sparse_adagrad_update(state.table, outer_ids, g_emb,
+                                                  model.sparse_lr)
         else:
             loss, g_dense = jax.value_and_grad(loss_fn, argnums=1)(None, state.params)
             new_table = state.table
 
+        if data_axis is not None:
+            g_dense = jax.lax.psum(g_dense, data_axis)
+            loss = jax.lax.psum(loss, data_axis)
         new_params, new_opt = apply_optimizer(
             model.dense_optimizer, state.params, state.opt_state, g_dense)
         return TrainState(table=new_table, params=new_params, opt_state=new_opt,
                           key=key, epoch=state.epoch), loss
+
+    def _sharded_batch_step(self, state: TrainState, seeds: Array, mask_b: Array):
+        from jax.sharding import PartitionSpec as P
+
+        from marius_tpu.parallel.mesh import DATA_AXIS
+
+        fn = jax.shard_map(
+            lambda s, sd, m: self._batch_step_local(s, sd, m, DATA_AXIS),
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()), check_vma=False)
+        return fn(state, seeds, mask_b)
 
     def _build_epoch_fn(self):
         nb, b = self.num_batches, self.batch_size

@@ -98,6 +98,13 @@ class LinkPredictionTrainer:
         hop_caps=None,
         mesh=None,                  # jax.sharding.Mesh — shard table rows over
                                     # NODE_AXIS, batches over DATA_AXIS
+        sharding_mode: str = "gspmd",   # "gspmd": XLA infers collectives from
+                                        # sharding constraints; "explicit":
+                                        # shard_map step with hand-written
+                                        # psum gathers / owner-local updates
+                                        # (shallow encoders only)
+        edges_backend: str = "DEVICE_MEMORY",  # DEVICE_MEMORY | HOST_MEMORY |
+                                               # FLAT_FILE (storage.h:149)
     ):
         assert model.learning_task == LINK_PREDICTION
         assert batch_size % neg_config.num_chunks == 0, \
@@ -108,16 +115,57 @@ class LinkPredictionTrainer:
         self.neg_config = neg_config
         self.batch_size = batch_size
         self.train_filter_keys = train_filter_keys
+        self.seed = seed
 
-        padded, self.num_edges, self.num_batches = pad_edges(train_edges, batch_size)
-        self.edges = jnp.asarray(padded)
-        self.has_rels = padded.shape[1] == 3
+        # Edge storage tier (StorageBackend, options.h:68 / storage.h:149).
+        # DEVICE_MEMORY: the whole (padded) edge list is HBM-resident and the
+        # epoch is one compiled scan. HOST_MEMORY / FLAT_FILE: edges stay in
+        # host RAM (or a np.memmap over the binary edge file) and stream
+        # through HBM in fixed-size chunks; async dispatch overlaps each
+        # chunk's host->device transfer with the previous chunk's compute.
+        self.edges_backend = edges_backend.upper()
+        assert self.edges_backend in ("DEVICE_MEMORY", "HOST_MEMORY", "FLAT_FILE"), \
+            f"unknown edges backend {edges_backend}"
+        self.has_rels = train_edges.shape[1] == 3
+        if self.edges_backend == "DEVICE_MEMORY":
+            padded, self.num_edges, self.num_batches = pad_edges(train_edges, batch_size)
+            self.edges = jnp.asarray(padded)
+            self.edges_host = None
+        else:
+            self.edges_host = train_edges  # np.ndarray or np.memmap — no copy
+            self.num_edges = train_edges.shape[0]
+            self.num_batches = -(-self.num_edges // batch_size)
+            self.edges = None
+            # ~2M edges per streamed chunk: big enough to amortize dispatch,
+            # small enough that two in-flight chunks are noise next to the table
+            self.chunk_batches = min(self.num_batches,
+                                     max(1, (1 << 21) // batch_size))
+        self._host_epoch = 0
+
+        self.mesh = mesh
+        self.sharding_mode = sharding_mode.lower()
+        assert self.sharding_mode in ("gspmd", "explicit")
+        self.num_table_rows = num_nodes
+        if mesh is not None and self.sharding_mode == "explicit":
+            from marius_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS
+            assert not nbr_configs and features is None, \
+                "explicit sharding supports shallow (embedding-table) encoders"
+            assert model.has_embeddings
+            n_node = mesh.shape[NODE_AXIS]
+            n_data = mesh.shape[DATA_AXIS]
+            assert batch_size % max(n_data, 1) == 0, \
+                f"batch_size {batch_size} % data axis {n_data} != 0"
+            assert neg_config.num_chunks % max(n_data, 1) == 0, \
+                f"num_chunks {neg_config.num_chunks} % data axis {n_data} != 0"
+            # round the table up so rows split evenly over the node axis;
+            # padding rows only ever see masked (zero) grads
+            self.num_table_rows = -(-num_nodes // n_node) * n_node
 
         key = jax.random.key(seed)
         from marius_tpu.nn.model import init_model_params
         params = init_model_params(jax.random.fold_in(key, 1), model, dtype)
         self.state = init_train_state(jax.random.fold_in(key, 2), model, params,
-                                      num_nodes, dtype)
+                                      self.num_table_rows, dtype)
 
         # unique-id capacity for a batch: 2B endpoints + both negative blocks
         c, n = neg_config.num_chunks, neg_config.negatives_per_positive
@@ -146,12 +194,24 @@ class LinkPredictionTrainer:
             f[:num_nodes] = features
             self.features = jnp.asarray(f)
 
-        self.mesh = mesh
+        self._explicit_update = None
         if mesh is not None:
             from marius_tpu.parallel.mesh import shard_train_state
             self.state = shard_train_state(self.state, mesh)
+            if self.sharding_mode == "explicit":
+                from marius_tpu.parallel.collectives import make_sharded_lp_update
+                from marius_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS
+                inv_rel_on = model.decoder.use_inverse_relations and self.has_rels
+                self._explicit_update = make_sharded_lp_update(
+                    model, mesh, self.num_table_rows,
+                    node_axis=NODE_AXIS, data_axis=DATA_AXIS,
+                    has_rels=self.has_rels, use_inverse=inv_rel_on,
+                    use_filters=train_filter_keys is not None)
 
-        self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
+        if self.edges_backend == "DEVICE_MEMORY":
+            self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
+        else:
+            self._chunk_fn = jax.jit(self._build_chunk_fn(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def _batch_step(self, state: TrainState, edges_b: Array, mask_b: Array):
@@ -160,7 +220,7 @@ class LinkPredictionTrainer:
         num_nodes = self.num_nodes
         c, nneg = cfg.num_chunks, cfg.negatives_per_positive
 
-        if self.mesh is not None:
+        if self.mesh is not None and self.sharding_mode == "gspmd":
             # Data-parallel sharding: split the batch's positive edges over the
             # DATA axis; GSPMD propagates through scoring and inserts psum for
             # dense grads (the reference's NCCL all_reduce, model.cpp:136-159).
@@ -186,6 +246,40 @@ class LinkPredictionTrainer:
         dst = jnp.where(mask_b, edges_b[:, -1], num_nodes)
         rel = edges_b[:, 1] if self.has_rels else None
 
+        dst_filter = src_filter = None
+        if self.train_filter_keys is not None:
+            dst_keys, src_keys = self.train_filter_keys
+            dst_filter = filter_mask_sampled(dst_keys, src, rel, dst_negs)
+            if inv_rel_on:
+                src_filter = filter_mask_sampled(src_keys, dst, rel, src_negs)
+
+        if self._explicit_update is not None:
+            # first-class multi-chip path: shard_map over (data x node) with
+            # explicit psum gathers, owner-local sparse Adagrad, data-axis
+            # psum of dense grads (parallel/collectives.py)
+            batch = {"src": src, "dst": dst, "mask": mask_b,
+                     "dst_negs": dst_negs}
+            if self.has_rels:
+                batch["rel"] = rel
+            if inv_rel_on:
+                batch["src_negs"] = src_negs
+            if dst_filter is not None:
+                batch["dst_filter"] = dst_filter
+                if inv_rel_on:
+                    batch["src_filter"] = src_filter
+            # burn the dropout-key split so the key stream (and therefore the
+            # sampled negatives of every later batch) matches the
+            # single-device path exactly — required for the loss-trajectory
+            # equivalence guarantee tested in test_sharding.py
+            _, key = jax.random.split(key)
+            values, acc, new_params, new_opt, loss = self._explicit_update(
+                state.table.values, state.table.state, state.params,
+                state.opt_state, batch)
+            from marius_tpu.parallel.embedding_table import EmbeddingTable
+            return TrainState(table=EmbeddingTable(values=values, state=acc),
+                              params=new_params, opt_state=new_opt, key=key,
+                              epoch=state.epoch), loss
+
         all_ids = jnp.concatenate([src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
         b = self.batch_size
         if self.dense_accum:
@@ -201,13 +295,6 @@ class LinkPredictionTrainer:
         inv_dst_negs = pos[2 * b:2 * b + c * nneg].reshape(c, nneg)
         inv_src_negs = (pos[2 * b + c * nneg:].reshape(c, nneg)
                         if inv_rel_on else None)
-
-        dst_filter = src_filter = None
-        if self.train_filter_keys is not None:
-            dst_keys, src_keys = self.train_filter_keys
-            dst_filter = filter_mask_sampled(dst_keys, src, rel, dst_negs)
-            if inv_rel_on:
-                src_filter = filter_mask_sampled(src_keys, dst, rel, src_negs)
 
         # With a GNN encoder, the batch's unique nodes become sampling seeds;
         # raw embeddings are gathered for the outermost hop set instead
@@ -298,11 +385,81 @@ class LinkPredictionTrainer:
 
         return epoch_fn
 
+    def _build_chunk_fn(self):
+        """Compiled scan over ONE streamed chunk of host/disk-resident edges
+        (already shuffled host-side). The FlatFile/HOST_MEMORY tier's device
+        half: every chunk reuses this one compiled function."""
+        cb, b = self.chunk_batches, self.batch_size
+
+        def chunk_fn(state: TrainState, edges_chunk: Array, masks: Array):
+            def body(carry, xs):
+                edges_b, mask_b = xs
+                return self._batch_step(carry, edges_b, mask_b)
+
+            state, losses = jax.lax.scan(
+                body, state,
+                (edges_chunk.reshape(cb, b, edges_chunk.shape[-1]),
+                 masks.reshape(cb, b)))
+            return state, jnp.sum(losses)
+
+        return chunk_fn
+
+    # ------------------------------------------------------------------
+    def _train_epoch_host(self) -> float:
+        """Stream an epoch of host/disk edges through the compiled chunk scan.
+
+        Shuffle matches the reference's FlatFile semantics (storage.h:23
+        MAX_SHUFFLE_SIZE chunked shuffle): RAM-resident edge arrays get a full
+        permutation; memory-mapped files get a chunked shuffle (random chunk
+        order + in-chunk permutation) to keep reads sequential.
+        """
+        rng = np.random.default_rng((self.seed * 9176 + self._host_epoch) & 0x7FFFFFFF)
+        ce = self.chunk_batches * self.batch_size
+        nchunks = -(-self.num_edges // ce)
+        cols = self.edges_host.shape[1]
+
+        is_mmap = isinstance(self.edges_host, np.memmap)
+        if not is_mmap and self.num_edges <= 400_000_000:
+            shuffled = np.asarray(self.edges_host, np.int32)[
+                rng.permutation(self.num_edges)]
+
+            def get_chunk(ci):
+                return shuffled[ci * ce:(ci + 1) * ce]
+        else:
+            order = rng.permutation(nchunks)
+
+            def get_chunk(k, _order=order):
+                ci = int(_order[k])
+                rows = np.asarray(self.edges_host[ci * ce:(ci + 1) * ce], np.int32)
+                return rows[rng.permutation(len(rows))]
+
+        losses = []
+        for k in range(nchunks):
+            rows = get_chunk(k)
+            valid = len(rows)
+            if valid < ce:
+                padded = np.zeros((ce, cols), np.int32)
+                padded[:valid] = rows
+                rows = padded
+            masks = np.arange(ce) < valid
+            # device_put dispatches async: chunk k+1's host prep and H2D
+            # overlap chunk k's compute
+            self.state, loss = self._chunk_fn(
+                self.state, jax.device_put(jnp.asarray(np.ascontiguousarray(rows))),
+                jnp.asarray(masks))
+            losses.append(loss)
+        self.state = dataclasses.replace(self.state, epoch=self.state.epoch + 1)
+        self._host_epoch += 1
+        return float(jnp.sum(jnp.stack(losses)))
+
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
         t0 = time.perf_counter()
-        self.state, total_loss = self._epoch_fn(self.state, self.edges)
-        total_loss = float(total_loss)  # blocks until done
+        if self.edges_backend == "DEVICE_MEMORY":
+            self.state, total_loss = self._epoch_fn(self.state, self.edges)
+            total_loss = float(total_loss)  # blocks until done
+        else:
+            total_loss = self._train_epoch_host()
         dt = time.perf_counter() - t0
         return {
             "loss": total_loss,

@@ -121,6 +121,8 @@ def test_sharded_lp_step_adagrad_matches_dense():
         lp_batch_loss_direct,
     )
 
+    from marius_tpu.nn.optimizers import init_optimizer
+
     mesh = _mesh()
     rng = np.random.default_rng(6)
     n_pad, r, d = 64, 4, 16
@@ -128,6 +130,7 @@ def test_sharded_lp_step_adagrad_matches_dense():
                                              output_dim=d),),))
     model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d))
     params = init_model_params(jax.random.key(0), model)
+    opt_state = init_optimizer(model.dense_optimizer, params)
     step = make_sharded_lp_step(model, mesh, n_pad)
 
     values = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32) * 0.1)
@@ -140,7 +143,8 @@ def test_sharded_lp_step_adagrad_matches_dense():
     src_negs = jnp.asarray(rng.integers(0, n_pad, (c, nneg)).astype(np.int32))
     mask = jnp.ones((b,), bool)
 
-    _, acc, _, _ = step(values, state, params, edges, dst_negs, src_negs, mask)
+    _, acc, _, _, _ = step(values, state, params, opt_state,
+                           edges, dst_negs, src_negs, mask)
 
     # dense single-device reference of the same step
     def loss_fn(v):
@@ -165,6 +169,8 @@ def test_sharded_lp_step_trains():
     from marius_tpu.nn.layers import LayerConfig
     from marius_tpu.nn.model import LINK_PREDICTION, Model, init_model_params
 
+    from marius_tpu.nn.optimizers import init_optimizer
+
     mesh = _mesh()
     rng = np.random.default_rng(3)
     n_pad, r, d = 64, 4, 16
@@ -172,6 +178,7 @@ def test_sharded_lp_step_trains():
                                              output_dim=d),),))
     model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d))
     params = init_model_params(jax.random.key(0), model)
+    opt_state = init_optimizer(model.dense_optimizer, params)
     step = make_sharded_lp_step(model, mesh, n_pad)
 
     values = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32) * 0.1)
@@ -185,8 +192,8 @@ def test_sharded_lp_step_trains():
             krng.integers(0, n_pad, b)], 1).astype(np.int32))
         dst_negs = jnp.asarray(krng.integers(0, n_pad, (c, nneg)).astype(np.int32))
         src_negs = jnp.asarray(krng.integers(0, n_pad, (c, nneg)).astype(np.int32))
-        values, state, gdense, loss = step(
-            values, state, params, edges, dst_negs, src_negs,
+        values, state, params, opt_state, loss = step(
+            values, state, params, opt_state, edges, dst_negs, src_negs,
             jnp.ones((b,), bool))
         losses.append(float(loss))
     assert np.isfinite(losses).all()
