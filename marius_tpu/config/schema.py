@@ -96,6 +96,10 @@ class EvaluationConfig:
         default_factory=lambda: NegativeSamplingConfig(filtered=True))
     epochs_per_eval: int = 1
     sync: bool = True
+    # stream the raw table from host RAM through tiled device encoding and
+    # scoring instead of materializing it in HBM (filtered LP eval only);
+    # for tables larger than device memory (graph_storage.cpp:31-51 parity)
+    host_streaming: bool = False
 
 
 def resolve_dtype(name: str):

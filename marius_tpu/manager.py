@@ -95,6 +95,21 @@ def _build_mesh(cfg: MariusConfig):
                      devices=jax.devices()[:data * node])
 
 
+class _HostStreamLPEval:
+    """evaluation.host_streaming=true: the raw table never enters HBM whole —
+    tiled device encoding + streamed scoring (LinkPredictionEvaluator.
+    evaluate_from_host_table) instead of the in-HBM compiled scan."""
+
+    def __init__(self, ev, features_host):
+        self.ev = ev
+        self.features_host = features_host
+
+    def evaluate(self, state):
+        host = None if state.table is None else np.asarray(state.table.values)
+        return self.ev.evaluate_from_host_table(
+            host, state.params, features_host=self.features_host)
+
+
 def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
     log = get_logger(cfg.storage.model_dir or None)
     ds = cfg.storage.dataset
@@ -174,12 +189,15 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
 
         all_edges_list = [train_edges] + [e for e in (valid_edges, test_edges) if e is not None]
         all_edges = np.concatenate(all_edges_list, axis=0)
-        eval_features = trainer.features
+        host_streaming = cfg.evaluation.host_streaming
+        # host streaming keeps features host-side too; don't trigger the
+        # trainer's device mirror
+        eval_features = None if host_streaming else trainer.features
 
         def make_eval(edges):
             if edges is None or len(edges) == 0:
                 return None
-            return LinkPredictionEvaluator(
+            ev = LinkPredictionEvaluator(
                 model, num_nodes, num_rels, edges,
                 all_edges=all_edges,
                 batch_size=cfg.evaluation.batch_size,
@@ -189,6 +207,9 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 nbr_configs=eval_nbr,
                 features=eval_features,
             )
+            if host_streaming:
+                return _HostStreamLPEval(ev, features)
+            return ev
 
         runtime = MariusRuntime(cfg, trainer, make_eval(valid_edges), make_eval(test_edges))
 

@@ -194,33 +194,32 @@ class LinkPredictionEvaluator:
 
     def evaluate_from_host_table(self, host_values: "np.ndarray", params,
                                  edge_slice: int = 4096,
-                                 node_tile: int = 262_144) -> Dict[str, float]:
-        """Filtered evaluation when the encoded table does NOT fit in HBM:
-        the table stays in host RAM and is streamed through the device one
-        node tile at a time (the out-of-core twin of the in-HBM streamed
-        scan). Shallow (embedding/feature-free) encoders only.
+                                 node_tile: int = 262_144,
+                                 features_host: Optional["np.ndarray"] = None,
+                                 ) -> Dict[str, float]:
+        """Filtered evaluation when the table does NOT fit in HBM: the raw
+        table stays in host RAM, every node tile is encoded through the
+        device (with neighborhood sampling for GNN encoders — see
+        ``encode_all_nodes_host``), and scoring streams the encoded host
+        table back through in (edge_slice x node_tile) blocks — the
+        out-of-core twin of the in-HBM streamed scan. Supports ANY encoder.
 
-        Device memory: O(edge_slice * d + node_tile * d) regardless of
-        num_nodes. Completes the reference's full-graph eval for
-        PartitionBuffer-backed tables (graph_storage.cpp:31-51 reads an
+        Device memory: O(edge_slice * d + node_tile * d + hop_cap * d)
+        regardless of num_nodes. Completes the reference's full-graph eval
+        for PartitionBuffer-backed tables (graph_storage.cpp:31-51 reads an
         InMemory mirror; here nothing is mirrored).
         """
         assert self.filtered, "host-tiled evaluation is for filtered mode"
-        assert not self.nbr_configs, "host-tiled evaluation: shallow encoders"
-        # host rows are consumed as-is: the encoder must be an identity
-        # EMBEDDING slice (no bias/activation/offset), else metrics would
-        # silently diverge from evaluate()
-        for stage in self.model.encoder.stages:
-            for layer in stage:
-                assert (layer.layer_type.upper() == "EMBEDDING"
-                        and not layer.bias
-                        and layer.activation.upper() == "NONE"
-                        and layer.offset == 0), \
-                    "host-tiled evaluation supports identity embedding " \
-                    "encoders only; use evaluate() for transformed encoders"
+        from marius_tpu.train.graph_encoder import encode_all_nodes_host
+
         decoder = self.model.decoder
         num_nodes = self.num_nodes
-        host = np.asarray(host_values)
+        if features_host is None and self.features is not None:
+            features_host = np.asarray(self.features)   # (N+1, F) sentinel kept
+        host = encode_all_nodes_host(
+            self.model, params, host_values, graph=self.graph,
+            nbr_configs=self.nbr_configs, features_host=features_host,
+            batch_size=self.batch_size)
 
         edges = np.asarray(self.edges)[:self.num_edges]
         rels_np = edges[:, 1] if self.has_rels else None

@@ -71,3 +71,93 @@ def encode_all_nodes(
         return outs.reshape(nb * batch_size, -1)[:num_nodes]
 
     return encode(table_values, params, ids)
+
+
+def encode_all_nodes_host(
+    model: Model,
+    params,
+    host_values: Optional["np.ndarray"],  # (N, emb_dim) host table, or None
+    graph: Optional[DeviceGraph] = None,
+    nbr_configs: Sequence[NeighborSamplingConfig] = (),
+    features_host: Optional["np.ndarray"] = None,  # (N, F) or (N+1, F) host
+    batch_size: int = 1000,
+    hop_caps: Optional[Sequence[int]] = None,
+    seed: int = 13,
+) -> "np.ndarray":
+    """``encode_all_nodes`` for tables that do NOT fit in HBM.
+
+    The embedding/feature tables stay in host RAM; only one node tile's
+    gathered neighborhood rows (O(hop_cap * d)) plus the graph CSR ever live
+    on the device. Works for ANY encoder — identity, transformed, and GNN —
+    closing the reference's full-graph eval for buffer-backed storage
+    (graph_storage.cpp:31-51 reads an InMemory mirror; here nothing is
+    mirrored).
+
+    Sampling uses the same seed/fold-in/cap scheme as ``encode_all_nodes``,
+    so with equal ``batch_size`` the two produce identical encodings.
+    Returns the full (num_nodes, d_out) encoded table as host numpy.
+    """
+    if host_values is not None:
+        host_values = np.asarray(host_values)
+    num_nodes = (graph.num_nodes if graph is not None
+                 else len(host_values) if host_values is not None
+                 else len(features_host))
+    feats_padded = None
+    if features_host is not None:
+        feats_padded = np.asarray(features_host)
+        if len(feats_padded) == num_nodes:      # add the sentinel row
+            feats_padded = np.concatenate(
+                [feats_padded, np.zeros((1, feats_padded.shape[1]),
+                                        feats_padded.dtype)])
+
+    nb = -(-num_nodes // batch_size)
+    out_host: Optional[np.ndarray] = None
+
+    if not nbr_configs:
+        # shallow (possibly transformed) encoder: stream raw rows through it
+        @jax.jit
+        def encode_tile(emb, feats):
+            return encoder_forward(model.encoder, params["encoder"], emb, feats)
+
+        for i in range(nb):
+            lo, hi = i * batch_size, min((i + 1) * batch_size, num_nodes)
+            idx = np.minimum(np.arange(lo, lo + batch_size), num_nodes - 1)
+            emb = None if host_values is None else jnp.asarray(host_values[idx])
+            feats = (None if feats_padded is None
+                     else jnp.asarray(feats_padded[np.minimum(idx, num_nodes)]))
+            out = np.asarray(encode_tile(emb, feats))
+            if out_host is None:
+                out_host = np.empty((num_nodes, out.shape[1]), out.dtype)
+            out_host[lo:hi] = out[:hi - lo]
+        return out_host
+
+    assert graph is not None, "GNN host encoding needs the graph CSR"
+    caps = tuple(hop_caps or estimate_hop_caps(batch_size, nbr_configs, num_nodes))
+
+    @jax.jit
+    def sample_tile(idx, seeds):
+        mask = seeds < num_nodes
+        k = jax.random.fold_in(jax.random.key(seed), idx)
+        return sample_neighbor_batch(k, graph, seeds, mask, nbr_configs, caps)
+
+    @jax.jit
+    def encode_tile(batch, emb, feats):
+        return encoder_forward(model.encoder, params["encoder"], emb, feats,
+                               batch, degrees=graph.degrees, train=False)
+
+    for i in range(nb):
+        lo, hi = i * batch_size, min((i + 1) * batch_size, num_nodes)
+        seeds = np.full((batch_size,), num_nodes, np.int32)
+        seeds[:hi - lo] = np.arange(lo, hi, dtype=np.int32)
+        batch = sample_tile(jnp.asarray(i, jnp.int32), jnp.asarray(seeds))
+        # host-side gather of the outermost hop's rows (the only table access)
+        outer = np.asarray(batch.node_ids[0])
+        emb = (None if host_values is None
+               else jnp.asarray(host_values[np.minimum(outer, num_nodes - 1)]))
+        feats = (None if feats_padded is None
+                 else jnp.asarray(feats_padded[np.minimum(outer, num_nodes)]))
+        out = np.asarray(encode_tile(batch, emb, feats))
+        if out_host is None:
+            out_host = np.empty((num_nodes, out.shape[1]), out.dtype)
+        out_host[lo:hi] = out[:hi - lo]
+    return out_host

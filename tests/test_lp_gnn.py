@@ -55,3 +55,64 @@ def test_gnn_lp_trains_and_evaluates():
     res = ev.evaluate(trainer.state)
     random_mrr = sum(1.0 / r for r in range(1, NUM_NODES + 1)) / NUM_NODES
     assert res["mrr"] > 2 * random_mrr, f"GNN LP MRR too low: {res['mrr']}"
+
+
+def test_gnn_host_tiled_eval_matches_device_eval():
+    """evaluate_from_host_table with a GNN encoder: the raw table stays in
+    host RAM (simulating a >HBM table), node tiles are encoded through the
+    device with sampled neighborhoods, and the filtered metrics must match
+    the in-HBM path (same batch_size => identical sampling)."""
+    train, valid, test = generate_random_lp_dataset()
+    graph = build_device_graph(train, NUM_NODES, NUM_RELS)
+    nbr = [NeighborSamplingConfig("UNIFORM", max_neighbors=5)]
+    trainer = LinkPredictionTrainer(
+        _gnn_lp_model(), NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+        batch_size=100, seed=0, graph=graph, nbr_configs=nbr)
+    trainer.train(2)
+
+    all_edges = np.concatenate([train, valid, test])
+    ev = LinkPredictionEvaluator(
+        trainer.model, NUM_NODES, NUM_RELS, test,
+        all_edges=all_edges, batch_size=50, filtered=True,
+        graph=graph, nbr_configs=nbr)
+    res_dev = ev.evaluate(trainer.state)
+    host = np.asarray(trainer.state.table.values)
+    res_host = ev.evaluate_from_host_table(
+        host, trainer.state.params, edge_slice=32, node_tile=16)
+    assert abs(res_dev["mrr"] - res_host["mrr"]) < 1e-5
+    assert abs(res_dev["mean_rank"] - res_host["mean_rank"]) < 1e-3
+
+
+def test_transformed_encoder_host_tiled_eval():
+    """Non-identity (bias+activation) shallow encoder through the host-tiled
+    path — previously rejected by an identity-only assertion."""
+    from marius_tpu.nn.model import Model
+    train, valid, test = generate_random_lp_dataset()
+    encoder = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=DIM, bias=True,
+                     activation="RELU"),),
+    ))
+    model = Model(
+        learning_task="LINK_PREDICTION",
+        encoder=encoder,
+        decoder=EdgeDecoder("DISTMULT", NUM_RELS, DIM),
+        loss_type="SOFTMAX_CE",
+        loss_reduction="SUM",
+        dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.05),
+        sparse_lr=0.1,
+    )
+    trainer = LinkPredictionTrainer(
+        model, NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+        batch_size=100, seed=0)
+    trainer.train(2)
+    all_edges = np.concatenate([train, valid, test])
+    ev = LinkPredictionEvaluator(
+        model, NUM_NODES, NUM_RELS, test,
+        all_edges=all_edges, batch_size=50, filtered=True)
+    res_dev = ev.evaluate(trainer.state)
+    host = np.asarray(trainer.state.table.values)
+    res_host = ev.evaluate_from_host_table(
+        host, trainer.state.params, edge_slice=32, node_tile=16)
+    assert abs(res_dev["mrr"] - res_host["mrr"]) < 1e-5

@@ -216,3 +216,19 @@ def test_nc_with_learnable_embeddings(tmp_path):
     result = marius_train(load_config(raw))
     assert len(result["epochs"]) == 2
     assert 0.0 <= result["test"]["accuracy"] <= 1.0
+
+
+def test_lp_host_streaming_eval(tmp_path):
+    """evaluation.host_streaming=true + buffer-backed GNN model: the table is
+    evaluated without ever materializing it in HBM (VERDICT #3)."""
+    overrides = {
+        "model.encoder": copy.deepcopy(GS_ENCODER),
+        "evaluation.host_streaming": True,
+        "storage.embeddings_backend": "PARTITION_BUFFER",
+        "storage.num_partitions": 4,
+        "storage.buffer_capacity": 2,
+    }
+    raw = _lp_config(tmp_path, "host_stream", **overrides)
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 2
+    assert 0.0 < result["test"]["mrr"] <= 1.0
