@@ -118,6 +118,8 @@ class MariusConfig:
     train_neighbor_sampling: Tuple[NeighborSamplingConfig, ...] = ()
     eval_neighbor_sampling: Tuple[NeighborSamplingConfig, ...] = ()
     hop_caps: Tuple[int, ...] = ()   # optional static per-hop unique-node caps
+    all_cap_limit: int = 4096        # fanout ceiling for ALL sampling; hubs
+                                     # above it truncate (loudly) to the cap
     learning_task: str = "LINK_PREDICTION"
 
 
@@ -209,8 +211,13 @@ def _negative_sampling(d: Optional[Dict]) -> NegativeSamplingConfig:
     )
 
 
-def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
-    """Parse a marius-style YAML file (or pre-parsed dict) into MariusConfig."""
+def load_config(path_or_dict, model_dir: Optional[str] = None,
+                validate: bool = True) -> MariusConfig:
+    """Parse a marius-style YAML file (or pre-parsed dict) into MariusConfig.
+
+    With ``validate`` (default), unknown keys and invalid/inconsistent values
+    raise ConfigError with the dotted path and a did-you-mean suggestion
+    (marius_config.py:836 type_safe_merge + __post_init__ parity)."""
     if isinstance(path_or_dict, (str, os.PathLike)):
         with open(path_or_dict) as f:
             raw = yaml.safe_load(f)
@@ -312,6 +319,7 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
         (os.path.join(dataset.dataset_dir, "model_0") if dataset.dataset_dir else ""),
         save_model=bool(s.get("save_model", True)),
         export_encoded_nodes=bool(s.get("export_encoded_nodes", False)),
+        prefetching=bool(s.get("prefetching", True)),
     )
 
     training = TrainingConfig(
@@ -337,9 +345,10 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
             ev.get("negative_sampling") or {"filtered": True}),
         epochs_per_eval=int(ev.get("epochs_per_eval", 1)),
         sync=bool((ev.get("pipeline") or {}).get("sync", True)),
+        host_streaming=bool(ev.get("host_streaming", False)),
     )
 
-    return MariusConfig(
+    cfg = MariusConfig(
         model=model,
         storage=storage,
         training=training,
@@ -348,5 +357,10 @@ def load_config(path_or_dict, model_dir: Optional[str] = None) -> MariusConfig:
         eval_neighbor_sampling=_neighbor_sampling(
             enc_raw.get("eval_neighbor_sampling") or enc_raw.get("train_neighbor_sampling")),
         hop_caps=tuple(int(x) for x in (enc_raw.get("hop_caps") or [])),
+        all_cap_limit=int(enc_raw.get("all_cap_limit", 4096)),
         learning_task=learning_task,
     )
+    if validate:
+        from marius_tpu.config.validate import validate as _validate
+        _validate(raw, cfg)
+    return cfg

@@ -130,8 +130,10 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         if cfg.train_neighbor_sampling:
             graph = build_device_graph(train_edges, num_nodes, num_rels)
             from marius_tpu.data.samplers.neighbor import resolve_all_caps
-            train_nbr = resolve_all_caps(train_nbr, graph.in_offsets, graph.out_offsets)
-            eval_nbr = resolve_all_caps(eval_nbr, graph.in_offsets, graph.out_offsets)
+            train_nbr = resolve_all_caps(train_nbr, graph.in_offsets, graph.out_offsets,
+                                         cap_limit=cfg.all_cap_limit)
+            eval_nbr = resolve_all_caps(eval_nbr, graph.in_offsets, graph.out_offsets,
+                                        cap_limit=cfg.all_cap_limit)
         if model.encoder.has_features:
             features = load_features(ds.dataset_dir)
 
@@ -227,10 +229,12 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             # ever reach HBM
             graph = build_device_graph(edges, num_nodes, max(ds.num_relations, 1))
             from marius_tpu.data.samplers.neighbor import resolve_all_caps
-            train_nbr = resolve_all_caps(train_nbr, graph.in_offsets, graph.out_offsets)
+            train_nbr = resolve_all_caps(train_nbr, graph.in_offsets, graph.out_offsets,
+                                         cap_limit=cfg.all_cap_limit)
         else:
             from marius_tpu.data.samplers.neighbor import resolve_all_caps_from_edges
-            train_nbr = resolve_all_caps_from_edges(train_nbr, edges, num_nodes)
+            train_nbr = resolve_all_caps_from_edges(train_nbr, edges, num_nodes,
+                                                    cap_limit=cfg.all_cap_limit)
         log.info("Loaded NC dataset: %d nodes, %d edges, %d train nodes",
                  num_nodes, len(edges), len(train_nodes))
 

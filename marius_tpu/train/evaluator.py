@@ -223,6 +223,12 @@ class LinkPredictionEvaluator:
 
         edges = np.asarray(self.edges)[:self.num_edges]
         rels_np = edges[:, 1] if self.has_rels else None
+        # clamp tiles to the problem size so small graphs don't pay (and
+        # possibly OOM on) padding up to the large-graph defaults
+        node_tile = min(node_tile,
+                        1 << max(0, (num_nodes - 1)).bit_length())
+        edge_slice = min(edge_slice,
+                         1 << max(0, (len(edges) - 1)).bit_length())
 
         # per-direction (adjusted anchors, positive scores, anchor ids)
         @partial(jax.jit, static_argnames=("inverse",))

@@ -116,3 +116,44 @@ def test_transformed_encoder_host_tiled_eval():
     res_host = ev.evaluate_from_host_table(
         host, trainer.state.params, edge_slice=32, node_tile=16)
     assert abs(res_dev["mrr"] - res_host["mrr"]) < 1e-5
+
+
+def test_all_cap_truncation_warning():
+    """Hubs above all_cap_limit must trigger a loud warning with the
+    truncated-node count and neighbor-mass fraction (never silent)."""
+    import logging
+    from marius_tpu.data.samplers.neighbor import (
+        resolve_all_caps_from_edges)
+
+    class _Capture(logging.Handler):
+        def __init__(self):
+            super().__init__(logging.WARNING)
+            self.records = []
+
+        def emit(self, record):
+            self.records.append(record)
+
+    # own handler: get_logger() elsewhere may disable propagation, which
+    # would make pytest's caplog order-dependent
+    log = logging.getLogger("marius_tpu")
+    cap = _Capture()
+    log.addHandler(cap)
+    old_level = log.level
+    log.setLevel(logging.WARNING)
+    try:
+        # star graph: node 0 has 100 outgoing edges, cap at 10
+        edges = np.stack([np.zeros(100, np.int32),
+                          np.zeros(100, np.int32),
+                          np.arange(1, 101, dtype=np.int32)], axis=1)
+        cfgs = [NeighborSamplingConfig("ALL")]
+        out = resolve_all_caps_from_edges(cfgs, edges, 101, cap_limit=10)
+        assert out[0].max_neighbors == 10
+        assert any("uniformly truncated" in r.getMessage()
+                   for r in cap.records), cap.records
+        # under the cap: no warning
+        cap.records.clear()
+        resolve_all_caps_from_edges(cfgs, edges, 101, cap_limit=128)
+        assert not cap.records
+    finally:
+        log.removeHandler(cap)
+        log.setLevel(old_level)

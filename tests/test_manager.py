@@ -224,11 +224,18 @@ def test_lp_host_streaming_eval(tmp_path):
     overrides = {
         "model.encoder": copy.deepcopy(GS_ENCODER),
         "evaluation.host_streaming": True,
-        "storage.embeddings_backend": "PARTITION_BUFFER",
-        "storage.num_partitions": 4,
-        "storage.buffer_capacity": 2,
+        "storage.embeddings": {
+            "type": "PARTITION_BUFFER",
+            "options": {"num_partitions": 4, "buffer_capacity": 2}},
     }
     raw = _lp_config(tmp_path, "host_stream", **overrides)
-    result = marius_train(load_config(raw))
+    cfg = load_config(raw)
+    assert cfg.storage.embeddings_backend == "PARTITION_BUFFER"
+    assert cfg.evaluation.host_streaming
+    result = marius_train(cfg)
     assert len(result["epochs"]) == 2
     assert 0.0 < result["test"]["mrr"] <= 1.0
+    # the host-streamed evaluator (not the in-HBM scan) must be wired in
+    from marius_tpu.manager import _HostStreamLPEval, marius_init
+    rt = marius_init(load_config(raw), train=False)
+    assert isinstance(rt.test_evaluator, _HostStreamLPEval)
