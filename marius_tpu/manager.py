@@ -223,14 +223,33 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         train_nodes = load_node_split(ds.dataset_dir, "train")
         num_nodes = ds.num_nodes
         graph = None
+        full_graph = None
         train_nbr = cfg.train_neighbor_sampling
         if cfg.storage.features_backend != "PARTITION_BUFFER":
             # buffer mode keeps the graph host-side; only resident subgraphs
             # ever reach HBM
             graph = build_device_graph(edges, num_nodes, max(ds.num_relations, 1))
-            from marius_tpu.data.samplers.neighbor import resolve_all_caps
-            train_nbr = resolve_all_caps(train_nbr, graph.in_offsets, graph.out_offsets,
-                                         cap_limit=cfg.all_cap_limit)
+            # exact-ALL fast path: when every hop samples ALL and the encoder
+            # is aggregation-style, compute layers over the full padded
+            # adjacency instead of per-batch frontiers (data/full_graph.py) —
+            # exact semantics (no cap truncation) and no index machinery
+            from marius_tpu.nn.full_graph_encoder import supports_full_graph
+            if (mesh is None and train_nbr
+                    and all(c.sampling_type.upper() == "ALL" for c in train_nbr)
+                    and supports_full_graph(model.encoder)):
+                from marius_tpu.data.full_graph import build_full_graph_adjacency
+                full_graph = build_full_graph_adjacency(
+                    edges, num_nodes, max_degree_limit=cfg.all_cap_limit)
+                if full_graph is not None:
+                    log.info("Full-graph ALL mode: padded adjacency "
+                             "(%d in / %d out slots per node), exact ALL",
+                             full_graph.in_nbr.shape[1],
+                             full_graph.out_nbr.shape[1])
+            if full_graph is None:
+                from marius_tpu.data.samplers.neighbor import resolve_all_caps
+                train_nbr = resolve_all_caps(
+                    train_nbr, graph.in_offsets, graph.out_offsets,
+                    cap_limit=cfg.all_cap_limit)
         else:
             from marius_tpu.data.samplers.neighbor import resolve_all_caps_from_edges
             train_nbr = resolve_all_caps_from_edges(train_nbr, edges, num_nodes,
@@ -271,6 +290,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 hop_caps=cfg.hop_caps or None,
                 seed=cfg.training.seed,
                 mesh=mesh,
+                full_graph=full_graph,
             )
 
             def make_nc_eval(split):

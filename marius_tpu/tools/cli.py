@@ -54,6 +54,12 @@ def marius_preprocess(argv=None):
     p.add_argument("--columns", nargs="+", type=int, default=[0, 1, 2],
                    help="src [rel] dst column indices")
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--chunked", action="store_true",
+                   help="out-of-core conversion for edge files larger than "
+                        "RAM (streaming two-pass; the reference covers this "
+                        "regime with its Spark converter)")
+    p.add_argument("--chunk_rows", type=int, default=None,
+                   help="resident edge rows per chunk in --chunked mode")
     args = p.parse_args(argv)
 
     from marius_tpu.tools.preprocess.datasets import DATASET_REGISTRY
@@ -75,10 +81,9 @@ def marius_preprocess(argv=None):
                       sequential_train_nodes=args.sequential_train_nodes,
                       partitioned_eval=args.partitioned_eval)
     elif args.edges:
-        from marius_tpu.tools.preprocess.converter import EdgeListConverter
         cols = args.columns
         has_rel = len(cols) == 3
-        EdgeListConverter(
+        kwargs = dict(
             output_dir=args.output_directory,
             train_edges=args.edges[0],
             valid_edges=args.edges[1] if len(args.edges) > 1 else None,
@@ -91,7 +96,17 @@ def marius_preprocess(argv=None):
             remap_ids=not args.no_remap_ids,
             num_partitions=args.num_partitions,
             partitioned_evaluation=args.partitioned_eval,
-        ).convert()
+        )
+        if args.chunked:
+            from marius_tpu.tools.preprocess.chunked_converter import (
+                ChunkedEdgeListConverter,
+            )
+            if args.chunk_rows:
+                kwargs["chunk_rows"] = args.chunk_rows
+            ChunkedEdgeListConverter(**kwargs).convert()
+        else:
+            from marius_tpu.tools.preprocess.converter import EdgeListConverter
+            EdgeListConverter(**kwargs).convert()
     else:
         p.error("either --dataset or --edges is required")
     return 0

@@ -1,14 +1,28 @@
-"""Spark-based edge-list converter for datasets too large for one host's RAM.
+"""Spark-fronted edge-list converter for multi-file / cluster-resident input.
 
 API twin of the reference's SparkEdgeListConverter (tools/preprocess/
-converters/spark_converter.py, 238 LoC): same constructor surface as
-EdgeListConverter but the read/remap/split runs as Spark jobs. Requires
-pyspark; falls back with a clear error when absent (it is not bundled with
-marius_tpu).
+converters/spark_converter.py): same constructor surface as
+EdgeListConverter. Division of labor differs from the reference and is
+stated plainly:
+
+- **Spark does the read**: the input may be a glob/directory of files on any
+  Spark-readable filesystem; rows stream to the driver partition-by-partition
+  (``toLocalIterator`` — never a full ``collect``) into a local temp binary.
+- **The driver does remap/split/partition, out-of-core**: the temp binary is
+  handed to ChunkedEdgeListConverter, whose footprint is O(num_nodes + chunk)
+  — the edge list itself never needs to fit in driver RAM. The reference runs
+  these stages as Spark jobs; here the same >RAM capability is delivered by
+  the streaming converter, trading cluster parallelism for zero cluster
+  dependency in the hot path.
+
+Requires pyspark only for the read; absent pyspark, point
+ChunkedEdgeListConverter at the files directly.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Optional
 
 
@@ -19,17 +33,20 @@ def _require_pyspark():
     except ImportError as e:
         raise RuntimeError(
             "SparkEdgeListConverter requires pyspark (`pip install pyspark`). "
-            "For datasets that fit in host RAM use EdgeListConverter, which "
-            "needs only numpy/pandas.") from e
+            "For local files of any size use ChunkedEdgeListConverter "
+            "(numpy-only, out-of-core); for in-RAM data use "
+            "EdgeListConverter.") from e
 
 
 class SparkEdgeListConverter:
-    """Distributed converter: delimited files -> remapped binary edge splits."""
+    """Spark-read + streaming out-of-core convert (see module docstring)."""
 
     def __init__(self, output_dir: str, train_edges: str, delim: str = "\t",
                  src_column: int = 0, dst_column: int = 2,
                  edge_type_column: Optional[int] = 1,
                  splits=None, num_partitions: int = 1,
+                 partitioned_evaluation: bool = False,
+                 chunk_rows: int = 4_000_000,
                  spark_master: str = "local[*]", **kwargs):
         self.SparkSession = _require_pyspark()
         self.output_dir = output_dir
@@ -40,27 +57,44 @@ class SparkEdgeListConverter:
         self.edge_type_column = edge_type_column
         self.splits = splits
         self.num_partitions = num_partitions
+        self.partitioned_evaluation = partitioned_evaluation
+        self.chunk_rows = chunk_rows
         self.spark_master = spark_master
 
     def convert(self):
-        import numpy as np
-        from marius_tpu.tools.preprocess.converter import EdgeListConverter
+        from marius_tpu.tools.preprocess.chunked_converter import (
+            ChunkedEdgeListConverter,
+        )
 
+        has_rel = self.edge_type_column is not None
         spark = (self.SparkSession.builder.master(self.spark_master)
                  .appName("marius_tpu_preprocess").getOrCreate())
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".edges.tsv", delete=False)
         try:
             df = spark.read.csv(self.train_edges, sep=self.delim, header=False)
             cols = [df.columns[self.src_column]]
-            if self.edge_type_column is not None:
+            if has_rel:
                 cols.append(df.columns[self.edge_type_column])
             cols.append(df.columns[self.dst_column])
-            rows = np.asarray(df.select(*cols).collect())
+            sel = df.select(*cols)
+            # partition-at-a-time stream to a local TSV (string-safe for raw
+            # ids like freebase mids): the driver holds one Spark partition
+            # of rows at once, never the full edge list
+            for row in sel.toLocalIterator(prefetchPartitions=True):
+                tmp.write("\t".join(str(v) for v in row) + "\n")
+            tmp.close()
         finally:
             spark.stop()
-        # delegate the remap/split/partition/write to the in-memory converter
-        has_rel = self.edge_type_column is not None
-        return EdgeListConverter(
-            output_dir=self.output_dir, train_edges=rows, format="numpy",
-            src_column=0, edge_type_column=1 if has_rel else None,
-            dst_column=2 if has_rel else 1,
-            splits=self.splits, num_partitions=self.num_partitions).convert()
+
+        try:
+            return ChunkedEdgeListConverter(
+                output_dir=self.output_dir, train_edges=tmp.name,
+                format="csv", delim="\t", src_column=0,
+                edge_type_column=1 if has_rel else None,
+                dst_column=2 if has_rel else 1,
+                splits=self.splits, num_partitions=self.num_partitions,
+                partitioned_evaluation=self.partitioned_evaluation,
+                chunk_rows=self.chunk_rows).convert()
+        finally:
+            os.unlink(tmp.name)

@@ -64,12 +64,25 @@ class NodeClassificationTrainer:
                      # each data shard samples/encodes its sub-batch
                      # independently, dense grads psum over the data axis
                      # (model.cpp:136-159 all_reduce analogue)
+        full_graph=None,  # FullGraphAdjacency — exact-ALL mode: every batch
+                          # computes all layers over ALL nodes and slices the
+                          # seed rows (bit-equal to unbounded ALL sampling,
+                          # data/full_graph.py); nbr_configs are ignored
     ):
         self.model = model
         self.graph = graph
         self.batch_size = batch_size
         self.nbr_configs = tuple(nbr_configs)
         self.mesh = mesh
+        self.full_graph = full_graph
+        self._nbr_sums = None
+        if full_graph is not None:
+            assert mesh is None, "full-graph mode is single-device for now"
+            from marius_tpu.data.full_graph import make_nbr_sums
+            from marius_tpu.nn.full_graph_encoder import supports_full_graph
+            assert supports_full_graph(model.encoder), \
+                "full-graph mode supports GraphSAGE/GCN stages only"
+            self._nbr_sums = make_nbr_sums(full_graph)
         local_batch = batch_size
         if mesh is not None:
             from marius_tpu.parallel.mesh import DATA_AXIS
@@ -117,9 +130,54 @@ class NodeClassificationTrainer:
         return nb, feats, emb, outer_uniq
 
     def _batch_step(self, state: TrainState, seeds: Array, mask_b: Array):
+        if self.full_graph is not None:
+            return self._batch_step_full_graph(state, seeds, mask_b)
         if self.mesh is None:
             return self._batch_step_local(state, seeds, mask_b, None)
         return self._sharded_batch_step(state, seeds, mask_b)
+
+    def _batch_step_full_graph(self, state: TrainState, seeds: Array,
+                               mask_b: Array):
+        """Exact-ALL batch step: all layers over ALL nodes, slice the seed
+        rows. Identical math to unbounded ALL sampling, none of the per-batch
+        frontier machinery."""
+        from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
+
+        model = self.model
+        key, _ = jax.random.split(state.key)
+        n = self.graph.num_nodes
+        seeds_c = jnp.minimum(seeds, n - 1)
+        labels_b = self.labels[jnp.minimum(seeds, n)]
+        feats = None if self.features is None else self.features[:-1]
+        table_values = state.table.values if state.table is not None else None
+
+        def loss_fn(emb, dense_params):
+            logits_all = full_graph_encoder_forward(
+                model.encoder, dense_params["encoder"], emb, feats,
+                self.full_graph, nbr_sums=self._nbr_sums)
+            return nc_batch_loss(model, logits_all[seeds_c], labels_b, mask_b)
+
+        if table_values is not None:
+            loss, (g_emb, g_dense) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(table_values, state.params)
+            # g_emb is already table-shaped: apply the dense-accumulator
+            # Adagrad rule directly (identical math to the unique-row rule)
+            from marius_tpu.parallel.embedding_table import (
+                ADAGRAD_EPS,
+                EmbeddingTable,
+            )
+            acc = state.table.state + g_emb * g_emb
+            values = state.table.values - model.sparse_lr * g_emb / (
+                jnp.sqrt(acc) + ADAGRAD_EPS)
+            new_table = EmbeddingTable(values=values, state=acc)
+        else:
+            loss, g_dense = jax.value_and_grad(loss_fn, argnums=1)(
+                None, state.params)
+            new_table = state.table
+        new_params, new_opt = apply_optimizer(
+            model.dense_optimizer, state.params, state.opt_state, g_dense)
+        return TrainState(table=new_table, params=new_params,
+                          opt_state=new_opt, key=key, epoch=state.epoch), loss
 
     def _batch_step_local(self, state: TrainState, seeds: Array, mask_b: Array,
                           data_axis: Optional[str]):
@@ -243,10 +301,28 @@ class NodeClassificationEvaluator:
         self.seed = seed
         self._eval_fn = jax.jit(self._build_eval_fn())
 
+    def _full_graph_logits(self, table_values, params, nodes):
+        """One full-graph pass; logits for the requested node ids."""
+        tr = self.trainer
+        from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
+        feats = None if tr.features is None else tr.features[:-1]
+        logits_all = full_graph_encoder_forward(
+            tr.model.encoder, params["encoder"], table_values, feats,
+            tr.full_graph, nbr_sums=tr._nbr_sums)
+        return logits_all[jnp.minimum(nodes, tr.graph.num_nodes - 1)]
+
     def _build_eval_fn(self):
         tr = self.trainer
         model = tr.model
         nb_, b = self.num_batches, self.batch_size
+
+        if tr.full_graph is not None:
+            def eval_fn_fg(table_values, params, eval_nodes):
+                logits = self._full_graph_logits(table_values, params, eval_nodes)
+                labels = tr.labels[jnp.minimum(eval_nodes, tr.graph.num_nodes)]
+                mask = jnp.arange(nb_ * b) < self.num_eval
+                return categorical_accuracy_statistics(logits, labels, mask)
+            return eval_fn_fg
 
         def eval_fn(table_values, params, eval_nodes):
             def body(acc, xs):
@@ -289,6 +365,17 @@ class NodeClassificationEvaluator:
         tr = self.trainer
         model = tr.model
         nb_, b = self.num_batches, self.batch_size
+
+        if tr.full_graph is not None:
+            @jax.jit
+            def labels_fn_fg(table_values, params, eval_nodes):
+                logits = self._full_graph_logits(table_values, params, eval_nodes)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            table_values = state.table.values if state.table is not None else None
+            preds = np.asarray(labels_fn_fg(table_values, state.params,
+                                            self.eval_nodes))
+            return preds[:self.num_eval]
 
         @jax.jit
         def labels_fn(table_values, params, eval_nodes):

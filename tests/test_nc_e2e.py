@@ -120,6 +120,118 @@ def test_nc_all_sampling_exact_below_cap():
     assert np.isfinite(stats[0]["loss"])
 
 
+def test_full_graph_matches_sampled_all():
+    """Full-graph ALL mode is bit-equal (up to summation order) to sampled
+    ALL with a cap covering the max degree: same losses, same accuracy."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    edges, feats, labels = community_graph()
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(NUM_NODES)
+    train_nodes, test_nodes = perm[:300], perm[300:]
+    graph = build_device_graph(edges, NUM_NODES)
+    max_deg = int(np.asarray(graph.degrees).max())
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)] * 2
+
+    sampled = NodeClassificationTrainer(
+        _gs_model(), graph, feats, labels, train_nodes, nbr,
+        batch_size=100, seed=0)
+    fg_adj = build_full_graph_adjacency(edges, NUM_NODES)
+    assert fg_adj is not None
+    full = NodeClassificationTrainer(
+        _gs_model(), graph, feats, labels, train_nodes, nbr,
+        batch_size=100, seed=0, full_graph=fg_adj)
+
+    s_stats = sampled.train(3)
+    f_stats = full.train(3)
+    for s, f in zip(s_stats, f_stats):
+        assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0), \
+            f"loss diverged: sampled {s['loss']} vs full-graph {f['loss']}"
+
+    ev_s = NodeClassificationEvaluator(sampled, test_nodes)
+    ev_f = NodeClassificationEvaluator(full, test_nodes)
+    a, b = ev_s.evaluate(sampled.state), ev_f.evaluate(full.state)
+    assert abs(a["accuracy"] - b["accuracy"]) < 1e-6
+    pl_s = ev_s.predict_labels(sampled.state)
+    pl_f = ev_f.predict_labels(full.state)
+    assert pl_s.shape == pl_f.shape == (100,)
+    assert (pl_s == pl_f).mean() > 0.99
+
+
+def test_full_graph_gcn_with_embeddings():
+    """Full-graph mode with a GCN stage and a learnable embedding table:
+    trains, matches the sampled-ALL trajectory (dense-accum Adagrad twin)."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+    from marius_tpu.nn.optimizers import OptimizerConfig
+
+    edges, feats, labels = community_graph()
+    graph = build_device_graph(edges, NUM_NODES)
+    max_deg = int(np.asarray(graph.degrees).max())
+    emb_dim = 8
+    stages = (
+        (LayerConfig(layer_type="EMBEDDING", output_dim=emb_dim),),
+        (LayerConfig(layer_type="GNN", gnn_type="GCN",
+                     input_dim=emb_dim, output_dim=NUM_CLASSES, bias=True),),
+    )
+    def mk():
+        return Model(
+            learning_task="NODE_CLASSIFICATION",
+            encoder=EncoderConfig(stages=stages), decoder=None,
+            loss_type="CROSS_ENTROPY", loss_reduction="SUM",
+            dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01),
+            sparse_lr=0.1)
+
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)]
+    train_nodes = np.arange(200, dtype=np.int32)
+    sampled = NodeClassificationTrainer(
+        mk(), graph, None, labels, train_nodes, nbr, batch_size=50, seed=0)
+    full = NodeClassificationTrainer(
+        mk(), graph, None, labels, train_nodes, nbr, batch_size=50, seed=0,
+        full_graph=build_full_graph_adjacency(edges, NUM_NODES))
+    s_stats = sampled.train(3)
+    f_stats = full.train(3)
+    for s, f in zip(s_stats, f_stats):
+        assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0), \
+            f"loss diverged: sampled {s['loss']} vs full-graph {f['loss']}"
+    tv_s = np.asarray(sampled.state.table.values)
+    tv_f = np.asarray(full.state.table.values)
+    np.testing.assert_allclose(tv_s, tv_f, rtol=1e-3, atol=1e-4)
+
+
+def test_manager_auto_full_graph(tmp_path):
+    """ALL-everywhere config with a GraphSAGE encoder auto-enables the
+    full-graph path in marius_init; training and eval run through it."""
+    from marius_tpu.config.schema import load_config
+    from marius_tpu.manager import marius_train
+    from marius_tpu.tools.preprocess import generate_random_dataset_nc
+
+    ds_dir = str(tmp_path / "ds_nc_fg")
+    generate_random_dataset_nc(ds_dir, num_nodes=60, num_edges=600,
+                               num_classes=4, feature_dim=8)
+    raw = {
+        "model": {
+            "learning_task": "NODE_CLASSIFICATION",
+            "encoder": {
+                "layers": [
+                    [{"type": "FEATURE", "output_dim": 8}],
+                    [{"type": "GNN", "input_dim": 8, "output_dim": 4,
+                      "options": {"type": "GRAPH_SAGE", "aggregator": "MEAN"}}],
+                ],
+                "train_neighbor_sampling": [{"type": "ALL"}],
+            },
+            "loss": {"type": "CROSS_ENTROPY", "options": {"reduction": "SUM"}},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.01}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds_dir}, "save_model": False},
+        "training": {"batch_size": 30, "num_epochs": 2},
+        "evaluation": {"batch_size": 30},
+    }
+    result = marius_train(load_config(raw))
+    assert result["runtime"].trainer.full_graph is not None
+    assert len(result["epochs"]) == 2
+    assert 0.0 <= result["test"]["accuracy"] <= 1.0
+
+
 def test_nc_eval_batch_size_differs_from_train():
     """Regression: evaluator hop caps must follow ITS batch size, not the
     trainer's (undersized caps silently truncate hop sets)."""

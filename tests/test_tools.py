@@ -309,3 +309,89 @@ def test_export_encoded_nodes_config(tmp_path):
     marius_train(load_config(raw))
     encoded = np.fromfile(tmp_path / "m0" / "encoded_nodes.bin", np.float32)
     assert encoded.shape == (40 * 8,)
+
+
+# ---------------------------------------------------------------------------
+# Chunked out-of-core converter (reference SparkEdgeListConverter regime)
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_converter_matches_in_memory(tmp_path):
+    """Tiny chunks (forcing many streaming passes) produce a dataset
+    equivalent to the in-memory converter: same id space, same edge multiset
+    under the mapping, sane split sizes."""
+    from marius_tpu.tools.preprocess.chunked_converter import (
+        ChunkedEdgeListConverter,
+    )
+
+    raw = tmp_path / "raw.tsv"
+    _write_raw_triples(raw, n=1000, nodes=80, rels=6)
+    out = tmp_path / "ds_chunked"
+    result = ChunkedEdgeListConverter(
+        output_dir=str(out), train_edges=str(raw),
+        splits=(0.8, 0.1, 0.1), chunk_rows=64).convert()
+    stats = load_stats(str(out))
+    assert stats.num_nodes == 80 and stats.num_relations == 6
+    assert stats.num_train + stats.num_valid + stats.num_test == 1000
+    # random per-row split: fractions within loose binomial bounds
+    assert 700 <= stats.num_train <= 900
+    train = load_split(str(out), "train", stats)
+    assert train.min() >= 0 and train[:, [0, 2]].max() < 80
+    # mapping bijective
+    assert len(np.unique(result.node_mapping[:, 1])) == 80
+
+    # reconstruct raw edges via the inverse mapping: multiset must equal input
+    inv_n = {int(v): k for k, v in result.node_mapping}
+    inv_r = {int(v): k for k, v in result.relation_mapping}
+    got = set()
+    for split in ("train", "validation", "test"):
+        e = load_split(str(out), {"validation": "valid"}.get(split, split), stats)
+        for s, r, d in e:
+            got.add((inv_n[int(s)], inv_r[int(r)], inv_n[int(d)]))
+    want = set()
+    for line in open(raw):
+        s, r, d = line.strip().split("\t")
+        want.add((s, r, d))
+    assert got == want
+
+
+def test_chunked_converter_partitioned(tmp_path):
+    """Out-of-core counting-sort partitioning groups buckets contiguously in
+    row-major order with correct offsets, across many chunks."""
+    from marius_tpu.tools.preprocess.chunked_converter import (
+        ChunkedEdgeListConverter,
+    )
+
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, 64, (2000, 3)).astype(np.int64)
+    src = tmp_path / "e.npy"
+    np.save(src, edges)
+    out = tmp_path / "ds_part"
+    ChunkedEdgeListConverter(
+        output_dir=str(out), train_edges=str(src), format="npy",
+        remap_ids=False, num_nodes=64, num_rels=64, splits=(1.0,),
+        num_partitions=4, chunk_rows=128).convert()
+    stats = load_stats(str(out))
+    train = load_split(str(out), "train", stats)
+    sizes = read_partition_offsets(
+        str(out / "edges" / "train_partition_offsets.txt"))
+    assert sizes.sum() == 2000 and len(sizes) == 16
+    flat = (train[:, 0] // 16) * 4 + train[:, -1] // 16
+    assert np.all(np.diff(flat) >= 0), "buckets not contiguous"
+    np.testing.assert_array_equal(np.bincount(flat, minlength=16), sizes)
+    # same multiset as input
+    np.testing.assert_array_equal(
+        np.sort(train.view([('', np.int32)] * 3).ravel()),
+        np.sort(edges.astype(np.int32).view([('', np.int32)] * 3).ravel()))
+
+
+def test_chunked_converter_cli(tmp_path):
+    raw = tmp_path / "raw.tsv"
+    _write_raw_triples(raw, n=300)
+    out = tmp_path / "ds_cli"
+    rc = marius_preprocess(["--edges", str(raw), "--output_directory", str(out),
+                            "--dataset_split", "0.9", "0.05", "0.05",
+                            "--chunked", "--chunk_rows", "50"])
+    assert rc == 0
+    stats = load_stats(str(out))
+    assert stats.num_train + stats.num_valid + stats.num_test == 300
