@@ -5,15 +5,20 @@ The exact shape of the reference's second headline config
 nc_ogbn_arxiv.rst:222,254 — 3-layer GraphSAGE d=128, batch 1000,
 169,343 nodes / 1,166,243 edges / 90,941 train nodes, baseline ~22,600
 trained nodes/s on one A10 GPU). The reference samples ALL neighbors
-(mean total degree ~13.8 on arxiv); static TPU shapes emulate that with
-capped fanouts — 8 per direction = 16 padded slots per node, more slots
-than ALL's mean work on this degree distribution (VERDICT r1 weak #7 asked
-for the full-size run; bench_nc.py keeps the 1/3-scale variant for the
-perf history).
+unbounded (neighbor.cpp:9).
 
-First compile of the 3-hop scan through the remote-compile tunnel can take
-many minutes — run detached (setsid nohup python bench_nc_full.py &) and
-poll the log. Prints ONE JSON line like bench.py.
+Two measurements:
+- **full_graph** (primary, exact-ALL parity): the degree-bucketed full-graph
+  mode (data/full_graph.py) — every batch computes all 3 layers over ALL
+  nodes and slices seed rows; bit-equal to unbounded ALL sampling. The
+  synthetic graph draws destinations from a Zipf law so it has arxiv-like
+  hub degrees (max ~10k), exercising the bucketing.
+- **sampled fanout-8** (secondary): per-batch sampling with capped fanout,
+  the pre-full-graph path, for the perf history.
+
+First compile through the remote-compile tunnel can take minutes — run
+detached (setsid nohup python bench_nc_full.py &) and poll the log. Prints
+one JSON line per measurement, primary first.
 """
 
 import json
@@ -32,8 +37,31 @@ BATCH = 1000
 FANOUT = 8
 
 
-def main():
-    import jax
+def make_graph():
+    """Arxiv-shaped citation graph: explicit power-law in-degree sequence
+    matched to ogbn-arxiv's stats (max in-degree ~13,161, mean ~6.9),
+    uniform sources."""
+    rng = np.random.default_rng(0)
+    # in-degree of rank r ∝ (r+1)^-0.78, scaled to sum to NUM_EDGES and
+    # clipped to arxiv's max hub degree
+    w = (np.arange(NUM_NODES) + 1.0) ** -0.78
+    lo, hi = 0.5, 4.0
+    for _ in range(40):  # bisect the scale so the clipped sum hits NUM_EDGES
+        mid = (lo + hi) / 2
+        s = np.minimum(np.round(w * (NUM_EDGES / w.sum()) * mid), 13161).sum()
+        lo, hi = (mid, hi) if s < NUM_EDGES else (lo, mid)
+    deg = np.minimum(np.round(w * (NUM_EDGES / w.sum()) * lo), 13161)
+    deg = deg.astype(np.int64)
+    short = NUM_EDGES - int(deg.sum())
+    deg[rng.integers(0, NUM_NODES, max(short, 0))] += 1
+    remap = rng.permutation(NUM_NODES)
+    dst = remap[np.repeat(np.arange(NUM_NODES), deg)]
+    src = rng.integers(0, NUM_NODES, NUM_EDGES)
+    return np.stack([src, dst], 1).astype(np.int32)
+
+
+def build_trainer(full_graph_mode: bool, dtype=None):
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
     from marius_tpu.data.graph import build_device_graph
     from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
     from marius_tpu.nn.encoder import EncoderConfig
@@ -42,8 +70,7 @@ def main():
     from marius_tpu.train.nc import NodeClassificationTrainer
 
     rng = np.random.default_rng(0)
-    edges = np.stack([rng.integers(0, NUM_NODES, NUM_EDGES),
-                      rng.integers(0, NUM_NODES, NUM_EDGES)], 1).astype(np.int32)
+    edges = make_graph()
     features = rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32)
     labels = rng.integers(0, NUM_CLASSES, NUM_NODES).astype(np.int32)
     train_nodes = rng.permutation(NUM_NODES)[:NUM_TRAIN].astype(np.int32)
@@ -58,30 +85,51 @@ def main():
     ))
     model = Model(NODE_CLASSIFICATION, enc, None, loss_type="CROSS_ENTROPY",
                   loss_reduction="SUM")
+    import jax.numpy as jnp
     graph = build_device_graph(edges, NUM_NODES)
+    kw = {} if dtype is None else {"dtype": dtype}
+    if full_graph_mode:
+        adj = build_full_graph_adjacency(edges, NUM_NODES)
+        print(f"full-graph: {adj.total_slots} padded slots, "
+              f"{len(adj.in_nbrs)} buckets, "
+              f"max_deg={int(np.asarray(graph.degrees).max())}", flush=True)
+        nbr = [NeighborSamplingConfig("ALL", max_neighbors=1)] * 3
+        return NodeClassificationTrainer(
+            model, graph, features, labels, train_nodes, nbr,
+            batch_size=BATCH, full_graph=adj, **kw)
     nbr = [NeighborSamplingConfig(max_neighbors=FANOUT)] * 3
-    trainer = NodeClassificationTrainer(
+    return NodeClassificationTrainer(
         model, graph, features, labels, train_nodes, nbr, batch_size=BATCH,
-        hop_caps=[BATCH, 16_384, 65_536, 131_072])
+        hop_caps=[BATCH, 16_384, 65_536, 131_072], **kw)
 
-    print("init done", flush=True)
+
+def measure(name, full_graph_mode, n_epochs=2, dtype=None):
+    import jax
+    trainer = build_trainer(full_graph_mode, dtype)
+    print(f"[{name}] init done", flush=True)
     t0 = time.perf_counter()
     trainer.train_epoch()  # compile + warmup
-    print("first epoch (incl compile):", round(time.perf_counter() - t0, 1),
-          "s", flush=True)
-    n_epochs = 2
+    print(f"[{name}] first epoch (incl compile):",
+          round(time.perf_counter() - t0, 1), "s", flush=True)
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         trainer.state, loss = trainer._epoch_fn(trainer.state, trainer.train_nodes)
     jax.block_until_ready(loss)
     nps = n_epochs * NUM_TRAIN / (time.perf_counter() - t0)
-
     print(json.dumps({
-        "metric": "ogbn_arxiv_full_size_graphsage_train_nodes_per_sec",
+        "metric": f"ogbn_arxiv_full_size_graphsage_{name}_train_nodes_per_sec",
         "value": round(nps, 1),
         "unit": "nodes/s",
         "vs_baseline": round(nps / BASELINE_NODES_PER_SEC, 3),
-    }))
+    }), flush=True)
+    del trainer
+
+
+def main():
+    import jax.numpy as jnp
+    measure("exact_all_full_graph", True)
+    measure("exact_all_full_graph_bf16", True, dtype=jnp.bfloat16)
+    measure("sampled_fanout8", False)
 
 
 if __name__ == "__main__":

@@ -120,6 +120,11 @@ class MariusConfig:
     hop_caps: Tuple[int, ...] = ()   # optional static per-hop unique-node caps
     all_cap_limit: int = 4096        # fanout ceiling for ALL sampling; hubs
                                      # above it truncate (loudly) to the cap
+    full_graph: str = "AUTO"         # NC exact-ALL full-graph mode: AUTO
+                                     # engages it when every hop is ALL, the
+                                     # encoder is aggregation-style, and a
+                                     # typical batch's k-hop frontier covers
+                                     # most of the graph; ON forces, OFF never
     learning_task: str = "LINK_PREDICTION"
 
 
@@ -358,6 +363,7 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
             enc_raw.get("eval_neighbor_sampling") or enc_raw.get("train_neighbor_sampling")),
         hop_caps=tuple(int(x) for x in (enc_raw.get("hop_caps") or [])),
         all_cap_limit=int(enc_raw.get("all_cap_limit", 4096)),
+        full_graph=str(enc_raw.get("full_graph", "AUTO")).upper(),
         learning_task=learning_task,
     )
     if validate:

@@ -68,7 +68,7 @@ SCHEMA: Dict[str, Any] = {
     "model": {
         "learning_task": None,
         "encoder": {
-            **_scalars("hop_caps", "all_cap_limit"),
+            **_scalars("hop_caps", "all_cap_limit", "full_graph"),
             "layers[][]": _LAYER,
             "train_neighbor_sampling[]": _NBR,
             "eval_neighbor_sampling[]": _NBR,

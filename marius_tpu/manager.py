@@ -232,19 +232,27 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             # exact-ALL fast path: when every hop samples ALL and the encoder
             # is aggregation-style, compute layers over the full padded
             # adjacency instead of per-batch frontiers (data/full_graph.py) —
-            # exact semantics (no cap truncation) and no index machinery
+            # exact semantics (no cap truncation) and no index machinery.
+            # AUTO engages it when a typical batch's k-hop frontier covers
+            # a sizable fraction of the graph (then per-batch sampling does
+            # near-full-graph work anyway, plus dedup/remap overhead).
             from marius_tpu.nn.full_graph_encoder import supports_full_graph
-            if (mesh is None and train_nbr
+            fg_mode = getattr(cfg, "full_graph", "AUTO").upper()
+            if (fg_mode != "OFF" and mesh is None and train_nbr
                     and all(c.sampling_type.upper() == "ALL" for c in train_nbr)
                     and supports_full_graph(model.encoder)):
-                from marius_tpu.data.full_graph import build_full_graph_adjacency
-                full_graph = build_full_graph_adjacency(
-                    edges, num_nodes, max_degree_limit=cfg.all_cap_limit)
+                depth = len(train_nbr)
+                avg_deg = 2.0 * len(edges) / max(num_nodes, 1)
+                frontier = cfg.training.batch_size * max(avg_deg, 1.0) ** depth
+                if fg_mode == "ON" or frontier >= num_nodes / 4:
+                    from marius_tpu.data.full_graph import (
+                        build_full_graph_adjacency,
+                    )
+                    full_graph = build_full_graph_adjacency(edges, num_nodes)
                 if full_graph is not None:
-                    log.info("Full-graph ALL mode: padded adjacency "
-                             "(%d in / %d out slots per node), exact ALL",
-                             full_graph.in_nbr.shape[1],
-                             full_graph.out_nbr.shape[1])
+                    log.info("Full-graph ALL mode: %d padded slots over "
+                             "%d degree buckets, exact ALL",
+                             full_graph.total_slots, len(full_graph.in_nbrs))
             if full_graph is None:
                 from marius_tpu.data.samplers.neighbor import resolve_all_caps
                 train_nbr = resolve_all_caps(
@@ -289,6 +297,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 batch_size=cfg.training.batch_size,
                 hop_caps=cfg.hop_caps or None,
                 seed=cfg.training.seed,
+                dtype=_dtype(cfg),
                 mesh=mesh,
                 full_graph=full_graph,
             )

@@ -44,6 +44,11 @@ class PartitionBuffer:
     part_to_slot: Optional[np.ndarray] = None   # (num_partitions,) slot or -1
     sharding: Optional[object] = None           # jax.sharding.Sharding for the
                                                 # device arrays (multi-chip)
+    pending_writebacks: List = dataclasses.field(default_factory=list)
+    # deferred evictions: [(parts, values_dev, state_dev)] — the device->host
+    # copy is started async at swap time and the host-array write lands at the
+    # NEXT swap/flush, so the new state's compute overlaps the writeback
+    # (AsyncWriteBlock analogue, buffer.cpp:222-322)
 
     @property
     def psize(self) -> int:
@@ -107,6 +112,7 @@ class PartitionBuffer:
     # ------------------------------------------------------------------
     def load(self, partitions: Sequence[int]) -> None:
         """Admit an initial resident set (PartitionBuffer::load)."""
+        self._drain_writebacks()
         parts = list(int(p) for p in partitions)
         assert len(parts) <= self.capacity
         parts = parts + [-1] * (self.capacity - len(parts))
@@ -132,10 +138,24 @@ class PartitionBuffer:
             if p >= 0:
                 self.part_to_slot[p] = slot
 
+    def _drain_writebacks(self) -> None:
+        """Land all deferred eviction copies in the host arrays. By drain
+        time the async device->host copies have overlapped at least one
+        state's compute, so np.asarray is (usually) a no-wait read."""
+        while self.pending_writebacks:
+            parts, vals_d, stats_d = self.pending_writebacks.pop(0)
+            vals = np.asarray(vals_d)
+            stats = np.asarray(stats_d)
+            for k, p in enumerate(parts):
+                rows = self.part_rows(p)
+                self.host_values[rows] = vals[k * self.psize:(k + 1) * self.psize]
+                self.host_state[rows] = stats[k * self.psize:(k + 1) * self.psize]
+
     def swap_to_state(self, new_partitions: Sequence[int]) -> None:
         """Evict partitions not in the new state, admit the new ones into the
         freed slots (performNextSwap, buffer.cpp:495-541)."""
         assert self.resident is not None, "call load() first"
+        self._drain_writebacks()  # previous state's evictions land now
         new_set = set(int(p) for p in new_partitions)
         old_set = set(int(p) for p in self.resident if p >= 0)
         evict = sorted(old_set - new_set)
@@ -143,18 +163,25 @@ class PartitionBuffer:
         if not evict and not admit:
             return
 
-        # device -> host writeback of evicted slots (AsyncWriteBlock analogue)
-        vals = None
+        # device -> host writeback of evicted slots, asynchronously: capture
+        # the rows into a fresh device array (device-side gather, ordered
+        # before the admit update on the stream), start the host copy, and
+        # defer the host-array write to the next drain. The next state's
+        # compute overlaps the transfer (buffer.cpp:222-322 AsyncWriteBlock).
         if evict:
             slots = [int(self.part_to_slot[p]) for p in evict]
-            idx = np.concatenate([np.arange(s * self.psize, (s + 1) * self.psize)
-                                  for s in slots])
-            vals = np.asarray(self.device_values[idx])
-            stats = np.asarray(self.device_state[idx])
-            for k, p in enumerate(evict):
-                rows = self.part_rows(p)
-                self.host_values[rows] = vals[k * self.psize:(k + 1) * self.psize]
-                self.host_state[rows] = stats[k * self.psize:(k + 1) * self.psize]
+            idx = jnp.asarray(np.concatenate(
+                [np.arange(s * self.psize, (s + 1) * self.psize)
+                 for s in slots]))
+            vals_d = jnp.take(self.device_values, idx, axis=0)
+            stats_d = jnp.take(self.device_state, idx, axis=0)
+            for arr in (vals_d, stats_d):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass  # platforms without async copy fall back to drain-time reads
+            self.pending_writebacks.append((list(evict), vals_d, stats_d))
+            for p in evict:
                 self.resident[self.part_to_slot[p]] = -1
                 self.part_to_slot[p] = -1
 
@@ -178,6 +205,7 @@ class PartitionBuffer:
 
     def flush(self) -> None:
         """Write all resident partitions back to host RAM (unload)."""
+        self._drain_writebacks()
         if self.resident is None:
             return
         vals = np.asarray(self.device_values)

@@ -94,11 +94,13 @@ class NodeClassificationTrainer:
             local_batch, nbr_configs, graph.num_nodes))
 
         num_nodes = graph.num_nodes
-        # sentinel row at index N so clamped padded gathers read zeros
+        # sentinel row at index N so clamped padded gathers read zeros;
+        # stored in the compute dtype — with bfloat16 the neighbor gathers
+        # (the HBM-bandwidth bottleneck) move half the bytes
         if features is not None:
             f = np.zeros((num_nodes + 1, features.shape[1]), np.float32)
             f[:num_nodes] = features
-            self.features = jnp.asarray(f)
+            self.features = jnp.asarray(f, dtype)
         else:
             self.features = None
         lab = np.zeros(num_nodes + 1, np.int32)

@@ -1,0 +1,100 @@
+"""Pinned accuracy regressions on deterministic synthetic datasets.
+
+The reference's published numbers (FB15K-237 filtered MRR 0.2553 @10 epochs,
+ogbn-arxiv 68.08% — BASELINE.md; docs/examples/config/lp_fb15k237.rst:223,
+nc_ogbn_arxiv.rst:266) require downloading the real datasets, which this
+environment cannot (zero egress). These tests are the committed evidence
+that the training/eval math reaches pinned, non-trivial metric values on
+datasets with known learnable structure — two-sided bands, so silent
+degradation OR suspicious inflation both fail. BASELINE.md records exactly
+which claims are and are not covered by this.
+
+LP: a DistMult-REALIZABLE knowledge graph — edges are the top-k scoring
+pairs under a random ground-truth factorization, so held-out edges are
+recoverable only by learning the factor structure (not by memorization).
+NC: the community graph of test_nc_e2e (intra-class edges + noisy label
+features), fully learnable by 2-layer GraphSAGE.
+"""
+
+import numpy as np
+
+from marius_tpu.config.schema import NegativeSamplingConfig
+from marius_tpu.data.graph import build_device_graph
+from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+from marius_tpu.nn.decoders.edge import EdgeDecoder
+from marius_tpu.nn.encoder import EncoderConfig
+from marius_tpu.nn.layers import LayerConfig
+from marius_tpu.nn.model import LINK_PREDICTION, Model
+from marius_tpu.nn.optimizers import OptimizerConfig
+from marius_tpu.train.evaluator import LinkPredictionEvaluator
+from marius_tpu.train.nc import NodeClassificationEvaluator, NodeClassificationTrainer
+from marius_tpu.train.trainer import LinkPredictionTrainer
+
+from tests.test_nc_e2e import NUM_NODES as NC_NODES
+from tests.test_nc_e2e import _gs_model, community_graph
+
+
+def make_realizable_kg(n=500, d=8, r=10, per=4, seed=0):
+    """Edges = top-``per`` DistMult scores per (node, relation) under a
+    random ground-truth factorization: exactly representable, so test MRR
+    measures structure recovery, not chance."""
+    rng = np.random.default_rng(seed)
+    E = rng.normal(0, 1, (n, d))
+    R = rng.normal(0, 1, (r, d))
+    edges = []
+    for rel in range(r):
+        scores = (E * R[rel]) @ E.T
+        np.fill_diagonal(scores, -np.inf)
+        top = np.argsort(-scores, axis=1)[:, :per]
+        for u in range(n):
+            for v in top[u]:
+                edges.append((u, rel, v))
+    edges = np.array(edges, np.int32)
+    rng.shuffle(edges)
+    return edges
+
+
+def test_lp_distmult_pinned_mrr():
+    """DistMult on the realizable KG: filtered test MRR pinned at
+    0.391 ± band (measured 2026-08; CPU float32, seed 0)."""
+    edges = make_realizable_kg()
+    tr, va = int(0.9 * len(edges)), int(0.95 * len(edges))
+    train, test = edges[:tr], edges[va:]
+
+    model = Model(
+        LINK_PREDICTION,
+        EncoderConfig(stages=(
+            (LayerConfig(layer_type="EMBEDDING", output_dim=32),),)),
+        EdgeDecoder("DISTMULT", num_relations=10, embedding_dim=32),
+        loss_type="SOFTMAX_CE", loss_reduction="SUM",
+        dense_optimizer=OptimizerConfig("ADAGRAD", learning_rate=0.1),
+        sparse_lr=0.1)
+    neg = NegativeSamplingConfig(num_chunks=4, negatives_per_positive=128)
+    trainer = LinkPredictionTrainer(model, 500, 10, train, neg,
+                                    batch_size=500, seed=0)
+    for _ in range(60):
+        trainer.train_epoch()
+    ev = LinkPredictionEvaluator(model, 500, 10, test, all_edges=edges,
+                                 batch_size=500, filtered=True)
+    res = ev.evaluate(trainer.state)
+    assert 0.34 <= res["mrr"] <= 0.45, \
+        f"filtered MRR {res['mrr']:.4f} outside pinned band [0.34, 0.45]"
+    assert res["hits@10"] >= 0.60, f"hits@10 {res['hits@10']:.4f} < 0.60"
+
+
+def test_nc_graphsage_pinned_accuracy():
+    """2-layer GraphSAGE on the community graph: test accuracy pinned at
+    1.00 (measured 2026-08; the graph is fully separable)."""
+    edges, feats, labels = community_graph()
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(NC_NODES)
+    graph = build_device_graph(edges, NC_NODES)
+    nbr = [NeighborSamplingConfig("UNIFORM", max_neighbors=8)] * 2
+    trainer = NodeClassificationTrainer(
+        _gs_model(), graph, feats, labels, perm[:300], nbr,
+        batch_size=100, seed=0)
+    trainer.train(30)
+    ev = NodeClassificationEvaluator(trainer, perm[300:])
+    res = ev.evaluate(trainer.state)
+    assert res["accuracy"] >= 0.95, \
+        f"accuracy {res['accuracy']:.4f} below pinned 0.95"

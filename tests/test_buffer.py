@@ -38,6 +38,9 @@ def test_buffer_swap_state_machine():
     dev[0] = 99.0
     buf.device_values = jax.numpy.asarray(dev)
     buf.swap_to_state([1, 2, 3])
+    # eviction writeback is async-deferred; it lands at the next drain point
+    assert len(buf.pending_writebacks) == 1
+    buf._drain_writebacks()
     assert buf.host_values[0, 0] == 99.0          # partition 0 written back
     assert set(int(p) for p in buf.resident) == {1, 2, 3}
     # slot reuse: partition 3 landed in partition 0's old slot
@@ -221,3 +224,31 @@ def test_buffer_trainer_gnn_lp_with_features():
         features=feats)
     stats = tr.train(3)
     assert stats[-1]["loss"] < stats[0]["loss"]
+
+
+def test_async_writeback_evict_readmit_roundtrip():
+    """Evictions are deferred (async device->host); a later swap that
+    re-admits an evicted partition must still see its latest values, because
+    pending writebacks drain before admit blocks are read."""
+    import jax
+    import numpy as np
+
+    from marius_tpu.storage.partition_buffer import PartitionBuffer
+
+    pb = PartitionBuffer.create(jax.random.key(0), num_nodes=64, dim=4,
+                                num_partitions=8, capacity=2)
+    pb.load([0, 1])
+    # mutate partition 0's device rows so the writeback value is distinctive
+    marker = jax.numpy.full((pb.psize, 4), 7.5)
+    pb.device_values = pb.device_values.at[:pb.psize].set(marker)
+
+    pb.swap_to_state([1, 2])        # evicts 0 -> pending, not yet on host
+    assert len(pb.pending_writebacks) == 1
+    pb.swap_to_state([1, 0])        # re-admits 0: drain must land first
+    slot = int(pb.part_to_slot[0])
+    got = np.asarray(pb.device_values[slot * pb.psize:(slot + 1) * pb.psize])
+    np.testing.assert_allclose(got, 7.5)
+    # host copy landed too
+    np.testing.assert_allclose(pb.host_values[:pb.psize], 7.5)
+    pb.flush()
+    assert not pb.pending_writebacks

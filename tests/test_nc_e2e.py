@@ -272,3 +272,39 @@ def test_nc_eval_batch_size_differs_from_train():
     a, b = small.evaluate(tr.state), big.evaluate(tr.state)
     # same nodes, same model: accuracy must agree closely despite sampling RNG
     assert abs(a["accuracy"] - b["accuracy"]) < 0.25
+
+
+def test_full_graph_hub_degrees():
+    """Degree bucketing keeps full-graph exact on power-law graphs: a hub
+    with degree far above everyone else costs one small bucket, and results
+    still match sampled-ALL with a covering cap."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    rng = np.random.default_rng(7)
+    n = 600
+    labels = rng.integers(0, NUM_CLASSES, n).astype(np.int32)
+    feats = rng.normal(0, 1, (n, FEAT_DIM)).astype(np.float32)
+    feats[np.arange(n), labels] += 1.0
+    # everyone connects to node 0 (hub degree ~n) + sparse random edges
+    e_hub = np.stack([np.arange(1, n), np.zeros(n - 1, np.int64)], 1)
+    e_rand = rng.integers(0, n, (2 * n, 2))
+    edges = np.unique(np.concatenate([e_hub, e_rand]).astype(np.int32), axis=0)
+
+    graph = build_device_graph(edges, n)
+    max_deg = int(np.asarray(graph.degrees).max())
+    assert max_deg > 500
+    adj = build_full_graph_adjacency(edges, n)
+    # bucketed padding is ~2E slots, nowhere near n * max_deg
+    assert adj.total_slots < 6 * len(edges)
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)]
+    train_nodes = np.arange(300, dtype=np.int32)
+    sampled = NodeClassificationTrainer(
+        _gs_model(num_layers=1), graph, feats, labels, train_nodes, nbr,
+        batch_size=100, seed=0)
+    full = NodeClassificationTrainer(
+        _gs_model(num_layers=1), graph, feats, labels, train_nodes, nbr,
+        batch_size=100, seed=0, full_graph=adj)
+    s_stats = sampled.train(2)
+    f_stats = full.train(2)
+    for s, f in zip(s_stats, f_stats):
+        assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0)
