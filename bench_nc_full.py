@@ -91,7 +91,7 @@ def build_trainer(full_graph_mode: bool, dtype=None):
     if full_graph_mode:
         adj = build_full_graph_adjacency(edges, NUM_NODES)
         print(f"full-graph: {adj.total_slots} padded slots, "
-              f"{len(adj.in_nbrs)} buckets, "
+              f"{len(adj.nbrs)} buckets, "
               f"max_deg={int(np.asarray(graph.degrees).max())}", flush=True)
         nbr = [NeighborSamplingConfig("ALL", max_neighbors=1)] * 3
         return NodeClassificationTrainer(

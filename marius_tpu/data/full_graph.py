@@ -10,19 +10,23 @@ is bit-equal to exact ALL sampling (a node's layer-k output depends only on
 its k-hop neighborhood) while replacing dedup/remap/scalar-index work with
 wide gathers — pure MXU/HBM work.
 
-**Degree bucketing** makes the padding hub-proof: nodes are permuted into
-power-of-two degree buckets (bucket key = ceil_pow2(max(in_deg, out_deg))),
-and each bucket pads to ITS max per-direction degree. Total padded slots are
-< 2x the edge count even on power-law graphs (arxiv's ~13k-degree hub costs
-one small bucket, not N x 13k of padding), and every bucket is a fixed-shape
-masked gather-sum XLA tiles cleanly.
+Design choices, each measured on v5e at ogbn-arxiv scale:
 
-The backward pass is scatter-free by construction: the vjp of "sum over
-in-neighbors" is "sum over out-neighbors" (the transposed adjacency), which
-this module wires as a custom_vjp so XLA never emits a row scatter-add
-(v5e scatters serialize at ~7ns/row; the transposed gather runs ~30x
-faster). The identity is global, so it holds regardless of how each
-direction's sum is bucketed internally.
+- **One symmetrized structure.** The supported aggregation layers
+  (GraphSAGE GCN/MEAN, GCN) only ever consume ``in_sum + out_sum``, so the
+  adjacency stores each node's in- and out-neighbors as ONE combined padded
+  list. The combined neighbor multiset is symmetric (i appears in j's list
+  exactly as often as j in i's), so the aggregation operator is
+  self-transposed: its vjp is the SAME gather-sum — no second structure, no
+  scatter in the backward (v5e scatters serialize at ~7ns/row).
+- **Greedy degree bucketing.** Nodes are permuted into ascending-degree
+  buckets, each padded to its own max degree (bucket closes when padding
+  waste would exceed ~15% and it has enough rows to amortize a kernel).
+  Total padded slots stay within ~1.1x of 2E even on power-law graphs — a
+  13k-degree hub costs one small bucket, not N x 13k of padding.
+- **Sentinel padding, no mask select.** Padding slots point at a zero
+  sentinel row (id N), so each bucket is a pure gather + reduce with no
+  `where` — one fewer elementwise pass over the gathered block.
 """
 
 from __future__ import annotations
@@ -40,21 +44,17 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FullGraphAdjacency:
-    """Degree-bucketed padded neighbor lists for ALL nodes, both directions.
+    """Bucketed padded combined (in+out) neighbor lists for ALL nodes.
 
-    Nodes are reordered by ``perm`` (bucket-major); bucket ``b`` occupies
-    sorted rows [boundaries[b], boundaries[b+1]) and its per-direction
-    neighbor/mask blocks are ``in_nbrs[b]`` etc., each padded to the bucket's
-    own max degree. ``inv_pos[i]`` is node i's row in sorted order, so
-    original-order outputs are one gather away. Neighbor ids are ORIGINAL
-    node ids (inputs stay in original order). in/out are each other's
-    transpose, which the custom-vjp aggregation exploits.
+    Nodes are reordered ascending by total degree; bucket ``b`` occupies
+    sorted rows [starts[b], starts[b] + nbrs[b].shape[0]). ``inv_pos[i]`` is
+    node i's row in sorted order, so original-order outputs are one gather
+    away. Neighbor ids are ORIGINAL node ids; padding slots hold ``N`` (the
+    caller's gather source appends a zero sentinel row). The combined
+    multiset is symmetric, so the masked sum operator equals its transpose.
     """
 
-    in_nbrs: Tuple[Array, ...]   # per bucket: (n_b, cap_in_b) int32
-    in_masks: Tuple[Array, ...]  # per bucket: (n_b, cap_in_b) bool
-    out_nbrs: Tuple[Array, ...]
-    out_masks: Tuple[Array, ...]
+    nbrs: Tuple[Array, ...]      # per bucket: (n_b, cap_b) int32, pad id = N
     inv_pos: Array               # (N,) int32: original id -> sorted row
     in_deg: Array                # (N,) int32, original order
     out_deg: Array               # (N,) int32, original order
@@ -62,104 +62,101 @@ class FullGraphAdjacency:
 
     @property
     def total_slots(self) -> int:
-        return sum(int(np.prod(a.shape)) for a in self.in_nbrs + self.out_nbrs)
+        return sum(int(np.prod(a.shape)) for a in self.nbrs)
 
 
-def _direction_csr(anchor: np.ndarray, other: np.ndarray, num_nodes: int):
-    """Sorted-by-anchor CSR: (offsets (N+1,), neighbors-in-anchor-order)."""
-    order = np.argsort(anchor, kind="stable")
-    o_s = other[order]
-    offsets = np.searchsorted(anchor[order], np.arange(num_nodes + 1))
-    return offsets.astype(np.int64), o_s
-
-
-def _bucket_padded(offsets: np.ndarray, nbrs_sorted: np.ndarray,
-                   nodes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Padded (len(nodes), cap) neighbor block for the given original ids."""
-    deg = (offsets[nodes + 1] - offsets[nodes]).astype(np.int64)
-    cap = max(int(deg.max()) if len(deg) else 0, 1)
-    nbr = np.zeros((len(nodes), cap), np.int32)
-    rows = np.repeat(np.arange(len(nodes)), deg)
-    cols = np.arange(int(deg.sum())) - np.repeat(np.cumsum(deg) - deg, deg)
-    src_idx = np.repeat(offsets[nodes], deg) + cols
-    nbr[rows, cols] = nbrs_sorted[src_idx]
-    mask = np.arange(cap)[None, :] < deg[:, None]
-    return nbr, mask
+def _greedy_buckets(deg_sorted: np.ndarray, waste: float = 1.15,
+                    max_buckets: int = 40) -> np.ndarray:
+    """Split an ascending degree sequence into bucket boundaries. A bucket
+    closes when its max/min degree ratio exceeds ``waste``; then the
+    cheapest adjacent pairs (least added padding) are merged until at most
+    ``max_buckets`` remain, so a lone hub never forces wide padding onto a
+    block of low-degree rows."""
+    n = len(deg_sorted)
+    bounds = [0]
+    i = 0
+    while i < n:
+        lo = max(int(deg_sorted[i]), 1)
+        j = int(np.searchsorted(deg_sorted, lo * waste, side="right"))
+        i = min(max(j, i + 1), n)
+        bounds.append(i)
+    bounds = np.asarray(bounds, np.int64)
+    while len(bounds) - 1 > max_buckets:
+        caps = np.maximum(deg_sorted[bounds[1:] - 1], 1)
+        rows = np.diff(bounds)
+        merge_cost = rows[:-1] * (caps[1:] - caps[:-1])
+        k = int(np.argmin(merge_cost))
+        bounds = np.delete(bounds, k + 1)
+    return bounds
 
 
 def build_full_graph_adjacency(
         edges: np.ndarray, num_nodes: int,
         max_degree_limit: Optional[int] = None) -> Optional[FullGraphAdjacency]:
-    """Build the bucketed adjacency. Degree bucketing bounds padding waste,
-    so arbitrary hub degrees are fine; ``max_degree_limit`` is kept for API
-    compatibility and ignored."""
+    """Build the bucketed symmetric adjacency. Bucketing bounds padding
+    waste, so arbitrary hub degrees are fine; ``max_degree_limit`` is kept
+    for API compatibility and ignored."""
     del max_degree_limit
     e = np.asarray(edges)
     if len(e) == 0 or num_nodes == 0:
         return None
-    src = e[:, 0].astype(np.int32)
-    dst = e[:, -1].astype(np.int32)
-    in_off, in_sorted = _direction_csr(dst, src, num_nodes)    # in-nbrs of i
-    out_off, out_sorted = _direction_csr(src, dst, num_nodes)  # out-nbrs of i
-    in_deg = np.diff(in_off).astype(np.int32)
-    out_deg = np.diff(out_off).astype(np.int32)
+    src = e[:, 0].astype(np.int64)
+    dst = e[:, -1].astype(np.int64)
+    # combined multiset: anchor sees BOTH directions (self-transpose)
+    anchor = np.concatenate([dst, src])
+    other = np.concatenate([src, dst]).astype(np.int32)
+    order = np.argsort(anchor, kind="stable")
+    nbrs_sorted = other[order]
+    offsets = np.searchsorted(anchor[order], np.arange(num_nodes + 1))
+    in_deg = np.bincount(dst, minlength=num_nodes).astype(np.int32)
+    out_deg = np.bincount(src, minlength=num_nodes).astype(np.int32)
+    deg = (offsets[1:] - offsets[:-1]).astype(np.int64)
 
-    key = np.maximum(np.maximum(in_deg, out_deg), 1).astype(np.int64)
-    bucket_id = np.ceil(np.log2(key)).astype(np.int64)  # pow2 bucket
-    perm = np.argsort(bucket_id, kind="stable")
+    perm = np.argsort(deg, kind="stable")
     inv_pos = np.empty(num_nodes, np.int32)
     inv_pos[perm] = np.arange(num_nodes, dtype=np.int32)
+    deg_sorted = deg[perm]
+    bounds = _greedy_buckets(deg_sorted)
 
-    ids_sorted = bucket_id[perm]
-    bounds = np.flatnonzero(np.diff(ids_sorted)) + 1
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [num_nodes]])
-
-    in_nbrs, in_masks, out_nbrs, out_masks = [], [], [], []
-    for s, t in zip(starts, ends):
+    buckets = []
+    for s, t in zip(bounds[:-1], bounds[1:]):
         nodes = perm[s:t]
-        nbr, mask = _bucket_padded(in_off, in_sorted, nodes)
-        in_nbrs.append(jnp.asarray(nbr))
-        in_masks.append(jnp.asarray(mask))
-        nbr, mask = _bucket_padded(out_off, out_sorted, nodes)
-        out_nbrs.append(jnp.asarray(nbr))
-        out_masks.append(jnp.asarray(mask))
+        d_b = deg[nodes]
+        cap = max(int(d_b.max()) if len(d_b) else 0, 1)
+        nbr = np.full((len(nodes), cap), num_nodes, np.int32)  # sentinel pad
+        rows = np.repeat(np.arange(len(nodes)), d_b)
+        cols = np.arange(int(d_b.sum())) - np.repeat(np.cumsum(d_b) - d_b, d_b)
+        src_idx = np.repeat(offsets[nodes], d_b) + cols
+        nbr[rows, cols] = nbrs_sorted[src_idx]
+        buckets.append(jnp.asarray(nbr))
 
     return FullGraphAdjacency(
-        in_nbrs=tuple(in_nbrs), in_masks=tuple(in_masks),
-        out_nbrs=tuple(out_nbrs), out_masks=tuple(out_masks),
-        inv_pos=jnp.asarray(inv_pos),
+        nbrs=tuple(buckets), inv_pos=jnp.asarray(inv_pos),
         in_deg=jnp.asarray(in_deg), out_deg=jnp.asarray(out_deg),
         num_nodes=int(num_nodes))
 
 
 def make_nbr_sums(adj: FullGraphAdjacency):
-    """(in_sum, out_sum) functions x:(N, d) -> (N, d), each summing masked
-    neighbor rows with a scatter-free custom vjp (backward = the transposed
-    direction's gather)."""
+    """Returns ``nbr_sum``: x:(N, d) -> (N, d), the sum of each node's
+    combined (in+out) neighbor rows. Scatter-free custom vjp: the combined
+    adjacency is symmetric, so the backward is the SAME gather-sum."""
 
-    def _bucketed_sum(x, nbrs, masks):
-        parts = [jnp.sum(jnp.where(m[:, :, None], x[nbr], 0), axis=1)
-                 for nbr, m in zip(nbrs, masks)]
+    def _bucketed_sum(x):
+        x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
+        parts = [jnp.sum(x_pad[nbr], axis=1) for nbr in adj.nbrs]
         y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return y_sorted[adj.inv_pos]  # back to original node order (a gather)
 
-    def _make(nbrs, masks, t_nbrs, t_masks):
-        @jax.custom_vjp
-        def f(x):
-            return _bucketed_sum(x, nbrs, masks)
+    @jax.custom_vjp
+    def nbr_sum(x):
+        return _bucketed_sum(x)
 
-        def fwd(x):
-            return f(x), None
+    def fwd(x):
+        return nbr_sum(x), None
 
-        def bwd(_, u):
-            # d/dx_j sum_i sum_{s: nbr[i,s]=j} u_i = sum over the transposed
-            # adjacency's row j — a gather, never a scatter
-            return (_bucketed_sum(u, t_nbrs, t_masks),)
+    def bwd(_, u):
+        # (A x)^T vjp = A^T u = A u: the combined multiset is symmetric
+        return (_bucketed_sum(u),)
 
-        f.defvjp(fwd, bwd)
-        return f
-
-    in_sum = _make(adj.in_nbrs, adj.in_masks, adj.out_nbrs, adj.out_masks)
-    out_sum = _make(adj.out_nbrs, adj.out_masks, adj.in_nbrs, adj.in_masks)
-    return in_sum, out_sum
+    nbr_sum.defvjp(fwd, bwd)
+    return nbr_sum

@@ -252,7 +252,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 if full_graph is not None:
                     log.info("Full-graph ALL mode: %d padded slots over "
                              "%d degree buckets, exact ALL",
-                             full_graph.total_slots, len(full_graph.in_nbrs))
+                             full_graph.total_slots, len(full_graph.nbrs))
             if full_graph is None:
                 from marius_tpu.data.samplers.neighbor import resolve_all_caps
                 train_nbr = resolve_all_caps(

@@ -37,13 +37,13 @@ def supports_full_graph(config: EncoderConfig) -> bool:
                if l.layer_type.upper() == "GNN")
 
 
-def _full_graph_sage(layer: LayerConfig, p, x, nbr_sum, num_nbrs):
+def _full_graph_sage(layer: LayerConfig, p, x, nbr_total, num_nbrs):
     """graph_sage_layer (layers.py) over the full adjacency."""
     if layer.aggregator.upper() == "GCN":
-        a = (nbr_sum + x) / (num_nbrs + 1.0)[:, None]
+        a = (nbr_total + x) / (num_nbrs + 1.0)[:, None]
         out = a @ p["w1"]
     elif layer.aggregator.upper() == "MEAN":
-        a = nbr_sum / jnp.maximum(num_nbrs, 1.0)[:, None]
+        a = nbr_total / jnp.maximum(num_nbrs, 1.0)[:, None]
         out = x @ p["w1"] + a @ p["w2"]
     else:
         raise ValueError(f"Unknown GraphSAGE aggregator: {layer.aggregator}")
@@ -64,10 +64,10 @@ def full_graph_encoder_forward(
     embeddings: Optional[Array],   # (N, emb_dim) all-node block
     features: Optional[Array],     # (N, feat_dim) all-node block
     adj: FullGraphAdjacency,
-    nbr_sums=None,                 # (in_sum, out_sum) from make_nbr_sums
+    nbr_sums=None,                 # nbr_sum from make_nbr_sums
 ) -> Array:
     """Representations for ALL nodes: (N, d_out)."""
-    in_sum, out_sum = nbr_sums if nbr_sums is not None else make_nbr_sums(adj)
+    nbr_sum = nbr_sums if nbr_sums is not None else make_nbr_sums(adj)
     num_nbrs = (adj.in_deg + adj.out_deg).astype(
         (embeddings if embeddings is not None else features).dtype)
 
@@ -87,14 +87,12 @@ def full_graph_encoder_forward(
             elif lt == "GNN":
                 g = layer.gnn_type.upper()
                 if g == "GRAPH_SAGE":
-                    nbr_sum = in_sum(current) + out_sum(current)
                     stage_outputs.append(_full_graph_sage(
-                        layer, p, current, nbr_sum, num_nbrs))
+                        layer, p, current, nbr_sum(current), num_nbrs))
                 elif g == "GCN":
                     scaled = current / jnp.sqrt(num_nbrs + 1.0)[:, None]
                     stage_outputs.append(_full_graph_gcn(
-                        layer, p, in_sum(scaled) + out_sum(scaled),
-                        current, num_nbrs))
+                        layer, p, nbr_sum(scaled), current, num_nbrs))
                 else:
                     raise ValueError(
                         f"full-graph mode does not support {layer.gnn_type}; "
