@@ -59,10 +59,25 @@ class FullGraphAdjacency:
     in_deg: Array                # (N,) int32, original order
     out_deg: Array               # (N,) int32, original order
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    # Inverse occurrence map (build_inverse_map): same bucket shapes as
+    # ``nbrs``; row r slot t = flat slot index (bucket-major) of the t-th
+    # occurrence of node perm[r] as a neighbor, pad = total_slots. Lets the
+    # vjp of "gather neighbor blocks" be ANOTHER bucketed gather (symmetry
+    # pairs each node's occurrences with its own slots) — needed by
+    # per-slot-weighted layers (GAT) whose backward is not the plain sum.
+    inv_map: Optional[Tuple[Array, ...]] = None
 
     @property
     def total_slots(self) -> int:
         return sum(int(np.prod(a.shape)) for a in self.nbrs)
+
+    @property
+    def bucket_starts(self) -> Tuple[int, ...]:
+        out, s = [], 0
+        for b in self.nbrs:
+            out.append(s)
+            s += b.shape[0]
+        return tuple(out)
 
 
 def _greedy_buckets(deg_sorted: np.ndarray, waste: float = 1.15,
@@ -160,3 +175,77 @@ def make_nbr_sums(adj: FullGraphAdjacency):
 
     nbr_sum.defvjp(fwd, bwd)
     return nbr_sum
+
+
+def build_inverse_map(adj: FullGraphAdjacency) -> FullGraphAdjacency:
+    """Fill ``inv_map``: for each node, the flat (bucket-major) slot indices
+    where it appears as a neighbor. By symmetry a node occurs exactly
+    combined-degree times, so the map has the SAME bucket shapes as ``nbrs``.
+    Host-side, one stable argsort over the slots."""
+    if adj.inv_map is not None:
+        return adj
+    flat = np.concatenate([np.asarray(b).reshape(-1) for b in adj.nbrs])
+    total = flat.shape[0]
+    order = np.argsort(flat, kind="stable").astype(np.int64)
+    occ_off = np.searchsorted(flat[order], np.arange(adj.num_nodes + 1))
+    perm = np.argsort(np.asarray(adj.inv_pos), kind="stable")  # sorted row -> id
+    inv_buckets = []
+    row0 = 0
+    for b in adj.nbrs:
+        n_b, cap = b.shape
+        nodes = perm[row0:row0 + n_b]
+        d = (occ_off[nodes + 1] - occ_off[nodes]).astype(np.int64)
+        inv = np.full((n_b, cap), total, np.int32)
+        rows = np.repeat(np.arange(n_b), d)
+        cols = np.arange(int(d.sum())) - np.repeat(np.cumsum(d) - d, d)
+        inv[rows, cols] = order[np.repeat(occ_off[nodes], d) + cols]
+        inv_buckets.append(jnp.asarray(inv))
+        row0 += n_b
+    return dataclasses.replace(adj, inv_map=tuple(inv_buckets))
+
+
+def make_permuters(adj: FullGraphAdjacency):
+    """(to_sorted, to_orig) row-permutation gathers with gather-only vjps
+    (XLA would otherwise emit a serialized scatter for the backward)."""
+    perm = jnp.asarray(
+        np.argsort(np.asarray(adj.inv_pos), kind="stable").astype(np.int32))
+    inv_pos = adj.inv_pos
+
+    def _make(fwd_idx, bwd_idx):
+        @jax.custom_vjp
+        def f(x):
+            return x[fwd_idx]
+
+        f.defvjp(lambda x: (x[fwd_idx], None), lambda _, u: (u[bwd_idx],))
+        return f
+
+    return _make(perm, inv_pos), _make(inv_pos, perm)
+
+
+def make_gather_blocks(adj: FullGraphAdjacency):
+    """Returns ``gather_blocks``: x:(N, d) -> tuple of (n_b, cap_b, d)
+    neighbor blocks (padding slots read a zero sentinel row). The vjp is a
+    bucketed gather-sum over ``inv_map`` — never a scatter — so per-slot
+    weighted aggregations (GAT) stay scatter-free end to end."""
+    assert adj.inv_map is not None, \
+        "call build_inverse_map(adj) first (needed for weighted aggregation)"
+
+    @jax.custom_vjp
+    def gather_blocks(x):
+        x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
+        return tuple(x_pad[nbr] for nbr in adj.nbrs)
+
+    def fwd(x):
+        return gather_blocks(x), None
+
+    def bwd(_, u_blocks):
+        d = u_blocks[0].shape[-1]
+        flat_u = jnp.concatenate(
+            [u.reshape(-1, d) for u in u_blocks]
+            + [jnp.zeros((1, d), u_blocks[0].dtype)], 0)
+        parts = [jnp.sum(flat_u[inv], axis=1) for inv in adj.inv_map]
+        g_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        return (g_sorted[adj.inv_pos],)
+
+    gather_blocks.defvjp(fwd, bwd)
+    return gather_blocks

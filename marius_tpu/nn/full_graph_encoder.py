@@ -5,8 +5,11 @@ encoder.cpp:195-258): instead of walking hop sets inward, each GNN stage
 aggregates over the whole padded adjacency (data/full_graph.py), so a
 node's final representation equals the sampled path's output under
 unbounded ALL sampling — with zero dedup/remap work and a scatter-free
-backward. Supports the aggregation-style layers (GraphSAGE GCN/MEAN, GCN);
-attention/relational layers (GAT, RGCN) keep the sampled path.
+backward. Supports GraphSAGE (GCN/MEAN), GCN, and GAT (gat_layer.cpp:49-142
+semantics: self node participates in the softmax; per-bucket masked softmax
+here, with the gather's vjp routed through the inverse occurrence map so
+attention training never emits a row scatter). RGCN needs per-edge relation
+types and keeps the sampled path.
 """
 
 from __future__ import annotations
@@ -16,7 +19,13 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 
-from marius_tpu.data.full_graph import FullGraphAdjacency, make_nbr_sums
+from marius_tpu.data.full_graph import (
+    FullGraphAdjacency,
+    build_inverse_map,
+    make_gather_blocks,
+    make_nbr_sums,
+    make_permuters,
+)
 from marius_tpu.nn.encoder import EncoderConfig
 from marius_tpu.nn.layers import (
     LayerConfig,
@@ -25,16 +34,69 @@ from marius_tpu.nn.layers import (
     post_hook,
     reduction_layer,
 )
+from marius_tpu.ops.segment import masked_softmax
 
 Array = jax.Array
 
-SUPPORTED_GNN = {"GRAPH_SAGE", "GCN"}
+SUPPORTED_GNN = {"GRAPH_SAGE", "GCN", "GAT"}
 
 
 def supports_full_graph(config: EncoderConfig) -> bool:
     return all(l.gnn_type.upper() in SUPPORTED_GNN
                for s in config.stages for l in s
                if l.layer_type.upper() == "GNN")
+
+
+def _has_gat(config: EncoderConfig) -> bool:
+    return any(l.gnn_type.upper() == "GAT"
+               for s in config.stages for l in s
+               if l.layer_type.upper() == "GNN")
+
+
+def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
+                       features: Optional[Array] = None):
+    """Build the closure ops the encoder needs for this adjacency+model.
+    Returns (adj, ops): adj gains the inverse map when the encoder has GAT
+    (whose backward needs it). With feature inputs, the first GNN stage's
+    neighbor aggregation is precomputed once (see _const_first_agg)."""
+    if _has_gat(config):
+        adj = build_inverse_map(adj)
+    ops = {"nbr_sum": make_nbr_sums(adj)}
+    if _has_gat(config):
+        ops["gather_blocks"] = make_gather_blocks(adj)
+        ops["to_sorted"], ops["to_orig"] = make_permuters(adj)
+    ops["const_agg"] = _const_first_agg(adj, config, features, ops["nbr_sum"])
+    return adj, ops
+
+
+def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum):
+    """{(stage, layer): precomputed aggregation} for the first GNN stage.
+
+    When the encoder input is a param-free view of the node FEATURES (a
+    single bias-less FEATURE stage — features are constants, never
+    differentiated), the first GNN stage's neighbor sum never changes during
+    training: compute it once here and train with ZERO layer-1 gathers
+    (forward uses the constant; backward needs no input grad). At arxiv
+    scale this removes 2 of 6 full-graph gathers per batch. Exact — the
+    same op on the same constant input."""
+    if features is None or len(config.stages) < 2:
+        return {}
+    s0 = config.stages[0]
+    if len(s0) != 1 or s0[0].layer_type.upper() != "FEATURE" or s0[0].bias:
+        return {}
+    current0 = feature_layer(s0[0], {}, features)
+    num_nbrs = (adj.in_deg + adj.out_deg).astype(features.dtype)
+    const = {}
+    for j, layer in enumerate(config.stages[1]):
+        if layer.layer_type.upper() != "GNN":
+            continue
+        g = layer.gnn_type.upper()
+        if g == "GRAPH_SAGE":
+            const[(1, j)] = nbr_sum(current0)
+        elif g == "GCN":
+            const[(1, j)] = nbr_sum(
+                current0 / jnp.sqrt(num_nbrs + 1.0)[:, None])
+    return const
 
 
 def _full_graph_sage(layer: LayerConfig, p, x, nbr_total, num_nbrs):
@@ -58,16 +120,79 @@ def _full_graph_gcn(layer: LayerConfig, p, x_scaled_sum, x, num_nbrs):
     return post_hook(layer, p, a @ p["w"])
 
 
+def _full_graph_gat(layer: LayerConfig, p, x, adj, ops,
+                    train: bool, dropout_key) -> Array:
+    """gat_layer (layers.py) over the full adjacency, bucket by bucket.
+
+    Each node's combined neighbor slots live in ONE bucket row, so the
+    softmax (neighbors + self, exactly the sampled layer's slot set — the
+    combined multiset equals in+out concatenation) is a per-bucket masked
+    softmax. Gradients to neighbor inputs flow through gather_blocks'
+    inverse-map vjp: no scatter anywhere."""
+    h = layer.num_heads
+    head_dim = (layer.output_dim if layer.average_heads
+                else layer.output_dim // h)
+
+    if train and layer.input_dropout > 0 and dropout_key is not None:
+        keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 0),
+                                    1.0 - layer.input_dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - layer.input_dropout), 0.0)
+
+    w = p["w"].reshape(x.shape[-1], h, head_dim)
+    blocks = ops["gather_blocks"](x)       # per bucket (n_b, cap_b, d_in)
+    x_sorted = ops["to_sorted"](x)         # (N, d_in) bucket-major
+
+    outs = []
+    row0 = 0
+    for b, blk in enumerate(blocks):
+        n_b, cap = adj.nbrs[b].shape
+        x_b = jax.lax.dynamic_slice_in_dim(x_sorted, row0, n_b, 0)
+        row0 += n_b
+        t = jnp.einsum("nsd,dhk->nshk", blk, w)       # neighbor slots
+        t_self = jnp.einsum("nd,dhk->nhk", x_b, w)
+        logit_l = jnp.einsum("nhk,hk->nh", t_self, p["a_l"])   # (n, h)
+        logit_r = jnp.einsum("nshk,hk->nsh", t, p["a_r"])      # (n, S, h)
+        self_r = jnp.einsum("nhk,hk->nh", t_self, p["a_r"])
+        logits = jnp.concatenate(
+            [logit_l[:, None, :] + logit_r,
+             (logit_l + self_r)[:, None, :]], axis=1)          # (n, S+1, h)
+        logits = jax.nn.leaky_relu(logits, layer.negative_slope)
+        mask = jnp.concatenate(
+            [adj.nbrs[b] != adj.num_nodes, jnp.ones((n_b, 1), bool)], axis=1)
+        alpha = masked_softmax(
+            logits, mask[:, :, None] & jnp.ones((1, 1, h), bool), axis=1)
+        if train and layer.attention_dropout > 0 and dropout_key is not None:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_key, 1000 + b),
+                1.0 - layer.attention_dropout, alpha.shape)
+            alpha = jnp.where(keep, alpha / (1.0 - layer.attention_dropout), 0.0)
+        out = jnp.einsum("nsh,nshk->nhk", alpha[:, :cap], t) + \
+            alpha[:, cap][:, :, None] * t_self                 # (n, h, k)
+        outs.append(out)
+
+    y_sorted = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+    y = ops["to_orig"](y_sorted)
+    if layer.average_heads:
+        y = jnp.mean(y, axis=1)
+    else:
+        y = y.reshape(y.shape[0], h * head_dim)
+    return post_hook(layer, p, y)
+
+
 def full_graph_encoder_forward(
     config: EncoderConfig,
     params,
     embeddings: Optional[Array],   # (N, emb_dim) all-node block
     features: Optional[Array],     # (N, feat_dim) all-node block
     adj: FullGraphAdjacency,
-    nbr_sums=None,                 # nbr_sum from make_nbr_sums
+    ops=None,                      # from prepare_full_graph
+    train: bool = False,
+    dropout_key: Optional[jax.Array] = None,
 ) -> Array:
     """Representations for ALL nodes: (N, d_out)."""
-    nbr_sum = nbr_sums if nbr_sums is not None else make_nbr_sums(adj)
+    if ops is None:
+        adj, ops = prepare_full_graph(adj, config)
+    nbr_sum = ops["nbr_sum"]
     num_nbrs = (adj.in_deg + adj.out_deg).astype(
         (embeddings if embeddings is not None else features).dtype)
 
@@ -86,13 +211,22 @@ def full_graph_encoder_forward(
                 stage_outputs.append(reduction_layer(layer, p, outputs))
             elif lt == "GNN":
                 g = layer.gnn_type.upper()
+                const = ops.get("const_agg", {}).get((i, j))
                 if g == "GRAPH_SAGE":
+                    agg = const if const is not None else nbr_sum(current)
                     stage_outputs.append(_full_graph_sage(
-                        layer, p, current, nbr_sum(current), num_nbrs))
+                        layer, p, current, agg, num_nbrs))
                 elif g == "GCN":
-                    scaled = current / jnp.sqrt(num_nbrs + 1.0)[:, None]
+                    if const is None:
+                        const = nbr_sum(
+                            current / jnp.sqrt(num_nbrs + 1.0)[:, None])
                     stage_outputs.append(_full_graph_gcn(
-                        layer, p, nbr_sum(scaled), current, num_nbrs))
+                        layer, p, const, current, num_nbrs))
+                elif g == "GAT":
+                    stage_outputs.append(_full_graph_gat(
+                        layer, p, current, adj, ops, train,
+                        None if dropout_key is None
+                        else jax.random.fold_in(dropout_key, i * 101 + j)))
                 else:
                     raise ValueError(
                         f"full-graph mode does not support {layer.gnn_type}; "

@@ -75,14 +75,12 @@ class NodeClassificationTrainer:
         self.nbr_configs = tuple(nbr_configs)
         self.mesh = mesh
         self.full_graph = full_graph
-        self._nbr_sums = None
+        self._fg_ops = None
         if full_graph is not None:
             assert mesh is None, "full-graph mode is single-device for now"
-            from marius_tpu.data.full_graph import make_nbr_sums
             from marius_tpu.nn.full_graph_encoder import supports_full_graph
             assert supports_full_graph(model.encoder), \
-                "full-graph mode supports GraphSAGE/GCN stages only"
-            self._nbr_sums = make_nbr_sums(full_graph)
+                "full-graph mode supports GraphSAGE/GCN/GAT stages only"
         local_batch = batch_size
         if mesh is not None:
             from marius_tpu.parallel.mesh import DATA_AXIS
@@ -106,6 +104,12 @@ class NodeClassificationTrainer:
         lab = np.zeros(num_nodes + 1, np.int32)
         lab[:num_nodes] = np.asarray(labels, np.int32)
         self.labels = jnp.asarray(lab)
+
+        if full_graph is not None:
+            from marius_tpu.nn.full_graph_encoder import prepare_full_graph
+            self.full_graph, self._fg_ops = prepare_full_graph(
+                full_graph, model.encoder,
+                None if self.features is None else self.features[:-1])
 
         padded, self.num_train, self.num_batches = _pad_ids(train_nodes, batch_size)
         self.train_nodes = jnp.asarray(padded)
@@ -146,7 +150,7 @@ class NodeClassificationTrainer:
         from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
 
         model = self.model
-        key, _ = jax.random.split(state.key)
+        key, k_d = jax.random.split(state.key)
         n = self.graph.num_nodes
         seeds_c = jnp.minimum(seeds, n - 1)
         labels_b = self.labels[jnp.minimum(seeds, n)]
@@ -156,7 +160,7 @@ class NodeClassificationTrainer:
         def loss_fn(emb, dense_params):
             logits_all = full_graph_encoder_forward(
                 model.encoder, dense_params["encoder"], emb, feats,
-                self.full_graph, nbr_sums=self._nbr_sums)
+                self.full_graph, ops=self._fg_ops, train=True, dropout_key=k_d)
             return nc_batch_loss(model, logits_all[seeds_c], labels_b, mask_b)
 
         if table_values is not None:
@@ -310,7 +314,7 @@ class NodeClassificationEvaluator:
         feats = None if tr.features is None else tr.features[:-1]
         logits_all = full_graph_encoder_forward(
             tr.model.encoder, params["encoder"], table_values, feats,
-            tr.full_graph, nbr_sums=tr._nbr_sums)
+            tr.full_graph, ops=tr._fg_ops)
         return logits_all[jnp.minimum(nodes, tr.graph.num_nodes - 1)]
 
     def _build_eval_fn(self):

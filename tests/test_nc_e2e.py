@@ -308,3 +308,54 @@ def test_full_graph_hub_degrees():
     f_stats = full.train(2)
     for s, f in zip(s_stats, f_stats):
         assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0)
+
+
+def test_full_graph_gat_matches_sampled_all():
+    """GAT in full-graph mode: per-bucket attention softmax + inverse-map
+    backward must reproduce the sampled-ALL trajectory (softmax and weighted
+    sums are order-invariant over the same slot multiset)."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    edges, feats, labels = community_graph()
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(NUM_NODES)
+    train_nodes, test_nodes = perm[:300], perm[300:]
+    graph = build_device_graph(edges, NUM_NODES)
+    max_deg = int(np.asarray(graph.degrees).max())
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)] * 2
+
+    stages = (
+        (LayerConfig(layer_type="FEATURE", output_dim=FEAT_DIM),),
+        (LayerConfig(layer_type="GNN", gnn_type="GAT", input_dim=FEAT_DIM,
+                     output_dim=16, num_heads=4, average_heads=False,
+                     bias=True, activation="RELU"),),
+        (LayerConfig(layer_type="GNN", gnn_type="GAT", input_dim=16,
+                     output_dim=NUM_CLASSES, num_heads=2, average_heads=True,
+                     bias=True),),
+    )
+
+    def mk():
+        return Model(
+            learning_task="NODE_CLASSIFICATION",
+            encoder=EncoderConfig(stages=stages), decoder=None,
+            loss_type="CROSS_ENTROPY", loss_reduction="SUM",
+            dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+
+    sampled = NodeClassificationTrainer(
+        mk(), graph, feats, labels, train_nodes, nbr, batch_size=100, seed=0)
+    fg_adj = build_full_graph_adjacency(edges, NUM_NODES)
+    full = NodeClassificationTrainer(
+        mk(), graph, feats, labels, train_nodes, nbr, batch_size=100, seed=0,
+        full_graph=fg_adj)
+    assert full.full_graph.inv_map is not None  # GAT forces the inverse map
+
+    s_stats = sampled.train(3)
+    f_stats = full.train(3)
+    for s, f in zip(s_stats, f_stats):
+        assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0), \
+            f"loss diverged: sampled {s['loss']} vs full-graph {f['loss']}"
+
+    ev_s = NodeClassificationEvaluator(sampled, test_nodes)
+    ev_f = NodeClassificationEvaluator(full, test_nodes)
+    a, b = ev_s.evaluate(sampled.state), ev_f.evaluate(full.state)
+    assert abs(a["accuracy"] - b["accuracy"]) < 0.02
