@@ -151,6 +151,58 @@ def build_full_graph_adjacency(
         num_nodes=int(num_nodes))
 
 
+def host_csr_from_adjacency(adj: FullGraphAdjacency):
+    """Host-side combined-neighbor CSR (offsets, nbrs) in ORIGINAL node
+    order, derived from the bucketed device adjacency (no re-sort of the
+    edge list). Used to build per-batch seed neighbor lists for the
+    seed-restricted final GNN stage (full_graph_encoder.py)."""
+    deg = (np.asarray(adj.in_deg) + np.asarray(adj.out_deg)).astype(np.int64)
+    offsets = np.zeros(adj.num_nodes + 1, np.int64)
+    np.cumsum(deg, out=offsets[1:])
+    nbrs = np.empty(int(offsets[-1]), np.int32)
+    perm = np.argsort(np.asarray(adj.inv_pos), kind="stable")  # sorted row -> id
+    row0 = 0
+    for b in adj.nbrs:
+        nb_ = np.asarray(b)
+        nodes = perm[row0:row0 + nb_.shape[0]]
+        d = deg[nodes]
+        rows = np.repeat(np.arange(nb_.shape[0]), d)
+        cols = np.arange(int(d.sum())) - np.repeat(np.cumsum(d) - d, d)
+        nbrs[np.repeat(offsets[nodes], d) + cols] = nb_[rows, cols]
+        row0 += nb_.shape[0]
+    return offsets, nbrs
+
+
+def build_seed_flat_lists(csr, seed_batches: np.ndarray,
+                          mask_batches: np.ndarray, budget: int,
+                          num_nodes: int):
+    """Per-batch flat CSR neighbor lists for seed-restricted aggregation.
+
+    Returns (flat_nbr, flat_seg), both (num_batches, budget) int32:
+    ``flat_nbr`` holds the concatenated neighbor ids of the batch's valid
+    seeds (pad = num_nodes, the zero sentinel row), ``flat_seg`` the seed row
+    each slot belongs to (pad = batch_size, dropped by segment ops). Masked
+    (padding) seeds contribute zero slots. Raises if any batch needs more
+    than ``budget`` slots."""
+    offsets, nbrs = csr
+    nb, b = seed_batches.shape
+    flat_nbr = np.full((nb, budget), num_nodes, np.int32)
+    flat_seg = np.full((nb, budget), b, np.int32)
+    for i in range(nb):
+        seeds = np.minimum(seed_batches[i], num_nodes - 1).astype(np.int64)
+        deg = (offsets[seeds + 1] - offsets[seeds]) * mask_batches[i]
+        total = int(deg.sum())
+        if total > budget:
+            raise ValueError(
+                f"seed batch {i} needs {total} neighbor slots > budget "
+                f"{budget}")
+        rows = np.repeat(np.arange(b), deg)
+        cols = np.arange(total) - np.repeat(np.cumsum(deg) - deg, deg)
+        flat_nbr[i, :total] = nbrs[np.repeat(offsets[seeds], deg) + cols]
+        flat_seg[i, :total] = rows
+    return flat_nbr, flat_seg
+
+
 def make_nbr_sums(adj: FullGraphAdjacency):
     """Returns ``nbr_sum``: x:(N, d) -> (N, d), the sum of each node's
     combined (in+out) neighbor rows. Scatter-free custom vjp: the combined

@@ -53,6 +53,17 @@ def _has_gat(config: EncoderConfig) -> bool:
                if l.layer_type.upper() == "GNN")
 
 
+def supports_seed_restrict(config: EncoderConfig) -> bool:
+    """True when the FINAL stage is all supported-GNN layers, so training can
+    compute it for the batch's seed rows only (see ``seed_restrict`` in
+    full_graph_encoder_forward) instead of all N nodes."""
+    if not supports_full_graph(config) or len(config.stages) == 0:
+        return False
+    last = config.stages[-1]
+    return len(last) > 0 and all(
+        l.layer_type.upper() == "GNN" for l in last)
+
+
 def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
                        features: Optional[Array] = None):
     """Build the closure ops the encoder needs for this adjacency+model.
@@ -179,6 +190,98 @@ def _full_graph_gat(layer: LayerConfig, p, x, adj, ops,
     return post_hook(layer, p, y)
 
 
+def _seed_gather(x: Array, flat_nbr: Array) -> Array:
+    """Gather the (S, d) flat neighbor values; padding slots (id N) read the
+    appended zero sentinel row."""
+    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
+    return x_pad[flat_nbr]
+
+
+def _seed_sage(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,
+               num_nbrs, b: int, const):
+    """GraphSAGE final stage for the seed rows only: the neighbor sum is a
+    segment_sum over the batch's flat CSR slots (~batch-degree-sum rows)
+    instead of the full 2E-slot adjacency gather."""
+    x_seed = x[seeds]
+    if const is not None:
+        agg = const[seeds]
+    else:
+        vals = _seed_gather(x, flat_nbr)
+        agg = jax.ops.segment_sum(vals, flat_seg, num_segments=b + 1)[:b]
+    return _full_graph_sage(layer, p, x_seed, agg, num_nbrs[seeds])
+
+
+def _seed_gcn(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,
+              num_nbrs, b: int, const):
+    if const is not None:
+        agg = const[seeds]
+    else:
+        scaled = x / jnp.sqrt(num_nbrs + 1.0)[:, None]
+        vals = _seed_gather(scaled, flat_nbr)
+        agg = jax.ops.segment_sum(vals, flat_seg, num_segments=b + 1)[:b]
+    return _full_graph_gcn(layer, p, agg, x[seeds], num_nbrs[seeds])
+
+
+def _seed_gat(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,
+              b: int, num_nodes: int, train: bool, dropout_key) -> Array:
+    """GAT final stage over the seeds' flat CSR slots: the softmax over
+    neighbors+self becomes segment_max/segment_sum over ~batch-degree-sum
+    rows (same math as _full_graph_gat's per-bucket masked softmax)."""
+    h = layer.num_heads
+    head_dim = (layer.output_dim if layer.average_heads
+                else layer.output_dim // h)
+
+    if train and layer.input_dropout > 0 and dropout_key is not None:
+        keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 0),
+                                    1.0 - layer.input_dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - layer.input_dropout), 0.0)
+
+    w = p["w"].reshape(x.shape[-1], h, head_dim)
+    vals = _seed_gather(x, flat_nbr)                       # (S, d_in)
+    t = jnp.einsum("sd,dhk->shk", vals, w)                 # (S, h, k)
+    t_self = jnp.einsum("nd,dhk->nhk", x[seeds], w)        # (b, h, k)
+    logit_l = jnp.einsum("nhk,hk->nh", t_self, p["a_l"])   # (b, h)
+    self_r = jnp.einsum("nhk,hk->nh", t_self, p["a_r"])
+    logit_r = jnp.einsum("shk,hk->sh", t, p["a_r"])        # (S, h)
+    logit_l_pad = jnp.concatenate(
+        [logit_l, jnp.zeros((1, h), logit_l.dtype)], 0)
+    slot_logits = jax.nn.leaky_relu(
+        logit_l_pad[flat_seg] + logit_r, layer.negative_slope)
+    self_logits = jax.nn.leaky_relu(logit_l + self_r, layer.negative_slope)
+
+    mask = (flat_nbr != num_nodes)[:, None]
+    neg_big = jnp.asarray(-1e30, slot_logits.dtype)
+    m_nbr = jax.ops.segment_max(
+        jnp.where(mask, slot_logits, neg_big), flat_seg,
+        num_segments=b + 1)[:b]
+    m = jnp.maximum(m_nbr, self_logits)                    # (b, h)
+    m_pad = jnp.concatenate([m, jnp.zeros((1, h), m.dtype)], 0)
+    e_slot = jnp.where(mask, jnp.exp(slot_logits - m_pad[flat_seg]), 0.0)
+    e_self = jnp.exp(self_logits - m)
+    denom = jax.ops.segment_sum(e_slot, flat_seg,
+                                num_segments=b + 1)[:b] + e_self
+    denom_pad = jnp.concatenate(
+        [denom, jnp.ones((1, h), denom.dtype)], 0)
+    alpha_slot = e_slot / denom_pad[flat_seg]
+    alpha_self = e_self / denom
+    if train and layer.attention_dropout > 0 and dropout_key is not None:
+        q = 1.0 - layer.attention_dropout
+        keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 1),
+                                    q, alpha_slot.shape)
+        alpha_slot = jnp.where(keep, alpha_slot / q, 0.0)
+        keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 2),
+                                    q, alpha_self.shape)
+        alpha_self = jnp.where(keep, alpha_self / q, 0.0)
+    out = jax.ops.segment_sum(alpha_slot[:, :, None] * t, flat_seg,
+                              num_segments=b + 1)[:b] \
+        + alpha_self[:, :, None] * t_self                  # (b, h, k)
+    if layer.average_heads:
+        y = jnp.mean(out, axis=1)
+    else:
+        y = out.reshape(out.shape[0], h * head_dim)
+    return post_hook(layer, p, y)
+
+
 def full_graph_encoder_forward(
     config: EncoderConfig,
     params,
@@ -188,17 +291,26 @@ def full_graph_encoder_forward(
     ops=None,                      # from prepare_full_graph
     train: bool = False,
     dropout_key: Optional[jax.Array] = None,
+    seed_restrict=None,            # (seeds (b,), flat_nbr (S,), flat_seg (S,))
 ) -> Array:
-    """Representations for ALL nodes: (N, d_out)."""
+    """Representations for ALL nodes: (N, d_out). With ``seed_restrict``
+    (requires supports_seed_restrict(config)), the FINAL stage is computed
+    only for the given seed rows — returns (b, d_out) — replacing its
+    full-adjacency gather (and the matching backward gather) with flat
+    segment ops over the batch's own neighbor slots."""
     if ops is None:
         adj, ops = prepare_full_graph(adj, config)
     nbr_sum = ops["nbr_sum"]
     num_nbrs = (adj.in_deg + adj.out_deg).astype(
         (embeddings if embeddings is not None else features).dtype)
+    if seed_restrict is not None:
+        seeds, flat_nbr, flat_seg = seed_restrict
+        nseeds = seeds.shape[0]
 
     outputs: List[Array] = []
     current: Optional[Array] = None
     for i, stage in enumerate(config.stages):
+        seed_stage = seed_restrict is not None and i == len(config.stages) - 1
         stage_outputs = []
         for j, layer in enumerate(stage):
             lt = layer.layer_type.upper()
@@ -212,7 +324,26 @@ def full_graph_encoder_forward(
             elif lt == "GNN":
                 g = layer.gnn_type.upper()
                 const = ops.get("const_agg", {}).get((i, j))
-                if g == "GRAPH_SAGE":
+                if seed_stage:
+                    k_d = (None if dropout_key is None
+                           else jax.random.fold_in(dropout_key, i * 101 + j))
+                    if g == "GRAPH_SAGE":
+                        stage_outputs.append(_seed_sage(
+                            layer, p, current, seeds, flat_nbr, flat_seg,
+                            num_nbrs, nseeds, const))
+                    elif g == "GCN":
+                        stage_outputs.append(_seed_gcn(
+                            layer, p, current, seeds, flat_nbr, flat_seg,
+                            num_nbrs, nseeds, const))
+                    elif g == "GAT":
+                        stage_outputs.append(_seed_gat(
+                            layer, p, current, seeds, flat_nbr, flat_seg,
+                            nseeds, adj.num_nodes, train, k_d))
+                    else:
+                        raise ValueError(
+                            f"seed-restricted mode does not support "
+                            f"{layer.gnn_type}")
+                elif g == "GRAPH_SAGE":
                     agg = const if const is not None else nbr_sum(current)
                     stage_outputs.append(_full_graph_sage(
                         layer, p, current, agg, num_nbrs))

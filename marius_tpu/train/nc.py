@@ -68,6 +68,9 @@ class NodeClassificationTrainer:
                           # computes all layers over ALL nodes and slices the
                           # seed rows (bit-equal to unbounded ALL sampling,
                           # data/full_graph.py); nbr_configs are ignored
+        fg_seed_restrict: Optional[bool] = None,  # None = auto (on when the
+                          # encoder's final stage supports it); False forces
+                          # the all-N final stage (same math, used by tests)
     ):
         self.model = model
         self.graph = graph
@@ -105,13 +108,35 @@ class NodeClassificationTrainer:
         lab[:num_nodes] = np.asarray(labels, np.int32)
         self.labels = jnp.asarray(lab)
 
+        self._fg_seed_restrict = False
         if full_graph is not None:
-            from marius_tpu.nn.full_graph_encoder import prepare_full_graph
+            from marius_tpu.nn.full_graph_encoder import (
+                prepare_full_graph,
+                supports_seed_restrict,
+            )
             self.full_graph, self._fg_ops = prepare_full_graph(
                 full_graph, model.encoder,
                 None if self.features is None else self.features[:-1])
+            # Seed-restricted final stage: compute the last GNN stage for the
+            # batch's seed rows only (flat CSR slots fed through the scan)
+            # instead of all N nodes — removes the final stage's full-
+            # adjacency gather AND its backward twin from every step.
+            self._fg_seed_restrict = (supports_seed_restrict(model.encoder)
+                                      if fg_seed_restrict is None
+                                      else bool(fg_seed_restrict))
+            if self._fg_seed_restrict:
+                assert supports_seed_restrict(model.encoder), \
+                    "encoder's final stage does not support seed_restrict"
+                from marius_tpu.data.full_graph import host_csr_from_adjacency
+                self._fg_csr = host_csr_from_adjacency(self.full_graph)
+                self._fg_budget = None   # sized from the first epoch's need
+                self._fg_prefetch = None  # (epoch, Future) built during the
+                                          # previous epoch's device compute
+                import concurrent.futures
+                self._fg_pool = concurrent.futures.ThreadPoolExecutor(1)
 
         padded, self.num_train, self.num_batches = _pad_ids(train_nodes, batch_size)
+        self._train_nodes_np = padded
         self.train_nodes = jnp.asarray(padded)
 
         key = jax.random.key(seed)
@@ -143,10 +168,11 @@ class NodeClassificationTrainer:
         return self._sharded_batch_step(state, seeds, mask_b)
 
     def _batch_step_full_graph(self, state: TrainState, seeds: Array,
-                               mask_b: Array):
+                               mask_b: Array, flat=None):
         """Exact-ALL batch step: all layers over ALL nodes, slice the seed
         rows. Identical math to unbounded ALL sampling, none of the per-batch
-        frontier machinery."""
+        frontier machinery. With ``flat`` = (flat_nbr, flat_seg) the final
+        stage runs seed-restricted (see full_graph_encoder_forward)."""
         from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
 
         model = self.model
@@ -156,12 +182,15 @@ class NodeClassificationTrainer:
         labels_b = self.labels[jnp.minimum(seeds, n)]
         feats = None if self.features is None else self.features[:-1]
         table_values = state.table.values if state.table is not None else None
+        sr = None if flat is None else (seeds_c, flat[0], flat[1])
 
         def loss_fn(emb, dense_params):
-            logits_all = full_graph_encoder_forward(
+            out = full_graph_encoder_forward(
                 model.encoder, dense_params["encoder"], emb, feats,
-                self.full_graph, ops=self._fg_ops, train=True, dropout_key=k_d)
-            return nc_batch_loss(model, logits_all[seeds_c], labels_b, mask_b)
+                self.full_graph, ops=self._fg_ops, train=True, dropout_key=k_d,
+                seed_restrict=sr)
+            logits = out if sr is not None else out[seeds_c]
+            return nc_batch_loss(model, logits, labels_b, mask_b)
 
         if table_values is not None:
             loss, (g_emb, g_dense) = jax.value_and_grad(
@@ -263,6 +292,22 @@ class NodeClassificationTrainer:
         nb, b = self.num_batches, self.batch_size
         num_train = self.num_train
 
+        if self._fg_seed_restrict:
+            # shuffle + flat seed-CSR lists are computed on HOST per epoch
+            # (same permutation: key(54321) folded with epoch) and scanned
+            def epoch_fn_fg(state: TrainState, shuffled: Array, masks: Array,
+                            flat_nbr: Array, flat_seg: Array):
+                def body(carry, xs):
+                    return self._batch_step_full_graph(
+                        carry, xs[0], xs[1], (xs[2], xs[3]))
+
+                state, losses = jax.lax.scan(
+                    body, state, (shuffled, masks, flat_nbr, flat_seg))
+                return (dataclasses.replace(state, epoch=state.epoch + 1),
+                        jnp.sum(losses))
+
+            return epoch_fn_fg
+
         def epoch_fn(state: TrainState, train_nodes: Array):
             k_perm = jax.random.fold_in(jax.random.key(54321), state.epoch)
             perm = jax.random.permutation(k_perm, nb * b)
@@ -279,9 +324,50 @@ class NodeClassificationTrainer:
         return epoch_fn
 
     # ------------------------------------------------------------------
+    def _fg_epoch_inputs(self, epoch: int):
+        """Host-side per-epoch shuffle + flat seed-CSR lists for the
+        seed-restricted full-graph path. Draws the SAME permutation the
+        compiled path would (key(54321) folded with the epoch counter), so
+        the trajectory is identical to fg_seed_restrict=False."""
+        from marius_tpu.data.full_graph import build_seed_flat_lists
+
+        nb, b = self.num_batches, self.batch_size
+        n = self.graph.num_nodes
+        k_perm = jax.random.fold_in(jax.random.key(54321), epoch)
+        perm = np.asarray(jax.random.permutation(k_perm, nb * b))
+        shuffled = self._train_nodes_np[perm].reshape(nb, b)
+        masks = (perm < self.num_train).reshape(nb, b)
+
+        offsets, _ = self._fg_csr
+        seeds = np.minimum(shuffled.astype(np.int64), n - 1)
+        need = int(((offsets[seeds + 1] - offsets[seeds]) * masks)
+                   .sum(axis=1).max())
+        if self._fg_budget is None or need > self._fg_budget:
+            # 25% slack, 128-multiple: growth (= recompile) is rare
+            self._fg_budget = max(128, -(-int(need * 1.25) // 128) * 128)
+        flat_nbr, flat_seg = build_seed_flat_lists(
+            self._fg_csr, shuffled, masks, self._fg_budget, n)
+        return (jnp.asarray(shuffled), jnp.asarray(masks),
+                jnp.asarray(flat_nbr), jnp.asarray(flat_seg))
+
     def train_epoch(self) -> Dict[str, float]:
         t0 = time.perf_counter()
-        self.state, total_loss = self._epoch_fn(self.state, self.train_nodes)
+        if self._fg_seed_restrict:
+            # epoch index from device state (correct across ckpt resume /
+            # external state replacement); instant when the prior epoch
+            # already synced
+            epoch = int(jax.device_get(self.state.epoch))
+            if self._fg_prefetch is not None and self._fg_prefetch[0] == epoch:
+                inputs = self._fg_prefetch[1].result()
+            else:
+                inputs = self._fg_epoch_inputs(epoch)
+            self.state, total_loss = self._epoch_fn(self.state, *inputs)
+            # build NEXT epoch's lists while the device runs this one
+            self._fg_prefetch = (
+                epoch + 1, self._fg_pool.submit(self._fg_epoch_inputs,
+                                                epoch + 1))
+        else:
+            self.state, total_loss = self._epoch_fn(self.state, self.train_nodes)
         total_loss = float(total_loss)
         dt = time.perf_counter() - t0
         return {"loss": total_loss, "epoch_time_s": dt,

@@ -310,6 +310,56 @@ def test_full_graph_hub_degrees():
         assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0)
 
 
+@pytest.mark.parametrize("gnn_type", ["GRAPH_SAGE", "GCN", "GAT"])
+def test_full_graph_seed_restrict_matches_all_n(gnn_type):
+    """The seed-restricted final stage (flat per-batch CSR segment ops) is
+    the same math as computing the stage for all N nodes and slicing the
+    seeds — trajectories must agree to float tolerance, and the seed path
+    must be the one auto-selected."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    edges, feats, labels = community_graph()
+    rng = np.random.default_rng(5)
+    train_nodes = rng.permutation(NUM_NODES)[:300]
+    graph = build_device_graph(edges, NUM_NODES)
+    adj = build_full_graph_adjacency(edges, NUM_NODES)
+
+    if gnn_type == "GRAPH_SAGE":
+        mk = _gs_model
+    else:
+        def mk():
+            stages = (
+                (LayerConfig(layer_type="FEATURE", output_dim=FEAT_DIM),),
+                (LayerConfig(layer_type="GNN", gnn_type=gnn_type,
+                             input_dim=FEAT_DIM, output_dim=16, num_heads=4,
+                             average_heads=False, bias=True,
+                             activation="RELU"),),
+                (LayerConfig(layer_type="GNN", gnn_type=gnn_type,
+                             input_dim=16, output_dim=NUM_CLASSES,
+                             num_heads=2, average_heads=True, bias=True),),
+            )
+            return Model(
+                learning_task="NODE_CLASSIFICATION",
+                encoder=EncoderConfig(stages=stages), decoder=None,
+                loss_type="CROSS_ENTROPY", loss_reduction="SUM",
+                dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+
+    nbr = [NeighborSamplingConfig("ALL")] * 2
+    full = NodeClassificationTrainer(
+        mk(), graph, feats, labels, train_nodes, nbr, batch_size=100, seed=0,
+        full_graph=adj, fg_seed_restrict=False)
+    restricted = NodeClassificationTrainer(
+        mk(), graph, feats, labels, train_nodes, nbr, batch_size=100, seed=0,
+        full_graph=adj)
+    assert restricted._fg_seed_restrict and not full._fg_seed_restrict
+
+    f_stats = full.train(3)
+    r_stats = restricted.train(3)
+    for f, r in zip(f_stats, r_stats):
+        assert abs(f["loss"] - r["loss"]) < 5e-3 * max(abs(f["loss"]), 1.0), \
+            f"loss diverged: all-N {f['loss']} vs seed-restricted {r['loss']}"
+
+
 def test_full_graph_gat_matches_sampled_all():
     """GAT in full-graph mode: per-bucket attention softmax + inverse-map
     backward must reproduce the sampled-ALL trajectory (softmax and weighted
