@@ -173,33 +173,46 @@ def host_csr_from_adjacency(adj: FullGraphAdjacency):
     return offsets, nbrs
 
 
-def build_seed_flat_lists(csr, seed_batches: np.ndarray,
-                          mask_batches: np.ndarray, budget: int,
-                          num_nodes: int):
-    """Per-batch flat CSR neighbor lists for seed-restricted aggregation.
-
-    Returns (flat_nbr, flat_seg), both (num_batches, budget) int32:
-    ``flat_nbr`` holds the concatenated neighbor ids of the batch's valid
-    seeds (pad = num_nodes, the zero sentinel row), ``flat_seg`` the seed row
-    each slot belongs to (pad = batch_size, dropped by segment ops). Masked
-    (padding) seeds contribute zero slots. Raises if any batch needs more
-    than ``budget`` slots."""
+def device_csr(csr) -> Tuple[Array, Array]:
+    """Device-resident int32 copy of ``host_csr_from_adjacency``'s output.
+    ~9 bytes/edge of HBM; lets the seed flat lists be built inside the
+    compiled epoch (below) with zero per-epoch host work or transfer."""
     offsets, nbrs = csr
-    nb, b = seed_batches.shape
-    flat_nbr = np.full((nb, budget), num_nodes, np.int32)
-    flat_seg = np.full((nb, budget), b, np.int32)
-    for i in range(nb):
-        seeds = np.minimum(seed_batches[i], num_nodes - 1).astype(np.int64)
-        deg = (offsets[seeds + 1] - offsets[seeds]) * mask_batches[i]
-        total = int(deg.sum())
-        if total > budget:
-            raise ValueError(
-                f"seed batch {i} needs {total} neighbor slots > budget "
-                f"{budget}")
-        rows = np.repeat(np.arange(b), deg)
-        cols = np.arange(total) - np.repeat(np.cumsum(deg) - deg, deg)
-        flat_nbr[i, :total] = nbrs[np.repeat(offsets[seeds], deg) + cols]
-        flat_seg[i, :total] = rows
+    assert int(offsets[-1]) < np.iinfo(np.int32).max, \
+        "full-graph CSR exceeds int32 slots; use the sampled path"
+    return jnp.asarray(offsets.astype(np.int32)), jnp.asarray(nbrs)
+
+
+def device_seed_flat_lists(csr_dev: Tuple[Array, Array], seeds: Array,
+                           mask: Array, budget: int, num_nodes: int):
+    """Flat CSR neighbor list of one seed batch, built IN-JIT on device.
+
+    Returns (flat_nbr, flat_seg), both (budget,) int32: ``flat_nbr`` holds
+    the concatenated neighbor ids of the batch's valid seeds (pad =
+    num_nodes, the zero sentinel row), ``flat_seg`` the seed row each slot
+    belongs to (pad = batch_size, dropped by segment ops). Masked (padding)
+    seeds contribute zero slots. Slot layout is seed-major CSR order.
+
+    The host builds NOTHING per epoch: slot -> seed row is a searchsorted
+    over the batch's degree cumsum, slot -> neighbor id one gather from the
+    device CSR — ~0.2 ms/batch vs ~15 ms/epoch of host numpy + a 20 MB
+    host->device transfer for the precomputed (num_batches, budget) lists.
+    The caller guarantees the batch fits in ``budget`` (train_epoch sizes it
+    from the epoch's deterministic permutation before compiling)."""
+    offsets, nbrs = csr_dev
+    b = seeds.shape[0]
+    s = jnp.minimum(seeds, num_nodes - 1)
+    deg = (offsets[s + 1] - offsets[s]) * mask.astype(jnp.int32)
+    cum = jnp.cumsum(deg)
+    slots = jnp.arange(budget, dtype=jnp.int32)
+    seg = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    valid = slots < cum[-1]
+    seg_c = jnp.minimum(seg, b - 1)
+    start = cum[seg_c] - deg[seg_c]
+    idx = offsets[s[seg_c]] + (slots - start)
+    vals = nbrs[jnp.clip(idx, 0, nbrs.shape[0] - 1)]
+    flat_nbr = jnp.where(valid, vals, num_nodes)
+    flat_seg = jnp.where(valid, seg_c, b)
     return flat_nbr, flat_seg
 
 

@@ -127,13 +127,15 @@ class NodeClassificationTrainer:
             if self._fg_seed_restrict:
                 assert supports_seed_restrict(model.encoder), \
                     "encoder's final stage does not support seed_restrict"
-                from marius_tpu.data.full_graph import host_csr_from_adjacency
+                from marius_tpu.data.full_graph import (
+                    device_csr,
+                    host_csr_from_adjacency,
+                )
+                # host offsets: per-epoch slot-budget sizing only; the flat
+                # lists themselves are built on device inside the scan
                 self._fg_csr = host_csr_from_adjacency(self.full_graph)
+                self._fg_csr_dev = device_csr(self._fg_csr)
                 self._fg_budget = None   # sized from the first epoch's need
-                self._fg_prefetch = None  # (epoch, Future) built during the
-                                          # previous epoch's device compute
-                import concurrent.futures
-                self._fg_pool = concurrent.futures.ThreadPoolExecutor(1)
 
         padded, self.num_train, self.num_batches = _pad_ids(train_nodes, batch_size)
         self._train_nodes_np = padded
@@ -143,7 +145,10 @@ class NodeClassificationTrainer:
         params = init_model_params(jax.random.fold_in(key, 1), model, dtype)
         self.state = init_train_state(jax.random.fold_in(key, 2), model, params,
                                       num_nodes, dtype)
-        self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
+        # seed-restricted full-graph: built by _fg_ensure_budget on the first
+        # train_epoch (the flat-list slot budget is static in the epoch fn)
+        self._epoch_fn = (None if self._fg_seed_restrict else
+                          jax.jit(self._build_epoch_fn(), donate_argnums=(0,)))
 
     # ------------------------------------------------------------------
     def _encode_batch(self, params, table_values, key, seeds, seed_mask,
@@ -293,16 +298,30 @@ class NodeClassificationTrainer:
         num_train = self.num_train
 
         if self._fg_seed_restrict:
-            # shuffle + flat seed-CSR lists are computed on HOST per epoch
-            # (same permutation: key(54321) folded with epoch) and scanned
-            def epoch_fn_fg(state: TrainState, shuffled: Array, masks: Array,
-                            flat_nbr: Array, flat_seg: Array):
-                def body(carry, xs):
-                    return self._batch_step_full_graph(
-                        carry, xs[0], xs[1], (xs[2], xs[3]))
+            # Entirely on-device: the shuffle AND each batch's flat seed-CSR
+            # neighbor lists are computed inside the compiled epoch (the
+            # lists from the device-resident CSR — data/full_graph.py
+            # device_seed_flat_lists). The slot budget is the only host
+            # input, baked in statically by train_epoch.
+            from marius_tpu.data.full_graph import device_seed_flat_lists
 
-                state, losses = jax.lax.scan(
-                    body, state, (shuffled, masks, flat_nbr, flat_seg))
+            budget = self._fg_budget
+            n = self.graph.num_nodes
+            csr_dev = self._fg_csr_dev
+
+            def epoch_fn_fg(state: TrainState, train_nodes: Array):
+                k_perm = jax.random.fold_in(jax.random.key(54321), state.epoch)
+                perm = jax.random.permutation(k_perm, nb * b)
+                shuffled = jnp.take(train_nodes, perm).reshape(nb, b)
+                masks = (perm < num_train).reshape(nb, b)
+
+                def body(carry, xs):
+                    flat = device_seed_flat_lists(csr_dev, xs[0], xs[1],
+                                                  budget, n)
+                    return self._batch_step_full_graph(
+                        carry, xs[0], xs[1], flat)
+
+                state, losses = jax.lax.scan(body, state, (shuffled, masks))
                 return (dataclasses.replace(state, epoch=state.epoch + 1),
                         jnp.sum(losses))
 
@@ -324,13 +343,12 @@ class NodeClassificationTrainer:
         return epoch_fn
 
     # ------------------------------------------------------------------
-    def _fg_epoch_inputs(self, epoch: int):
-        """Host-side per-epoch shuffle + flat seed-CSR lists for the
-        seed-restricted full-graph path. Draws the SAME permutation the
-        compiled path would (key(54321) folded with the epoch counter), so
-        the trajectory is identical to fg_seed_restrict=False."""
-        from marius_tpu.data.full_graph import build_seed_flat_lists
-
+    def _fg_ensure_budget(self, epoch: int):
+        """Size the flat-list slot budget for the upcoming epoch: draw the
+        SAME permutation the compiled epoch will (key(54321) folded with the
+        epoch counter — trajectory identical to fg_seed_restrict=False) and
+        take the max batch degree-sum. Sticky with 25% slack so growth
+        (= a retrace, budget is static in the epoch fn) is rare."""
         nb, b = self.num_batches, self.batch_size
         n = self.graph.num_nodes
         k_perm = jax.random.fold_in(jax.random.key(54321), epoch)
@@ -343,12 +361,9 @@ class NodeClassificationTrainer:
         need = int(((offsets[seeds + 1] - offsets[seeds]) * masks)
                    .sum(axis=1).max())
         if self._fg_budget is None or need > self._fg_budget:
-            # 25% slack, 128-multiple: growth (= recompile) is rare
             self._fg_budget = max(128, -(-int(need * 1.25) // 128) * 128)
-        flat_nbr, flat_seg = build_seed_flat_lists(
-            self._fg_csr, shuffled, masks, self._fg_budget, n)
-        return (jnp.asarray(shuffled), jnp.asarray(masks),
-                jnp.asarray(flat_nbr), jnp.asarray(flat_seg))
+            self._epoch_fn = jax.jit(self._build_epoch_fn(),
+                                     donate_argnums=(0,))
 
     def train_epoch(self) -> Dict[str, float]:
         t0 = time.perf_counter()
@@ -357,17 +372,8 @@ class NodeClassificationTrainer:
             # external state replacement); instant when the prior epoch
             # already synced
             epoch = int(jax.device_get(self.state.epoch))
-            if self._fg_prefetch is not None and self._fg_prefetch[0] == epoch:
-                inputs = self._fg_prefetch[1].result()
-            else:
-                inputs = self._fg_epoch_inputs(epoch)
-            self.state, total_loss = self._epoch_fn(self.state, *inputs)
-            # build NEXT epoch's lists while the device runs this one
-            self._fg_prefetch = (
-                epoch + 1, self._fg_pool.submit(self._fg_epoch_inputs,
-                                                epoch + 1))
-        else:
-            self.state, total_loss = self._epoch_fn(self.state, self.train_nodes)
+            self._fg_ensure_budget(epoch)
+        self.state, total_loss = self._epoch_fn(self.state, self.train_nodes)
         total_loss = float(total_loss)
         dt = time.perf_counter() - t0
         return {"loss": total_loss, "epoch_time_s": dt,
