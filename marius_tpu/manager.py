@@ -275,6 +275,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 buffer_capacity=cfg.storage.buffer_capacity,
                 ordering=cfg.storage.node_partition_ordering,
                 seed=cfg.training.seed,
+                mesh=mesh,
             )
 
             class _BufferNCEval:

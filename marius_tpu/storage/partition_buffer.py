@@ -275,6 +275,8 @@ class ReadOnlyPartitionCache:
     device: Optional[jax.Array] = None       # (capacity * psize, dim)
     resident: Optional[np.ndarray] = None
     part_to_slot: Optional[np.ndarray] = None
+    sharding: Optional[object] = None        # jax.sharding.Sharding for the
+                                             # device cache (multi-chip)
 
     @property
     def psize(self) -> int:
@@ -301,7 +303,9 @@ class ReadOnlyPartitionCache:
         blocks = [np.zeros((self.psize, self.host.shape[1]), self.host.dtype)
                   if p < 0 else self.host[p * self.psize:(p + 1) * self.psize]
                   for p in parts]
-        self.device = jnp.asarray(np.concatenate(blocks, axis=0))
+        stacked = np.concatenate(blocks, axis=0)
+        self.device = (jnp.asarray(stacked) if self.sharding is None
+                       else jax.device_put(stacked, self.sharding))
         self.resident = np.asarray(parts, np.int32)
         self.part_to_slot = np.full(self.num_partitions, -1, np.int32)
         for slot, p in enumerate(parts):
@@ -320,9 +324,11 @@ class ReadOnlyPartitionCache:
         admit = sorted(new_set - {int(p) for p in self.resident if p >= 0})
         free = [s for s, p in enumerate(self.resident) if p < 0]
         for p, slot in zip(admit, free):
+            block = self.host[p * self.psize:(p + 1) * self.psize]
             self.device = _update_slot(
                 self.device,
-                jnp.asarray(self.host[p * self.psize:(p + 1) * self.psize]),
+                jnp.asarray(block) if self.sharding is None
+                else jax.device_put(block, self.sharding),
                 slot * self.psize)
             self.resident[slot] = p
             self.part_to_slot[p] = slot
@@ -337,9 +343,11 @@ class ReadOnlyPartitionCache:
             if int(self.resident[slot]) == p:
                 continue
             if p >= 0:
+                block = self.host[p * self.psize:(p + 1) * self.psize]
                 self.device = _update_slot(
                     self.device,
-                    jnp.asarray(self.host[p * self.psize:(p + 1) * self.psize]),
+                    jnp.asarray(block) if self.sharding is None
+                    else jax.device_put(block, self.sharding),
                     slot * self.psize)
             old = int(self.resident[slot])
             if old >= 0 and self.part_to_slot[old] == slot:

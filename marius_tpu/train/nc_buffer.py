@@ -59,6 +59,10 @@ class PartitionBufferNCTrainer:
         buffer_capacity: int = 8,
         ordering: str = "DISPERSED",    # DISPERSED | SEQUENTIAL
         seed: int = 0,
+        mesh=None,   # jax.sharding.Mesh — data-parallel sub-batches within
+                     # each buffer state: the HBM feature cache is replicated,
+                     # seeds shard over the data axis, dense grads psum
+                     # (model.cpp:136-159 all_reduce analogue)
     ):
         assert model.learning_task == NODE_CLASSIFICATION
         assert not model.has_embeddings, \
@@ -70,10 +74,21 @@ class PartitionBufferNCTrainer:
         self.ordering = ordering.upper()
         self.seed = seed
         self.num_partitions = num_partitions
+        self.mesh = mesh
+        local_batch = batch_size
+        if mesh is not None:
+            from marius_tpu.parallel.mesh import DATA_AXIS
+            self._n_data = mesh.shape[DATA_AXIS]
+            assert batch_size % self._n_data == 0, \
+                f"batch_size {batch_size} % data axis {self._n_data} != 0"
+            local_batch = batch_size // self._n_data
 
         self.cache = ReadOnlyPartitionCache.create(
             np.asarray(features, np.float32), num_nodes, num_partitions,
             buffer_capacity)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.cache.sharding = NamedSharding(mesh, P())
         self.capacity = self.cache.capacity
         psize = self.cache.psize
 
@@ -93,7 +108,7 @@ class PartitionBufferNCTrainer:
         self.num_train = len(tn)
 
         self.hop_caps = tuple(estimate_hop_caps(
-            batch_size, self.nbr_configs, self.cache.buffer_rows))
+            local_batch, self.nbr_configs, self.cache.buffer_rows))
 
         key = jax.random.key(seed)
         self.params = init_model_params(jax.random.fold_in(key, 1), model)
@@ -111,20 +126,38 @@ class PartitionBufferNCTrainer:
 
     def _build_state_fn(self, num_batches: int):
         model = self.model
-        b = self.batch_size
         buffer_rows = self.cache.buffer_rows
+        data_axis = None
+        if self.mesh is not None:
+            from marius_tpu.parallel.mesh import DATA_AXIS
+            data_axis = DATA_AXIS
 
         def state_fn(params, opt_state, key, feats_buf, graph: DeviceGraph,
                      seeds, masks, labels):
+            # seeds/masks/labels: (num_batches, b) — under shard_map the
+            # trailing dim is this shard's sub-batch
             def batch_step(carry, xs):
                 params, opt_state, key = carry
                 seeds_b, mask_b, labels_b = xs
                 key, k_s = jax.random.split(key)
+                if data_axis is not None:
+                    k_s = jax.random.fold_in(
+                        k_s, jax.lax.axis_index(data_axis))
                 nb = sample_neighbor_batch(k_s, graph, seeds_b, mask_b,
                                            self.nbr_configs, self.hop_caps)
                 outer = nb.node_ids[0]
                 feats = feats_buf[jnp.minimum(outer, buffer_rows - 1)]
                 feats = jnp.where((outer < buffer_rows)[:, None], feats, 0.0)
+                loss_mask = mask_b & nb.seed_mask
+
+                w = 1.0
+                if (data_axis is not None
+                        and model.loss_reduction.upper() == "MEAN"):
+                    # re-weight so the psum'd MEAN equals the global mean
+                    local = jnp.sum(loss_mask.astype(jnp.float32))
+                    total = jnp.maximum(
+                        jax.lax.psum(local, data_axis), 1.0)
+                    w = local / total
 
                 def loss_fn(dense_params):
                     logits = encoder_forward(
@@ -132,20 +165,30 @@ class PartitionBufferNCTrainer:
                         degrees=graph.degrees, train=True,
                         dropout_key=jax.random.fold_in(k_s, 99))
                     return nc_batch_loss(model, logits, labels_b,
-                                         mask_b & nb.seed_mask)
+                                         loss_mask) * w
 
                 loss, g = jax.value_and_grad(loss_fn)(params)
+                if data_axis is not None:
+                    g = jax.lax.psum(g, data_axis)
+                    loss = jax.lax.psum(loss, data_axis)
                 params, opt_state = apply_optimizer(
                     model.dense_optimizer, params, opt_state, g)
                 return (params, opt_state, key), loss
 
             (params, opt_state, key), losses = jax.lax.scan(
-                batch_step, (params, opt_state, key),
-                (seeds.reshape(num_batches, b), masks.reshape(num_batches, b),
-                 labels.reshape(num_batches, b)))
+                batch_step, (params, opt_state, key), (seeds, masks, labels))
             return params, opt_state, key, jnp.sum(losses)
 
-        return jax.jit(state_fn, donate_argnums=(0, 1))
+        if self.mesh is None:
+            return jax.jit(state_fn, donate_argnums=(0, 1))
+        from jax.sharding import PartitionSpec as P
+        fn = jax.shard_map(
+            state_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(),
+                      P(None, data_axis), P(None, data_axis),
+                      P(None, data_axis)),
+            out_specs=(P(), P(), P(), P()), check_vma=False)
+        return jax.jit(fn, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def _state_graph(self, max_edges: int) -> DeviceGraph:
@@ -225,10 +268,12 @@ class PartitionBufferNCTrainer:
             labels_pad[:len(labels)] = labels
             masks = np.arange(pad_rows) < len(seeds_l)
 
+            b = self.batch_size
             self.params, self.opt_state, key, loss = self._state_fn(
                 self.params, self.opt_state, key, self.cache.device, graph,
-                jnp.asarray(seeds_pad), jnp.asarray(masks),
-                jnp.asarray(labels_pad))
+                jnp.asarray(seeds_pad.reshape(max_batches, b)),
+                jnp.asarray(masks.reshape(max_batches, b)),
+                jnp.asarray(labels_pad.reshape(max_batches, b)))
             losses.append(loss)
 
         total_loss = float(jnp.sum(jnp.stack(losses)))

@@ -195,3 +195,57 @@ def test_mesh_shapes():
     assert mesh.shape == {DATA_AXIS: 8, NODE_AXIS: 1}
     mesh = make_mesh(num_data=2, num_node=4)
     assert mesh.shape == {DATA_AXIS: 2, NODE_AXIS: 4}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_nc_buffer_trainer_data_parallel_mesh():
+    """PartitionBufferNCTrainer with a data axis: each buffer state's seed
+    batches shard over the mesh, dense grads psum — learning must be
+    comparable to the single-device run on the same schedule."""
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.train.nc_buffer import PartitionBufferNCTrainer
+
+    rng = np.random.default_rng(5)
+    n, classes, fd = 120, 4, 8
+    labels = rng.integers(0, classes, n).astype(np.int32)
+    feats = (np.eye(classes, fd)[labels]
+             + 0.3 * rng.standard_normal((n, fd))).astype(np.float32)
+    src, dst = [], []
+    for v in range(n):
+        same = np.where(labels == labels[v])[0]
+        for u in rng.choice(same, 6):
+            src.append(v); dst.append(u)
+    edges = np.stack([src, dst], axis=1).astype(np.int32)
+
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=fd),),
+        (LayerConfig(layer_type="GNN", input_dim=fd, output_dim=classes,
+                     gnn_type="GRAPH_SAGE", aggregator="MEAN"),),
+    ))
+    model = Model(NODE_CLASSIFICATION, enc, None, loss_type="CROSS_ENTROPY",
+                  loss_reduction="SUM")
+    train_nodes = rng.permutation(n).astype(np.int32)[:96]
+    kw = dict(num_nodes=n, batch_size=32, num_partitions=6,
+              buffer_capacity=3, ordering="SEQUENTIAL", seed=0)
+    nbr = [NeighborSamplingConfig(max_neighbors=4)]
+
+    mesh = make_mesh(num_data=4, num_node=2)
+    tr_m = PartitionBufferNCTrainer(model, edges, feats, labels, train_nodes,
+                                    nbr, mesh=mesh, **kw)
+    losses_m = [s["loss"] for s in tr_m.train(5)]
+    assert np.isfinite(losses_m).all()
+    assert losses_m[-1] < losses_m[0]
+
+    tr_1 = PartitionBufferNCTrainer(model, edges, feats, labels, train_nodes,
+                                    nbr, **kw)
+    losses_1 = [s["loss"] for s in tr_1.train(5)]
+    # different per-shard sampling keys => not bitwise equal; comparable
+    # learning on the same schedule
+    assert losses_m[-1] < losses_1[0]
+
+    # eval path still works with the replicated multi-device cache
+    res = tr_m.evaluate_nodes(rng.permutation(n).astype(np.int32)[:24])
+    assert 0.0 <= res["accuracy"] <= 1.0
