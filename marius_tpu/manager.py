@@ -265,12 +265,25 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         log.info("Loaded NC dataset: %d nodes, %d edges, %d train nodes",
                  num_nodes, len(edges), len(train_nodes))
 
+        # Async pipeline mapping for NC (PipelineTrainer, trainer.cpp:35-74):
+        # K staleness-bound seed batches read ONE parameter snapshot and
+        # their updates merge — with SUM-reduction CE that is exactly a
+        # K-times-larger seed batch (sub-batch grads at the same params add).
+        # In full-graph mode this also amortizes the all-node GNN layers
+        # over K batches of seeds.
+        nc_batch_size = cfg.training.batch_size
+        if not cfg.training.sync and cfg.training.staleness_bound > 1:
+            k = cfg.training.staleness_bound
+            nc_batch_size *= k
+            log.info("Async pipeline: staleness_bound=%d -> step of %d seeds",
+                     k, nc_batch_size)
+
         if cfg.storage.features_backend == "PARTITION_BUFFER":
             from marius_tpu.train.nc_buffer import PartitionBufferNCTrainer
             trainer = PartitionBufferNCTrainer(
                 model, edges, features, labels, train_nodes,
                 train_nbr, num_nodes=num_nodes,
-                batch_size=cfg.training.batch_size,
+                batch_size=nc_batch_size,
                 num_partitions=cfg.storage.num_partitions,
                 buffer_capacity=cfg.storage.buffer_capacity,
                 ordering=cfg.storage.node_partition_ordering,
@@ -295,7 +308,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             trainer = NodeClassificationTrainer(
                 model, graph, features, labels, train_nodes,
                 train_nbr,
-                batch_size=cfg.training.batch_size,
+                batch_size=nc_batch_size,
                 hop_caps=cfg.hop_caps or None,
                 seed=cfg.training.seed,
                 dtype=_dtype(cfg),

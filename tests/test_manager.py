@@ -142,6 +142,40 @@ def test_lp_async_pipeline(tmp_path):
     assert 0.0 < result["test"]["mrr"] <= 1.0
 
 
+def test_nc_async_pipeline(tmp_path):
+    """pipeline.sync=false for node classification: K staleness-bound seed
+    batches merge into one K-times-larger step (exact for SUM-reduction CE —
+    sub-batch grads at the same params add). In full-graph mode this also
+    amortizes the all-node layers over the K sub-batches."""
+    ds_dir = str(tmp_path / "ds_nc_async")
+    generate_random_dataset_nc(ds_dir, num_nodes=60, num_edges=600,
+                               num_classes=4, feature_dim=8)
+    raw = {
+        "model": {
+            "learning_task": "NODE_CLASSIFICATION",
+            "encoder": {
+                "layers": [
+                    [{"type": "FEATURE", "output_dim": 8}],
+                    [{"type": "GNN", "input_dim": 8, "output_dim": 4,
+                      "options": {"type": "GRAPH_SAGE", "aggregator": "MEAN"}}],
+                ],
+                "train_neighbor_sampling": [
+                    {"type": "UNIFORM", "options": {"max_neighbors": 4}}],
+            },
+            "loss": {"type": "CROSS_ENTROPY", "options": {"reduction": "SUM"}},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.01}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds_dir}, "save_model": False},
+        "training": {"batch_size": 15, "num_epochs": 3,
+                     "pipeline": {"sync": False, "staleness_bound": 2}},
+        "evaluation": {"batch_size": 30},
+    }
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 3
+    assert result["epochs"][-1]["loss"] < result["epochs"][0]["loss"]
+    assert 0.0 <= result["test"]["accuracy"] <= 1.0
+
+
 GS_2_LAYER_ENCODER = {
     "layers": [
         [{"type": "EMBEDDING", "output_dim": 16}],
