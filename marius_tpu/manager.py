@@ -236,9 +236,20 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             # AUTO engages it when a typical batch's k-hop frontier covers
             # a sizable fraction of the graph (then per-batch sampling does
             # near-full-graph work anyway, plus dedup/remap overhead).
-            from marius_tpu.nn.full_graph_encoder import supports_full_graph
+            from marius_tpu.nn.full_graph_encoder import (
+                supports_full_graph,
+                supports_sharded_full_graph,
+            )
             fg_mode = getattr(cfg, "full_graph", "AUTO").upper()
-            if (fg_mode != "OFF" and mesh is None and train_nbr
+            # multi-chip: the node-sharded collective-permute ring path
+            # (full_graph_sharded.py) needs feature inputs, SAGE/GCN layers,
+            # and exactly one non-trivial mesh axis
+            fg_mesh_ok = mesh is None or (
+                features is not None
+                and not model.has_embeddings
+                and supports_sharded_full_graph(model.encoder)
+                and sum(1 for v in mesh.shape.values() if v > 1) == 1)
+            if (fg_mode != "OFF" and fg_mesh_ok and train_nbr
                     and all(c.sampling_type.upper() == "ALL" for c in train_nbr)
                     and supports_full_graph(model.encoder)):
                 depth = len(train_nbr)

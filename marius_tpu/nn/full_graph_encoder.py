@@ -80,6 +80,44 @@ def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
     return adj, ops
 
 
+class _ShardedAdjView:
+    """Duck-typed FullGraphAdjacency stand-in for the node-sharded ring
+    path: full_graph_encoder_forward's SAGE/GCN branches only read the
+    degree vectors (padded to S*n_loc rows, sharded over the mesh axis)."""
+
+    def __init__(self, in_deg, out_deg, num_nodes):
+        self.in_deg = in_deg
+        self.out_deg = out_deg
+        self.num_nodes = num_nodes
+
+
+def supports_sharded_full_graph(config: EncoderConfig) -> bool:
+    """Ring-sharded mode covers the aggregation layers (GraphSAGE/GCN);
+    GAT's per-slot attention weights need the bucketed single-device path."""
+    return all(l.gnn_type.upper() in ("GRAPH_SAGE", "GCN")
+               for s in config.stages for l in s
+               if l.layer_type.upper() == "GNN")
+
+
+def prepare_sharded_full_graph(sharded_graph, config: EncoderConfig,
+                               in_deg, out_deg, mesh, axis: str,
+                               features=None):
+    """(adj_view, ops) for full_graph_encoder_forward over a node-sharded
+    mesh: nbr_sum is the collective-permute ring
+    (data/full_graph_sharded.py); degree vectors are (S*n_loc,) padded +
+    sharded. ``features``: the (S*n_loc, d) sharded block, enabling the
+    same constant first-stage aggregation as the single-device path."""
+    from marius_tpu.data.full_graph_sharded import make_nbr_sum_sharded
+
+    assert supports_sharded_full_graph(config), \
+        "sharded full-graph mode supports GraphSAGE/GCN stages only"
+    adj = _ShardedAdjView(in_deg, out_deg, sharded_graph.num_nodes)
+    ops = {"nbr_sum": make_nbr_sum_sharded(sharded_graph, mesh, axis)}
+    ops["const_agg"] = _const_first_agg(adj, config, features,
+                                        ops["nbr_sum"])
+    return adj, ops
+
+
 def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum):
     """{(stage, layer): precomputed aggregation} for the first GNN stage.
 

@@ -79,13 +79,32 @@ class NodeClassificationTrainer:
         self.mesh = mesh
         self.full_graph = full_graph
         self._fg_ops = None
+        self._fg_sharded = False
         if full_graph is not None:
-            assert mesh is None, "full-graph mode is single-device for now"
             from marius_tpu.nn.full_graph_encoder import supports_full_graph
             assert supports_full_graph(model.encoder), \
                 "full-graph mode supports GraphSAGE/GCN/GAT stages only"
+            if mesh is not None:
+                # node-sharded ring mode: activations row-shard over the
+                # mesh's non-trivial axis, each layer's neighbor sum runs
+                # as the collective-permute ring (full_graph_sharded.py)
+                from marius_tpu.nn.full_graph_encoder import (
+                    supports_sharded_full_graph,
+                )
+                axes = [(name, size) for name, size in mesh.shape.items()
+                        if size > 1]
+                assert len(axes) == 1, \
+                    "sharded full-graph mode uses ONE mesh axis " \
+                    f"(got shape {dict(mesh.shape)})"
+                assert supports_sharded_full_graph(model.encoder), \
+                    "sharded full-graph mode supports GraphSAGE/GCN only"
+                assert features is not None and not model.has_embeddings, \
+                    "sharded full-graph mode needs feature inputs " \
+                    "(sharded embedding tables: use the sampled path)"
+                self._fg_sharded = True
+                self._fg_axis = axes[0][0]
         local_batch = batch_size
-        if mesh is not None:
+        if mesh is not None and not self._fg_sharded:
             from marius_tpu.parallel.mesh import DATA_AXIS
             self._n_data = mesh.shape[DATA_AXIS]
             assert batch_size % self._n_data == 0, \
@@ -109,7 +128,38 @@ class NodeClassificationTrainer:
         self.labels = jnp.asarray(lab)
 
         self._fg_seed_restrict = False
-        if full_graph is not None:
+        if self._fg_sharded:
+            from marius_tpu.data.full_graph import host_csr_from_adjacency
+            from marius_tpu.data.full_graph_sharded import (
+                build_sharded_from_csr,
+                shard_rows,
+            )
+            from marius_tpu.nn.full_graph_encoder import (
+                prepare_sharded_full_graph,
+            )
+            s = mesh.shape[self._fg_axis]
+            offsets, csr_nbrs = host_csr_from_adjacency(full_graph)
+            self._fg_sg = build_sharded_from_csr(
+                offsets, csr_nbrs, num_nodes, s)
+            n_pad = self._fg_sg.padded_nodes
+            self._fg_x = shard_rows(
+                np.asarray(np.asarray(features, np.float32), dtype),
+                self._fg_sg, mesh, self._fg_axis)
+
+            def pad_deg(d):
+                out = np.zeros((n_pad, 1), np.float32)
+                out[:num_nodes, 0] = np.asarray(d, np.float32)
+                return shard_rows(out, self._fg_sg, mesh,
+                                  self._fg_axis)[:, 0].astype(jnp.int32)
+
+            in_deg = pad_deg(np.asarray(full_graph.in_deg))
+            out_deg = pad_deg(np.asarray(full_graph.out_deg))
+            self._fg_view, self._fg_ops = prepare_sharded_full_graph(
+                self._fg_sg, model.encoder, in_deg, out_deg, mesh,
+                self._fg_axis, features=self._fg_x)
+            assert fg_seed_restrict is not True, \
+                "seed_restrict is a single-device optimization"
+        elif full_graph is not None:
             from marius_tpu.nn.full_graph_encoder import (
                 prepare_full_graph,
                 supports_seed_restrict,
@@ -185,14 +235,18 @@ class NodeClassificationTrainer:
         n = self.graph.num_nodes
         seeds_c = jnp.minimum(seeds, n - 1)
         labels_b = self.labels[jnp.minimum(seeds, n)]
-        feats = None if self.features is None else self.features[:-1]
+        if self._fg_sharded:
+            feats, adj = self._fg_x, self._fg_view
+        else:
+            feats = None if self.features is None else self.features[:-1]
+            adj = self.full_graph
         table_values = state.table.values if state.table is not None else None
         sr = None if flat is None else (seeds_c, flat[0], flat[1])
 
         def loss_fn(emb, dense_params):
             out = full_graph_encoder_forward(
                 model.encoder, dense_params["encoder"], emb, feats,
-                self.full_graph, ops=self._fg_ops, train=True, dropout_key=k_d,
+                adj, ops=self._fg_ops, train=True, dropout_key=k_d,
                 seed_restrict=sr)
             logits = out if sr is not None else out[seeds_c]
             return nc_batch_loss(model, logits, labels_b, mask_b)
@@ -403,10 +457,14 @@ class NodeClassificationEvaluator:
         """One full-graph pass; logits for the requested node ids."""
         tr = self.trainer
         from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
-        feats = None if tr.features is None else tr.features[:-1]
+        if tr._fg_sharded:
+            feats, adj = tr._fg_x, tr._fg_view
+        else:
+            feats = None if tr.features is None else tr.features[:-1]
+            adj = tr.full_graph
         logits_all = full_graph_encoder_forward(
             tr.model.encoder, params["encoder"], table_values, feats,
-            tr.full_graph, ops=tr._fg_ops)
+            adj, ops=tr._fg_ops)
         return logits_all[jnp.minimum(nodes, tr.graph.num_nodes - 1)]
 
     def _build_eval_fn(self):
