@@ -61,6 +61,7 @@ class StorageConfig:
     model_dir: str = ""
     save_model: bool = True
     export_encoded_nodes: bool = False   # StorageConfig (marius_config.py:525)
+    log_level: str = "info"              # console log level (marius_config.py:527)
 
 
 @dataclasses.dataclass
@@ -75,6 +76,13 @@ class TrainingConfig:
     staleness_bound: int = 16       # async mode: batches sharing one table
                                     # snapshot (PipelineConfig, marius_config.py:675)
     checkpoint_interval: int = -1
+    # keep the best-valid-metric model in model_dir instead of the last epoch
+    # (CheckpointConfig.save_best, marius_config.py:650 — parsed but unused in
+    # the reference; honored here)
+    save_best: bool = False
+    # include optimizer/Adagrad state in interval checkpoints
+    # (CheckpointConfig.save_state gating, checkpointer.cpp:30)
+    checkpoint_save_state: bool = True
     resume_training: bool = False
     resume_from_checkpoint: str = ""
     seed: int = 0
@@ -100,6 +108,9 @@ class EvaluationConfig:
     # scoring instead of materializing it in HBM (filtered LP eval only);
     # for tables larger than device memory (graph_storage.cpp:31-51 parity)
     host_streaming: bool = False
+    # evaluate this checkpoint dir instead of storage.model_dir
+    # (EvaluationConfig.checkpoint_dir, marius.cpp:81-84)
+    checkpoint_dir: str = ""
 
 
 def resolve_dtype(name: str):
@@ -170,7 +181,10 @@ def _layer_config(d: Dict, num_relations: int) -> LayerConfig:
     )
 
 
-def _neighbor_sampling(entries: Optional[List[Dict]]) -> Tuple[NeighborSamplingConfig, ...]:
+def _neighbor_sampling(entries: Optional[List[Dict]],
+                       default_incoming: bool = True,
+                       default_outgoing: bool = True,
+                       ) -> Tuple[NeighborSamplingConfig, ...]:
     if not entries:
         return ()
     out = []
@@ -180,8 +194,12 @@ def _neighbor_sampling(entries: Optional[List[Dict]]) -> Tuple[NeighborSamplingC
             sampling_type=str(e.get("type", "UNIFORM")).upper(),
             max_neighbors=int(opts.get("max_neighbors", 10)),
             rate=float(opts.get("rate", 0.0)),
-            use_incoming=bool(e.get("use_incoming", True)),
-            use_outgoing=bool(e.get("use_outgoing", True)),
+            # use_incoming_nbrs/use_outgoing_nbrs are the reference's
+            # per-sampler spellings (marius_config.py:272-276)
+            use_incoming=bool(e.get("use_incoming",
+                                    e.get("use_incoming_nbrs", default_incoming))),
+            use_outgoing=bool(e.get("use_outgoing",
+                                    e.get("use_outgoing_nbrs", default_outgoing))),
         ))
     return tuple(out)
 
@@ -248,7 +266,8 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
         num_valid=int(ds_raw.get("num_valid", -1)),
         num_test=int(ds_raw.get("num_test", -1)),
         num_classes=int(ds_raw.get("num_classes", -1)),
-        feature_dim=int(ds_raw.get("feature_dim", -1)),
+        feature_dim=int(ds_raw.get("feature_dim",
+                                   ds_raw.get("node_feature_dim", -1))),
     )
     # dataset stats autoload from dataset.yaml (marius_config.py:899 load_config)
     if dataset.dataset_dir:
@@ -281,7 +300,8 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
         decoder = EdgeDecoder(
             decoder_type=dec_type,
             num_relations=num_relations,
-            embedding_dim=int(dec_opts.get("input_dim", encoder.output_dim)),
+            embedding_dim=int(dec_opts.get(
+                "input_dim", encoder.output_dim if stages else -1)),
             use_inverse_relations=bool(dec_opts.get("inverse_edges", True)),
         )
 
@@ -322,9 +342,12 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
                              .get("dtype", "float")).lower(),
         model_dir=model_dir or s.get("model_dir", "") or
         (os.path.join(dataset.dataset_dir, "model_0") if dataset.dataset_dir else ""),
-        save_model=bool(s.get("save_model", True)),
+        # training.save_model and storage.prefetch are the reference's
+        # spellings (marius_config.py:732, :522)
+        save_model=bool(s.get("save_model", t.get("save_model", True))),
         export_encoded_nodes=bool(s.get("export_encoded_nodes", False)),
-        prefetching=bool(s.get("prefetching", True)),
+        prefetching=bool(s.get("prefetching", s.get("prefetch", True))),
+        log_level=str(s.get("log_level", "info")).lower(),
     )
 
     training = TrainingConfig(
@@ -336,9 +359,12 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
         sync=bool((t.get("pipeline") or {}).get("sync", True)),
         staleness_bound=int((t.get("pipeline") or {}).get("staleness_bound", 16)),
         checkpoint_interval=int((t.get("checkpoint") or {}).get("interval", -1)),
+        save_best=bool((t.get("checkpoint") or {}).get("save_best", False)),
+        checkpoint_save_state=bool((t.get("checkpoint") or {}).get("save_state", True)),
         resume_training=bool(t.get("resume_training", False)),
         resume_from_checkpoint=str(t.get("resume_from_checkpoint", "")),
-        seed=int(t.get("seed", 0)),
+        # model.random_seed is the reference's spelling (marius_config.py:346)
+        seed=int(t.get("seed", m.get("random_seed", 0))),
         mesh_data=int((t.get("mesh") or {}).get("data", 1)),
         mesh_node=int((t.get("mesh") or {}).get("node", 1)),
         mesh_mode=str((t.get("mesh") or {}).get("mode", "gspmd")).lower(),
@@ -351,6 +377,7 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
         epochs_per_eval=int(ev.get("epochs_per_eval", 1)),
         sync=bool((ev.get("pipeline") or {}).get("sync", True)),
         host_streaming=bool(ev.get("host_streaming", False)),
+        checkpoint_dir=str(ev.get("checkpoint_dir", "")),
     )
 
     cfg = MariusConfig(
@@ -358,9 +385,17 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
         storage=storage,
         training=training,
         evaluation=evaluation,
-        train_neighbor_sampling=_neighbor_sampling(enc_raw.get("train_neighbor_sampling")),
+        # encoder-level direction toggles are the reference's spelling
+        # (EncoderConfig.use_incoming_nbrs/use_outgoing_nbrs,
+        # marius_config.py:259-260); per-sampler keys override them
+        train_neighbor_sampling=_neighbor_sampling(
+            enc_raw.get("train_neighbor_sampling"),
+            default_incoming=bool(enc_raw.get("use_incoming_nbrs", True)),
+            default_outgoing=bool(enc_raw.get("use_outgoing_nbrs", True))),
         eval_neighbor_sampling=_neighbor_sampling(
-            enc_raw.get("eval_neighbor_sampling") or enc_raw.get("train_neighbor_sampling")),
+            enc_raw.get("eval_neighbor_sampling") or enc_raw.get("train_neighbor_sampling"),
+            default_incoming=bool(enc_raw.get("use_incoming_nbrs", True)),
+            default_outgoing=bool(enc_raw.get("use_outgoing_nbrs", True))),
         hop_caps=tuple(int(x) for x in (enc_raw.get("hop_caps") or [])),
         all_cap_limit=int(enc_raw.get("all_cap_limit", 4096)),
         full_graph=str(enc_raw.get("full_graph", "AUTO")).upper(),

@@ -12,7 +12,8 @@ from __future__ import annotations
 import difflib
 from typing import Any, Dict, List, Optional
 
-__all__ = ["ConfigError", "check_unknown_keys", "check_config_values", "validate"]
+__all__ = ["ConfigError", "check_unknown_keys", "check_config_values",
+           "check_compat_keys", "validate"]
 
 
 class ConfigError(ValueError):
@@ -32,20 +33,6 @@ def _scalars(*names: str) -> Dict[str, Any]:
 _INIT = {"type": None,
          "options": _scalars("constant", "scale_factor", "mean", "std")}
 
-_LAYER = {
-    **_scalars("type", "input_dim", "output_dim", "offset", "bias",
-               "activation"),
-    "init": _INIT, "bias_init": _INIT,
-    "options": _scalars("type", "aggregator", "num_heads", "average_heads",
-                        "negative_slope", "input_dropout",
-                        "attention_dropout"),
-}
-
-_NBR = {
-    **_scalars("type", "use_incoming", "use_outgoing"),
-    "options": _scalars("max_neighbors", "rate"),
-}
-
 _OPTIMIZER = {
     "type": None,
     "options": _scalars("learning_rate", "eps", "lr_decay", "weight_decay",
@@ -53,8 +40,33 @@ _OPTIMIZER = {
                         "momentum"),
 }
 
+_LAYER = {
+    **_scalars("type", "input_dim", "output_dim", "offset", "bias",
+               "activation"),
+    "init": _INIT, "bias_init": _INIT, "optimizer": _OPTIMIZER,
+    "options": _scalars("type", "aggregator", "num_heads", "average_heads",
+                        "negative_slope", "input_dropout",
+                        "attention_dropout"),
+}
+
+_NBR = {
+    **_scalars("type", "use_incoming", "use_outgoing",
+               "use_incoming_nbrs", "use_outgoing_nbrs",  # reference spelling
+               "use_hashmap_sets"),
+    "options": _scalars("max_neighbors", "rate"),
+}
+
 _NEG = _scalars("num_chunks", "negatives_per_positive", "degree_fraction",
-                "filtered")
+                "filtered", "local_filter_mode")
+
+# reference PipelineConfig (marius_config.py:672-686): sync/staleness_bound
+# are honored; the thread/queue tuning knobs are compat-accepted (warned)
+_PIPELINE = _scalars("sync", "staleness_bound", "gpu_sync_interval",
+                     "gpu_model_average", "batch_host_queue_size",
+                     "batch_device_queue_size", "gradients_device_queue_size",
+                     "gradients_host_queue_size", "batch_loader_threads",
+                     "batch_transfer_threads", "compute_threads",
+                     "gradient_transfer_threads", "gradient_update_threads")
 
 _STORAGE_TIER = {
     "type": None,
@@ -66,43 +78,102 @@ _STORAGE_TIER = {
 
 SCHEMA: Dict[str, Any] = {
     "model": {
-        "learning_task": None,
+        **_scalars("learning_task", "random_seed"),
         "encoder": {
-            **_scalars("hop_caps", "all_cap_limit", "full_graph"),
+            **_scalars("hop_caps", "all_cap_limit", "full_graph",
+                       "use_incoming_nbrs", "use_outgoing_nbrs",
+                       "embedding_dim"),
             "layers[][]": _LAYER,
             "train_neighbor_sampling[]": _NBR,
             "eval_neighbor_sampling[]": _NBR,
         },
-        "decoder": {"type": None,
-                    "options": _scalars("input_dim", "inverse_edges")},
+        "decoder": {**_scalars("type"),
+                    "options": _scalars("input_dim", "inverse_edges"),
+                    "optimizer": _OPTIMIZER},
         "loss": {"type": None, "options": _scalars("reduction", "margin")},
         "dense_optimizer": _OPTIMIZER,
         "sparse_optimizer": _OPTIMIZER,
     },
     "storage": {
-        **_scalars("device_type", "model_dir", "save_model",
-                   "export_encoded_nodes", "prefetching"),
+        **_scalars("device_type", "device_ids", "model_dir", "save_model",
+                   "export_encoded_nodes", "prefetching", "prefetch",
+                   "shuffle_input", "full_graph_evaluation", "log_level",
+                   "train_edges_pre_sorted"),
         "dataset": _scalars("dataset_dir", "num_edges", "num_nodes",
                             "num_relations", "num_train", "num_valid",
-                            "num_test", "num_classes", "feature_dim"),
+                            "num_test", "num_classes", "feature_dim",
+                            "node_feature_dim", "rel_feature_dim",
+                            "initialized"),
         "edges": _STORAGE_TIER,
+        "nodes": _STORAGE_TIER,
         "embeddings": _STORAGE_TIER,
         "features": _STORAGE_TIER,
     },
     "training": {
         **_scalars("batch_size", "num_epochs", "epochs_per_shuffle",
                    "epochs_per_eval", "resume_training",
-                   "resume_from_checkpoint", "seed"),
+                   "resume_from_checkpoint", "seed", "save_model",
+                   "logs_per_epoch"),
         "negative_sampling": _NEG,
-        "pipeline": _scalars("sync", "staleness_bound"),
-        "checkpoint": _scalars("interval"),
+        "pipeline": _PIPELINE,
+        "checkpoint": _scalars("interval", "save_best", "save_state"),
         "mesh": _scalars("data", "node", "mode"),
     },
     "evaluation": {
-        **_scalars("batch_size", "epochs_per_eval", "host_streaming"),
+        **_scalars("batch_size", "epochs_per_eval", "host_streaming",
+                   "checkpoint_dir"),
         "negative_sampling": _NEG,
-        "pipeline": _scalars("sync"),
+        "pipeline": _PIPELINE,
     },
+}
+
+# ---------------------------------------------------------------------------
+# Reference-compat keys: valid in the reference's schema
+# (tools/configuration/marius_config.py), accepted here so a reference user's
+# YAML loads unchanged — but they have no effect in this runtime, so loading
+# warns loudly. Keys that DO have an equivalent are silently mapped by
+# load_config instead (random_seed -> training.seed, prefetch -> prefetching,
+# node_feature_dim -> feature_dim, training.save_model -> storage.save_model,
+# use_incoming_nbrs/use_outgoing_nbrs -> per-sampler defaults).
+# ---------------------------------------------------------------------------
+
+_PIPELINE_NOTE = ("host thread-pool tuning (PipelineConfig, marius_config.py:"
+                  "672-686) does not apply: the epoch is one compiled XLA "
+                  "program; 'sync' and 'staleness_bound' are the controls")
+
+COMPAT_NOTES: Dict[str, str] = {
+    "model.encoder.embedding_dim": "derived from the layer dims; ignored",
+    "model.encoder.*.use_hashmap_sets": (
+        "CPU-sampler implementation detail (NeighborSamplingConfig); the "
+        "device sampler has one dedup path"),
+    "model.encoder.layers.optimizer": (
+        "per-layer optimizers are not supported; model.dense_optimizer "
+        "applies to all dense parameters"),
+    "model.decoder.optimizer": (
+        "per-decoder optimizers are not supported; model.dense_optimizer "
+        "applies to all dense parameters"),
+    "storage.device_ids": "device selection comes from training.mesh",
+    "storage.nodes": (
+        "node-id splits are always host-resident memory-maps; a nodes "
+        "storage tier is not configurable"),
+    "storage.shuffle_input": (
+        "edges are shuffled on device every training.epochs_per_shuffle "
+        "epochs; input-shuffle toggle is ignored"),
+    "storage.full_graph_evaluation": (
+        "evaluation always sees the full table (in HBM, or host-streamed "
+        "with evaluation.host_streaming); the buffer-window eval mode does "
+        "not exist"),
+    "storage.train_edges_pre_sorted": "pre-sorted input is not required",
+    "storage.dataset.rel_feature_dim": "relation features are not supported",
+    "storage.dataset.initialized": "ignored bookkeeping flag",
+    "training.logs_per_epoch": (
+        "the epoch is one compiled scan; per-epoch stats are logged, "
+        "intra-epoch log cadence is not tunable"),
+    "training.pipeline.*": _PIPELINE_NOTE,
+    "evaluation.pipeline.*": _PIPELINE_NOTE,
+    "negative_sampling.local_filter_mode": (
+        "degree-based local filtering is controlled by degree_fraction; the "
+        "DEG/ALL mode toggle is ignored"),
 }
 
 
@@ -148,6 +219,57 @@ def check_unknown_keys(raw: Dict[str, Any]) -> List[str]:
     errors: List[str] = []
     _walk(raw, SCHEMA, "", errors)
     return errors
+
+
+def check_compat_keys(raw: Dict[str, Any]) -> List[str]:
+    """Warnings for reference-schema keys that are accepted but inert here."""
+    w: List[str] = []
+
+    def note(path: str, key: str) -> None:
+        w.append(f"config key '{path}' is accepted for reference "
+                 f"compatibility but has no effect: {COMPAT_NOTES[key]}")
+
+    m = raw.get("model") or {}
+    enc = m.get("encoder") or {}
+    if "embedding_dim" in enc:
+        note("model.encoder.embedding_dim", "model.encoder.embedding_dim")
+    for field in ("train_neighbor_sampling", "eval_neighbor_sampling"):
+        for i, entry in enumerate(enc.get(field) or []):
+            if isinstance(entry, dict) and "use_hashmap_sets" in entry:
+                note(f"model.encoder.{field}[{i}].use_hashmap_sets",
+                     "model.encoder.*.use_hashmap_sets")
+    for i, stage in enumerate(enc.get("layers") or []):
+        for j, layer in enumerate(stage or []):
+            if isinstance(layer, dict) and "optimizer" in layer:
+                note(f"model.encoder.layers[{i}][{j}].optimizer",
+                     "model.encoder.layers.optimizer")
+    if "optimizer" in (m.get("decoder") or {}):
+        note("model.decoder.optimizer", "model.decoder.optimizer")
+
+    s = raw.get("storage") or {}
+    for key in ("device_ids", "nodes", "shuffle_input",
+                "full_graph_evaluation", "train_edges_pre_sorted"):
+        if key in s:
+            note(f"storage.{key}", f"storage.{key}")
+    ds = s.get("dataset") or {}
+    for key in ("rel_feature_dim", "initialized"):
+        if key in ds:
+            note(f"storage.dataset.{key}", f"storage.dataset.{key}")
+
+    t = raw.get("training") or {}
+    if "logs_per_epoch" in t:
+        note("training.logs_per_epoch", "training.logs_per_epoch")
+    for section, sec_raw in (("training", t), ("evaluation",
+                                               raw.get("evaluation") or {})):
+        pipe = sec_raw.get("pipeline") or {}
+        if isinstance(pipe, dict):
+            for key in sorted(set(pipe) - {"sync", "staleness_bound"}):
+                note(f"{section}.pipeline.{key}", f"{section}.pipeline.*")
+        neg = sec_raw.get("negative_sampling") or {}
+        if isinstance(neg, dict) and "local_filter_mode" in neg:
+            note(f"{section}.negative_sampling.local_filter_mode",
+                 "negative_sampling.local_filter_mode")
+    return w
 
 
 # ---------------------------------------------------------------------------
@@ -299,9 +421,15 @@ def check_config_values(cfg) -> List[str]:
 
 
 def validate(raw: Optional[Dict[str, Any]], cfg) -> None:
-    """Raise ConfigError listing every problem found (keys first)."""
+    """Raise ConfigError listing every problem found (keys first); emit a
+    warning per reference-compat key that is accepted but inert."""
     errors = check_unknown_keys(raw) if raw is not None else []
     errors += check_config_values(cfg)
     if errors:
         raise ConfigError(
             "Invalid configuration:\n  - " + "\n  - ".join(errors))
+    if raw is not None:
+        import warnings
+
+        for msg in check_compat_keys(raw):
+            warnings.warn(msg, UserWarning, stacklevel=3)

@@ -111,7 +111,8 @@ class _HostStreamLPEval:
 
 
 def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
-    log = get_logger(cfg.storage.model_dir or None)
+    log = get_logger(cfg.storage.model_dir or None,
+                     console_level=cfg.storage.log_level)
     ds = cfg.storage.dataset
     model = cfg.model
     mesh = _build_mesh(cfg)
@@ -349,8 +350,13 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         runtime.trainer.state = state
         runtime.epochs_processed = int(meta.get("epochs_processed", 0))
         log.info("Resumed from %s at epoch %d", path, runtime.epochs_processed)
+        if meta.get("missing_leaves"):
+            log.warning("Checkpoint %s was saved with save_state=false: "
+                        "optimizer state restarts fresh (%d leaves)", path,
+                        len(meta["missing_leaves"]))
     elif not train:
-        model_dir = cfg.storage.model_dir
+        # evaluation.checkpoint_dir overrides model_dir (marius.cpp:81-84)
+        model_dir = cfg.evaluation.checkpoint_dir or cfg.storage.model_dir
         if model_dir and os.path.exists(os.path.join(model_dir, "meta.yaml")):
             state, meta = ckpt.load_state(model_dir, runtime.trainer.state)
             runtime.trainer.state = state
@@ -369,6 +375,7 @@ def marius_train(config, model_dir: Optional[str] = None) -> Dict[str, Any]:
 
     epoch_stats: List[Dict[str, float]] = []
     eval_stats: List[Dict[str, float]] = []
+    best_metric: Optional[float] = None   # training.checkpoint.save_best
     for epoch in range(rt.epochs_processed, t.num_epochs):
         stats = rt.trainer.train_epoch()
         rt.epochs_processed = epoch + 1
@@ -382,12 +389,31 @@ def marius_train(config, model_dir: Optional[str] = None) -> Dict[str, Any]:
             res["split"] = "valid"
             res["epoch"] = epoch + 1
             eval_stats.append(res)
+            # save_best: keep the best-valid model in model_dir (MRR for LP,
+            # accuracy for NC — higher is better for both)
+            metric = res.get("mrr", res.get("accuracy"))
+            if (t.save_best and cfg.storage.model_dir and metric is not None
+                    and (best_metric is None or metric > best_metric)):
+                best_metric = float(metric)
+                ckpt.save_state(cfg.storage.model_dir, rt.trainer.state,
+                                metadata={**_meta(rt), "best_valid_metric": best_metric})
+                log.info("New best valid metric %.5f at epoch %d — saved",
+                         best_metric, epoch + 1)
 
         if t.checkpoint_interval > 0 and (epoch + 1) % t.checkpoint_interval == 0 \
                 and cfg.storage.model_dir:
             ckpt.create_checkpoint(cfg.storage.model_dir, rt.trainer.state, epoch + 1,
-                                   metadata=_meta(rt))
+                                   metadata=_meta(rt),
+                                   save_optim_state=t.checkpoint_save_state)
             log.info("Checkpoint at epoch %d", epoch + 1)
+
+    # with save_best, final metrics come from the best saved model, not the
+    # last epoch's
+    if best_metric is not None:
+        state, _ = ckpt.load_state(cfg.storage.model_dir, rt.trainer.state)
+        rt.trainer.state = state
+        log.info("save_best: restored best model (valid metric %.5f) for "
+                 "final evaluation", best_metric)
 
     final: Dict[str, Any] = {"epochs": epoch_stats, "evals": eval_stats}
     if rt.test_evaluator is not None:
@@ -395,7 +421,7 @@ def marius_train(config, model_dir: Optional[str] = None) -> Dict[str, Any]:
         res["split"] = "test"
         final["test"] = res
 
-    if cfg.storage.save_model and cfg.storage.model_dir:
+    if cfg.storage.save_model and cfg.storage.model_dir and best_metric is None:
         os.makedirs(cfg.storage.model_dir, exist_ok=True)
         ckpt.save_state(cfg.storage.model_dir, rt.trainer.state, metadata=_meta(rt))
         log.info("Saved model to %s", cfg.storage.model_dir)

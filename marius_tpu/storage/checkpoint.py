@@ -50,13 +50,23 @@ def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
     return out
 
 
-def save_state(directory: str, state, metadata: Optional[Dict[str, Any]] = None) -> None:
+# leaf-path prefixes that hold optimizer rather than model state — dropped
+# from interval checkpoints when training.checkpoint.save_state is false
+# (checkpointer.cpp:30 skips the embeddings-state file the same way)
+OPTIM_STATE_PREFIXES = ("opt_state", "table/state")
+
+
+def save_state(directory: str, state, metadata: Optional[Dict[str, Any]] = None,
+               exclude_prefixes: Tuple[str, ...] = ()) -> None:
     """Write a TrainState (or any pytree) to `directory` atomically."""
     parent = os.path.dirname(os.path.abspath(directory)) or "."
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=parent, prefix=".ckpt_tmp_")
     try:
         leaves = _flatten_with_paths(state)
+        if exclude_prefixes:
+            leaves = {n: a for n, a in leaves.items()
+                      if not n.startswith(exclude_prefixes)}
         for name, arr in leaves.items():
             np.save(os.path.join(tmp, name.replace("/", "__") + ".npy"), arr)
         meta = dict(metadata or {})
@@ -93,26 +103,43 @@ def load_state(directory: str, template) -> Tuple[Any, Dict[str, Any]]:
         meta = yaml.safe_load(f)
     leaves = _flatten_with_paths(template)
     restored = {}
+    missing = []
     for name in leaves:
         path = os.path.join(directory, name.replace("/", "__") + ".npy")
-        restored[name] = np.load(path)
+        if os.path.exists(path):
+            restored[name] = np.load(path)
+        else:
+            # checkpoint saved with save_state=false: optimizer leaves keep
+            # the template's (fresh-init) values; meta reports them
+            missing.append(name)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for p, leaf in flat:
-        arr = restored[_path_key(p)]
-        if _is_prng_key(leaf):
+        arr = restored.get(_path_key(p))
+        if arr is None:
+            new_leaves.append(leaf)
+        elif _is_prng_key(leaf):
             new_leaves.append(jax.random.wrap_key_data(arr))
         else:
             new_leaves.append(arr.astype(np.asarray(leaf).dtype).reshape(np.asarray(leaf).shape))
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if missing:
+        meta = dict(meta)
+        meta["missing_leaves"] = missing
     return state, meta
 
 
 def create_checkpoint(model_dir: str, state, epoch: int,
-                      metadata: Optional[Dict[str, Any]] = None) -> str:
-    """Interval checkpoint: <model_dir>/checkpoint_<epoch>/ (checkpointer.cpp:18-37)."""
+                      metadata: Optional[Dict[str, Any]] = None,
+                      save_optim_state: bool = True) -> str:
+    """Interval checkpoint: <model_dir>/checkpoint_<epoch>/ (checkpointer.cpp:18-37).
+
+    With ``save_optim_state=False`` the optimizer/Adagrad leaves are omitted
+    (CheckpointConfig.save_state gating, checkpointer.cpp:30) — the snapshot
+    is evaluable but resumes with fresh optimizer state."""
     meta = dict(metadata or {})
     meta["epochs_processed"] = int(epoch)
     target = os.path.join(model_dir, f"checkpoint_{epoch}")
-    save_state(target, state, meta)
+    save_state(target, state, meta,
+               exclude_prefixes=() if save_optim_state else OPTIM_STATE_PREFIXES)
     return target

@@ -103,6 +103,51 @@ def test_lp_checkpoint_resume(tmp_path):
     assert res["runtime"].epochs_processed == 3
 
 
+def test_lp_save_best(tmp_path):
+    """training.checkpoint.save_best keeps the best-valid-MRR model in
+    model_dir and evaluates test metrics from it (CheckpointConfig.save_best,
+    marius_config.py:650)."""
+    import yaml as _yaml
+
+    raw = _lp_config(tmp_path, "best", **{"storage.save_model": True})
+    raw["storage"]["model_dir"] = str(tmp_path / "model_b")
+    raw["training"]["num_epochs"] = 3
+    raw["training"]["epochs_per_eval"] = 1
+    raw["training"]["checkpoint"] = {"save_best": True}
+    res = marius_train(load_config(raw))
+    meta = _yaml.safe_load(open(tmp_path / "model_b" / "meta.yaml"))
+    best = meta["best_valid_metric"]
+    assert best == pytest.approx(max(e["mrr"] for e in res["evals"]), abs=1e-6)
+    # eval of the saved dir reproduces the final (best-model) test metrics
+    eval_res = marius_eval(load_config(raw))
+    assert eval_res["test"]["mrr"] == pytest.approx(res["test"]["mrr"], abs=1e-5)
+
+
+def test_eval_checkpoint_dir_override(tmp_path):
+    """evaluation.checkpoint_dir points marius_eval at an interval checkpoint
+    instead of storage.model_dir (marius.cpp:81-84)."""
+    raw = _lp_config(tmp_path, "ckdir", **{"storage.save_model": True})
+    raw["storage"]["model_dir"] = str(tmp_path / "model_c")
+    raw["training"]["num_epochs"] = 2
+    raw["training"]["checkpoint"] = {"interval": 1}
+    marius_train(load_config(raw))
+
+    # checkpoint_2 is the final state: identical metrics to model_dir
+    raw2 = copy.deepcopy(raw)
+    raw2["evaluation"]["checkpoint_dir"] = str(tmp_path / "model_c" / "checkpoint_2")
+    from_ckpt = marius_eval(load_config(raw2))
+    from_dir = marius_eval(load_config(raw))
+    assert from_ckpt["test"]["mrr"] == pytest.approx(
+        from_dir["test"]["mrr"], abs=1e-6)
+
+    # checkpoint_1 is a different state: eval must actually read it
+    raw3 = copy.deepcopy(raw)
+    raw3["evaluation"]["checkpoint_dir"] = str(tmp_path / "model_c" / "checkpoint_1")
+    from_ck1 = marius_eval(load_config(raw3))
+    assert from_ck1["test"]["mrr"] != pytest.approx(
+        from_dir["test"]["mrr"], abs=1e-9)
+
+
 def test_nc_config_e2e(tmp_path):
     ds_dir = str(tmp_path / "ds_nc")
     generate_random_dataset_nc(ds_dir, num_nodes=60, num_edges=600,
