@@ -55,6 +55,20 @@ def _read_raw(src: PathOrArray, fmt: str, delim: str, header_length: int,
     raise ValueError(f"Unknown input format: {fmt}")
 
 
+def _id_normalizer(parts: List[np.ndarray]):
+    """Pick one dtype for raw id arrays. Delimited reads yield strings while
+    known_node_ids are usually ints; np.unique/searchsorted need a single
+    comparable dtype. All-numeric ids become int64, anything else str."""
+    def as_int(a):
+        return np.asarray(a).astype(np.int64)
+    try:
+        for p in parts:
+            as_int(p)
+        return as_int
+    except (ValueError, TypeError, OverflowError):
+        return lambda a: np.asarray(a).astype("U")
+
+
 def _remap(columns: List[np.ndarray], known_ids: Optional[List[np.ndarray]],
            rng: np.random.Generator):
     """Random dense-id remap (map_edge_lists, torch_converter.py:191): unique
@@ -62,12 +76,13 @@ def _remap(columns: List[np.ndarray], known_ids: Optional[List[np.ndarray]],
     parts = [c for c in columns if c is not None]
     if known_ids:
         parts += [np.asarray(k) for k in known_ids]
-    uniq = np.unique(np.concatenate([p.reshape(-1) for p in parts]))
+    norm = _id_normalizer(parts)
+    uniq = np.unique(np.concatenate([norm(p).reshape(-1) for p in parts]))
     new_ids = rng.permutation(len(uniq)).astype(np.int32)
     # searchsorted-based lookup: uniq is sorted
     def apply(col):
-        return new_ids[np.searchsorted(uniq, col)]
-    return uniq, new_ids, apply
+        return new_ids[np.searchsorted(uniq, norm(col))]
+    return uniq, new_ids, apply, norm
 
 
 class EdgeListConverter:
@@ -133,7 +148,7 @@ class EdgeListConverter:
         if self.remap_ids:
             src_cols = [r[:, 0] for r in raw if r is not None]
             dst_cols = [r[:, -1] for r in raw if r is not None]
-            uniq_nodes, new_node_ids, node_map = _remap(
+            uniq_nodes, new_node_ids, node_map, node_norm = _remap(
                 src_cols + dst_cols, self.known_node_ids, rng)
             num_nodes = len(uniq_nodes)
             if self.sequential_train_nodes:
@@ -141,17 +156,17 @@ class EdgeListConverter:
                 # sequential_train_nodes): known_node_ids[0] = train nodes
                 assert self.known_node_ids, \
                     "sequential_train_nodes needs known_node_ids[0] = train nodes"
-                train_ids = np.unique(np.asarray(self.known_node_ids[0]))
+                train_ids = np.unique(node_norm(self.known_node_ids[0]))
                 is_train = np.isin(uniq_nodes, train_ids)
                 new_node_ids = np.empty(len(uniq_nodes), np.int32)
                 new_node_ids[is_train] = np.arange(is_train.sum(), dtype=np.int32)
                 new_node_ids[~is_train] = (
                     is_train.sum()
                     + rng.permutation(int((~is_train).sum())).astype(np.int32))
-                node_map = lambda col: new_node_ids[np.searchsorted(uniq_nodes, col)]  # noqa: E731
+                node_map = lambda col: new_node_ids[np.searchsorted(uniq_nodes, node_norm(col))]  # noqa: E731
             if self.has_rels:
                 rel_cols = [r[:, 1] for r in raw if r is not None]
-                uniq_rels, new_rel_ids, rel_map = _remap(rel_cols, None, rng)
+                uniq_rels, new_rel_ids, rel_map, _ = _remap(rel_cols, None, rng)
                 num_rels = len(uniq_rels)
             out = []
             for r in raw:
