@@ -14,6 +14,7 @@ types and keeps the sampled path.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional
 
 import jax
@@ -121,31 +122,60 @@ def prepare_sharded_full_graph(sharded_graph, config: EncoderConfig,
 def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum):
     """{(stage, layer): precomputed aggregation} for the first GNN stage.
 
-    When the encoder input is a param-free view of the node FEATURES (a
-    single bias-less FEATURE stage — features are constants, never
-    differentiated), the first GNN stage's neighbor sum never changes during
-    training: compute it once here and train with ZERO layer-1 gathers
-    (forward uses the constant; backward needs no input grad). At arxiv
-    scale this removes 2 of 6 full-graph gathers per batch. Exact — the
-    same op on the same constant input."""
+    When the encoder input is a view of the node FEATURES (a single FEATURE
+    stage — features are constants, never differentiated), the first GNN
+    stage's neighbor sum is precomputable: compute it once here and train
+    with ZERO layer-1 gathers (forward uses the constant; backward needs no
+    input grad). At arxiv scale this removes 2 of 6 full-graph gathers per
+    batch. Exact — the same op on the same constant input.
+
+    A FEATURE stage with a trained bias (and no nonlinearity) stays
+    precomputable because aggregation is LINEAR in the bias:
+    nbr_sum(x + b) = nbr_sum(x) + count·b, where count is each node's real
+    (non-padding) slot tally. Such entries are stored as
+    ('affine', base, count) and combined with the live bias param at run
+    time by _resolve_const — the heavy gather never re-runs."""
     if features is None or len(config.stages) < 2:
         return {}
     s0 = config.stages[0]
-    if len(s0) != 1 or s0[0].layer_type.upper() != "FEATURE" or s0[0].bias:
+    if len(s0) != 1 or s0[0].layer_type.upper() != "FEATURE":
         return {}
-    current0 = feature_layer(s0[0], {}, features)
+    bias0 = bool(s0[0].bias)
+    if bias0 and s0[0].activation.upper() not in ("", "NONE"):
+        return {}  # nonlinear activation after a trained bias: not constant
+    current0 = feature_layer(dataclasses.replace(s0[0], bias=False),
+                             {}, features)
     num_nbrs = (adj.in_deg + adj.out_deg).astype(features.dtype)
+    inv_sqrt = 1.0 / jnp.sqrt(num_nbrs + 1.0)
     const = {}
     for j, layer in enumerate(config.stages[1]):
         if layer.layer_type.upper() != "GNN":
             continue
         g = layer.gnn_type.upper()
         if g == "GRAPH_SAGE":
-            const[(1, j)] = nbr_sum(current0)
+            base = nbr_sum(current0)
+            const[(1, j)] = ("affine", base, num_nbrs) if bias0 else base
         elif g == "GCN":
-            const[(1, j)] = nbr_sum(
-                current0 / jnp.sqrt(num_nbrs + 1.0)[:, None])
+            base = nbr_sum(current0 * inv_sqrt[:, None])
+            if bias0:
+                count = nbr_sum(inv_sqrt[:, None])[:, 0]
+                const[(1, j)] = ("affine", base, count)
+            else:
+                const[(1, j)] = base
     return const
+
+
+def _resolve_const(const, bias0, idx=None):
+    """Materialize a const_agg entry; affine entries fold in the live
+    first-stage FEATURE bias (see _const_first_agg). ``idx`` restricts the
+    result to the given rows without forming the full-N combination."""
+    if isinstance(const, tuple):
+        _, base, count = const
+        assert bias0 is not None, "affine const_agg needs the stage-0 bias"
+        if idx is not None:
+            base, count = base[idx], count[idx]
+        return base + count[:, None] * bias0
+    return const if idx is None else const[idx]
 
 
 def _full_graph_sage(layer: LayerConfig, p, x, nbr_total, num_nbrs):
@@ -236,13 +266,14 @@ def _seed_gather(x: Array, flat_nbr: Array) -> Array:
 
 
 def _seed_sage(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,
-               num_nbrs, b: int, const):
+               num_nbrs, b: int, const_seed):
     """GraphSAGE final stage for the seed rows only: the neighbor sum is a
     segment_sum over the batch's flat CSR slots (~batch-degree-sum rows)
-    instead of the full 2E-slot adjacency gather."""
+    instead of the full 2E-slot adjacency gather. ``const_seed`` is the
+    precomputed aggregation already restricted to the seed rows."""
     x_seed = x[seeds]
-    if const is not None:
-        agg = const[seeds]
+    if const_seed is not None:
+        agg = const_seed
     else:
         vals = _seed_gather(x, flat_nbr)
         agg = jax.ops.segment_sum(vals, flat_seg, num_segments=b + 1)[:b]
@@ -250,9 +281,9 @@ def _seed_sage(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,
 
 
 def _seed_gcn(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,
-              num_nbrs, b: int, const):
-    if const is not None:
-        agg = const[seeds]
+              num_nbrs, b: int, const_seed):
+    if const_seed is not None:
+        agg = const_seed
     else:
         scaled = x / jnp.sqrt(num_nbrs + 1.0)[:, None]
         vals = _seed_gather(scaled, flat_nbr)
@@ -362,17 +393,20 @@ def full_graph_encoder_forward(
             elif lt == "GNN":
                 g = layer.gnn_type.upper()
                 const = ops.get("const_agg", {}).get((i, j))
+                bias0 = params[0][0].get("bias") if const is not None else None
                 if seed_stage:
                     k_d = (None if dropout_key is None
                            else jax.random.fold_in(dropout_key, i * 101 + j))
+                    c_seed = (None if const is None
+                              else _resolve_const(const, bias0, idx=seeds))
                     if g == "GRAPH_SAGE":
                         stage_outputs.append(_seed_sage(
                             layer, p, current, seeds, flat_nbr, flat_seg,
-                            num_nbrs, nseeds, const))
+                            num_nbrs, nseeds, c_seed))
                     elif g == "GCN":
                         stage_outputs.append(_seed_gcn(
                             layer, p, current, seeds, flat_nbr, flat_seg,
-                            num_nbrs, nseeds, const))
+                            num_nbrs, nseeds, c_seed))
                     elif g == "GAT":
                         stage_outputs.append(_seed_gat(
                             layer, p, current, seeds, flat_nbr, flat_seg,
@@ -382,15 +416,18 @@ def full_graph_encoder_forward(
                             f"seed-restricted mode does not support "
                             f"{layer.gnn_type}")
                 elif g == "GRAPH_SAGE":
-                    agg = const if const is not None else nbr_sum(current)
+                    agg = (_resolve_const(const, bias0) if const is not None
+                           else nbr_sum(current))
                     stage_outputs.append(_full_graph_sage(
                         layer, p, current, agg, num_nbrs))
                 elif g == "GCN":
                     if const is None:
-                        const = nbr_sum(
+                        x_scaled_sum = nbr_sum(
                             current / jnp.sqrt(num_nbrs + 1.0)[:, None])
+                    else:
+                        x_scaled_sum = _resolve_const(const, bias0)
                     stage_outputs.append(_full_graph_gcn(
-                        layer, p, const, current, num_nbrs))
+                        layer, p, x_scaled_sum, current, num_nbrs))
                 elif g == "GAT":
                     stage_outputs.append(_full_graph_gat(
                         layer, p, current, adj, ops, train,

@@ -40,8 +40,9 @@ def community_graph(seed=0, intra=0.9):
     return edges, feats, labels
 
 
-def _gs_model(num_layers=2, hidden=16):
-    stages = [(LayerConfig(layer_type="FEATURE", output_dim=FEAT_DIM),)]
+def _gs_model(num_layers=2, hidden=16, feature_bias=False):
+    stages = [(LayerConfig(layer_type="FEATURE", output_dim=FEAT_DIM,
+                           bias=feature_bias),)]
     dims = [FEAT_DIM] + [hidden] * (num_layers - 1) + [NUM_CLASSES]
     for i in range(num_layers):
         stages.append((LayerConfig(
@@ -409,3 +410,105 @@ def test_full_graph_gat_matches_sampled_all():
     ev_f = NodeClassificationEvaluator(full, test_nodes)
     a, b = ev_s.evaluate(sampled.state), ev_f.evaluate(full.state)
     assert abs(a["accuracy"] - b["accuracy"]) < 0.02
+
+
+def test_full_graph_const_agg_with_feature_bias():
+    """A trained FEATURE bias keeps the constant first-stage aggregation
+    enabled (nbr_sum is linear in the bias: nbr_sum(x+b) = nbr_sum(x) +
+    count*b — full_graph_encoder._const_first_agg affine entries). The
+    trajectory must match sampled ALL exactly, and the bias must actually
+    train (gradients flow through the affine term)."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    edges, feats, labels = community_graph()
+    rng = np.random.default_rng(7)
+    train_nodes = rng.permutation(NUM_NODES)[:300]
+    graph = build_device_graph(edges, NUM_NODES)
+    max_deg = int(np.asarray(graph.degrees).max())
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)] * 2
+    adj = build_full_graph_adjacency(edges, NUM_NODES)
+
+    sampled = NodeClassificationTrainer(
+        _gs_model(feature_bias=True), graph, feats, labels, train_nodes, nbr,
+        batch_size=100, seed=0)
+    full = NodeClassificationTrainer(
+        _gs_model(feature_bias=True), graph, feats, labels, train_nodes, nbr,
+        batch_size=100, seed=0, full_graph=adj)
+
+    # the const path must be ACTIVE despite the bias, as an affine entry
+    const = full._fg_ops["const_agg"]
+    assert const, "bias FEATURE stage must not disable const_agg"
+    assert all(isinstance(v, tuple) and v[0] == "affine"
+               for v in const.values())
+
+    bias_before = np.asarray(full.state.params["encoder"][0][0]["bias"]).copy()
+    s_stats = sampled.train(3)
+    f_stats = full.train(3)
+    for s, f in zip(s_stats, f_stats):
+        assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0), \
+            f"loss diverged: sampled {s['loss']} vs full-graph {f['loss']}"
+    bias_after = np.asarray(full.state.params["encoder"][0][0]["bias"])
+    assert not np.allclose(bias_before, bias_after), \
+        "FEATURE bias did not train through the affine const term"
+
+    # GCN variant: the count vector differs (degree-scaled)
+    gcn_stages = (
+        (LayerConfig(layer_type="FEATURE", output_dim=FEAT_DIM, bias=True),),
+        (LayerConfig(layer_type="GNN", gnn_type="GCN", input_dim=FEAT_DIM,
+                     output_dim=NUM_CLASSES, bias=True),),
+    )
+    gcn_model = Model(
+        learning_task="NODE_CLASSIFICATION",
+        encoder=EncoderConfig(stages=gcn_stages), decoder=None,
+        loss_type="CROSS_ENTROPY", loss_reduction="SUM",
+        dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+    gcn_sampled = NodeClassificationTrainer(
+        gcn_model, graph, feats, labels, train_nodes,
+        [NeighborSamplingConfig("ALL", max_neighbors=max_deg)],
+        batch_size=100, seed=0)
+    gcn_full = NodeClassificationTrainer(
+        gcn_model, graph, feats, labels, train_nodes,
+        [NeighborSamplingConfig("ALL", max_neighbors=max_deg)],
+        batch_size=100, seed=0, full_graph=adj)
+    assert gcn_full._fg_ops["const_agg"]
+    s_stats = gcn_sampled.train(2)
+    f_stats = gcn_full.train(2)
+    for s, f in zip(s_stats, f_stats):
+        assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0)
+
+
+def test_full_graph_bias_nonlinear_activation_disables_const():
+    """FEATURE bias + nonlinear activation cannot be precomputed — the
+    const map must be empty (correctness over speed), and training must
+    still match sampled ALL."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    edges, feats, labels = community_graph()
+    rng = np.random.default_rng(8)
+    train_nodes = rng.permutation(NUM_NODES)[:200]
+    graph = build_device_graph(edges, NUM_NODES)
+    max_deg = int(np.asarray(graph.degrees).max())
+    stages = (
+        (LayerConfig(layer_type="FEATURE", output_dim=FEAT_DIM, bias=True,
+                     activation="RELU"),),
+        (LayerConfig(layer_type="GNN", gnn_type="GRAPH_SAGE",
+                     aggregator="MEAN", input_dim=FEAT_DIM,
+                     output_dim=NUM_CLASSES, bias=True),),
+    )
+    model = Model(
+        learning_task="NODE_CLASSIFICATION",
+        encoder=EncoderConfig(stages=stages), decoder=None,
+        loss_type="CROSS_ENTROPY", loss_reduction="SUM",
+        dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)]
+    adj = build_full_graph_adjacency(edges, NUM_NODES)
+    sampled = NodeClassificationTrainer(
+        model, graph, feats, labels, train_nodes, nbr, batch_size=100, seed=0)
+    full = NodeClassificationTrainer(
+        model, graph, feats, labels, train_nodes, nbr, batch_size=100, seed=0,
+        full_graph=adj)
+    assert full._fg_ops["const_agg"] == {}
+    s_stats = sampled.train(2)
+    f_stats = full.train(2)
+    for s, f in zip(s_stats, f_stats):
+        assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0)
