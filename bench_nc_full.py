@@ -53,7 +53,13 @@ def make_graph():
     deg = np.minimum(np.round(w * (NUM_EDGES / w.sum()) * lo), 13161)
     deg = deg.astype(np.int64)
     short = NUM_EDGES - int(deg.sum())
-    deg[rng.integers(0, NUM_NODES, max(short, 0))] += 1
+    if short > 0:
+        np.add.at(deg, rng.integers(0, NUM_NODES, short), 1)
+    elif short < 0:
+        # trim overshoot from the highest-degree nodes (one each)
+        trim = np.argsort(deg)[::-1][:-short]
+        deg[trim] -= 1
+    assert int(deg.sum()) == NUM_EDGES
     remap = rng.permutation(NUM_NODES)
     dst = remap[np.repeat(np.arange(NUM_NODES), deg)]
     src = rng.integers(0, NUM_NODES, NUM_EDGES)

@@ -342,11 +342,14 @@ def check_config_values(cfg) -> List[str]:
                           f"{p}.options.aggregator")
             if any(l.layer_type.upper() == "GNN" for l in stage):
                 n_gnn += 1
-        if len(cfg.train_neighbor_sampling) != n_gnn:
-            e.append(
-                f"model.encoder: {n_gnn} GNN stage(s) but "
-                f"{len(cfg.train_neighbor_sampling)} train_neighbor_sampling "
-                f"entries — one entry per GNN stage is required")
+        for field, entries in (
+                ("train_neighbor_sampling", cfg.train_neighbor_sampling),
+                ("eval_neighbor_sampling", cfg.eval_neighbor_sampling)):
+            if len(entries) != n_gnn:
+                e.append(
+                    f"model.encoder: {n_gnn} GNN stage(s) but "
+                    f"{len(entries)} {field} "
+                    f"entries — one entry per GNN stage is required")
         if cfg.hop_caps and len(cfg.hop_caps) != n_gnn + 1:
             e.append(f"model.encoder.hop_caps: expected {n_gnn + 1} entries "
                      f"(num GNN stages + 1), got {len(cfg.hop_caps)}")

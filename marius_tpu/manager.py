@@ -173,6 +173,11 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 k = cfg.training.staleness_bound
                 batch_size *= k
                 neg = dataclasses.replace(neg, num_chunks=neg.num_chunks * k)
+                if model.loss_reduction.upper() == "MEAN":
+                    # the merged step must apply the SUM of the K sub-batch
+                    # mean-gradients (K reference steps at one snapshot), not
+                    # their average (see Model.loss_scale)
+                    model = dataclasses.replace(model, loss_scale=float(k))
                 log.info("Async pipeline: staleness_bound=%d -> step of %d edges", k, batch_size)
             trainer = LinkPredictionTrainer(
                 model, num_nodes, num_rels, train_edges,
@@ -280,13 +285,17 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         # Async pipeline mapping for NC (PipelineTrainer, trainer.cpp:35-74):
         # K staleness-bound seed batches read ONE parameter snapshot and
         # their updates merge — with SUM-reduction CE that is exactly a
-        # K-times-larger seed batch (sub-batch grads at the same params add).
+        # K-times-larger seed batch (sub-batch grads at the same params add);
+        # with MEAN reduction the merged loss is scaled by K so the gradient
+        # is the SUM of the sub-batch mean-gradients (see Model.loss_scale).
         # In full-graph mode this also amortizes the all-node GNN layers
         # over K batches of seeds.
         nc_batch_size = cfg.training.batch_size
         if not cfg.training.sync and cfg.training.staleness_bound > 1:
             k = cfg.training.staleness_bound
             nc_batch_size *= k
+            if model.loss_reduction.upper() == "MEAN":
+                model = dataclasses.replace(model, loss_scale=float(k))
             log.info("Async pipeline: staleness_bound=%d -> step of %d seeds",
                      k, nc_batch_size)
 

@@ -37,13 +37,22 @@ class Model:
     loss_type: str = "SOFTMAX_CE"
     loss_reduction: str = "SUM"
     loss_margin: float = 0.1
+    # async staleness grouping under MEAN reduction: the grouped K-batch step
+    # must apply the SUM of the K sub-batches' mean-gradients, not their
+    # average — the manager sets this to K so the merged gradient matches K
+    # reference optimizer steps at one snapshot (trainer.cpp:35-74)
+    loss_scale: float = 1.0
     dense_optimizer: OptimizerConfig = dataclasses.field(
         default_factory=lambda: OptimizerConfig("ADAM", learning_rate=0.1))
     sparse_lr: float = 0.1                       # embedding-table Adagrad lr
 
     def loss_fn(self):
-        return get_loss_function(self.loss_type, reduction=self.loss_reduction,
-                                 margin=self.loss_margin)
+        f = get_loss_function(self.loss_type, reduction=self.loss_reduction,
+                              margin=self.loss_margin)
+        if self.loss_scale == 1.0:
+            return f
+        scale = self.loss_scale
+        return lambda *a, **kw: f(*a, **kw) * scale
 
     @property
     def has_embeddings(self) -> bool:
@@ -127,5 +136,6 @@ def lp_batch_loss_direct(
 
 def nc_batch_loss(model: Model, logits: Array, labels: Array, mask: Array) -> Array:
     """Node-classification CE over seed logits (model.cpp:318-320)."""
-    return classification_cross_entropy(
+    loss = classification_cross_entropy(
         logits, labels, reduction=model.loss_reduction, mask=mask)
+    return loss * model.loss_scale if model.loss_scale != 1.0 else loss

@@ -222,15 +222,21 @@ def make_sharded_lp_step(model, mesh, num_nodes_padded: int, axis_name: str = "n
     (values, state, params, opt_state, loss). Dense grads are psum'd over the
     data axis and the dense optimizer applied inside the update (both were
     deferred to comments before round 2)."""
-    update = make_sharded_lp_update(
-        model, mesh, num_nodes_padded, node_axis=axis_name, data_axis=None,
-        has_rels=True, use_inverse=model.decoder.use_inverse_relations)
+    updates = {}  # keyed by has_rels: 2-column edge arrays carry no relation
 
     def step(values, state, params, opt_state, edges, dst_negs, src_negs, mask):
-        batch = {"src": edges[:, 0], "dst": edges[:, -1], "rel": edges[:, 1],
+        has_rels = edges.shape[1] == 3
+        if has_rels not in updates:
+            updates[has_rels] = make_sharded_lp_update(
+                model, mesh, num_nodes_padded, node_axis=axis_name,
+                data_axis=None, has_rels=has_rels,
+                use_inverse=model.decoder.use_inverse_relations)
+        batch = {"src": edges[:, 0], "dst": edges[:, -1],
                  "mask": mask, "dst_negs": dst_negs}
+        if has_rels:
+            batch["rel"] = edges[:, 1]
         if model.decoder.use_inverse_relations:
             batch["src_negs"] = src_negs
-        return update(values, state, params, opt_state, batch)
+        return updates[has_rels](values, state, params, opt_state, batch)
 
     return jax.jit(step)

@@ -72,22 +72,23 @@ class SparkEdgeListConverter:
         tmp = tempfile.NamedTemporaryFile(
             mode="w", suffix=".edges.tsv", delete=False)
         try:
-            df = spark.read.csv(self.train_edges, sep=self.delim, header=False)
-            cols = [df.columns[self.src_column]]
-            if has_rel:
-                cols.append(df.columns[self.edge_type_column])
-            cols.append(df.columns[self.dst_column])
-            sel = df.select(*cols)
-            # partition-at-a-time stream to a local TSV (string-safe for raw
-            # ids like freebase mids): the driver holds one Spark partition
-            # of rows at once, never the full edge list
-            for row in sel.toLocalIterator(prefetchPartitions=True):
-                tmp.write("\t".join(str(v) for v in row) + "\n")
-            tmp.close()
-        finally:
-            spark.stop()
+            try:
+                df = spark.read.csv(self.train_edges, sep=self.delim,
+                                    header=False)
+                cols = [df.columns[self.src_column]]
+                if has_rel:
+                    cols.append(df.columns[self.edge_type_column])
+                cols.append(df.columns[self.dst_column])
+                sel = df.select(*cols)
+                # partition-at-a-time stream to a local TSV (string-safe for
+                # raw ids like freebase mids): the driver holds one Spark
+                # partition of rows at once, never the full edge list
+                for row in sel.toLocalIterator(prefetchPartitions=True):
+                    tmp.write("\t".join(str(v) for v in row) + "\n")
+            finally:
+                tmp.close()
+                spark.stop()
 
-        try:
             return ChunkedEdgeListConverter(
                 output_dir=self.output_dir, train_edges=tmp.name,
                 format="csv", delim="\t", src_column=0,

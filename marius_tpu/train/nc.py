@@ -308,14 +308,27 @@ class NodeClassificationTrainer:
             loss, (g_emb, g_dense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 emb0, state.params)
             if data_axis is not None:
-                # combine shards' row grads exactly: dense accumulator psum
+                # combine shards' row grads exactly into the dense
+                # accumulator G. Two equivalent routes, chosen statically by
+                # traffic: all-gathering each shard's (K, d) row grads + ids
+                # costs S*K*d over ICI vs N*d for psum-ing the scattered
+                # table — for large tables the row-gather route wins by
+                # orders of magnitude (N >> S*K)
                 from marius_tpu.parallel.embedding_table import (
                     ADAGRAD_EPS,
                     EmbeddingTable,
                 )
-                G = jnp.zeros_like(state.table.values).at[outer_ids].add(
-                    g_emb, mode="drop")
-                G = jax.lax.psum(G, data_axis)
+                n_data = int(self.mesh.shape[data_axis])
+                if n_data * outer_ids.shape[0] < self.graph.num_nodes:
+                    ids_all = jax.lax.all_gather(outer_ids, data_axis)
+                    g_all = jax.lax.all_gather(g_emb, data_axis)
+                    G = jnp.zeros_like(state.table.values).at[
+                        ids_all.reshape(-1)].add(
+                        g_all.reshape(-1, g_all.shape[-1]), mode="drop")
+                else:
+                    G = jnp.zeros_like(state.table.values).at[outer_ids].add(
+                        g_emb, mode="drop")
+                    G = jax.lax.psum(G, data_axis)
                 acc = state.table.state + G * G
                 values = state.table.values - model.sparse_lr * G / (
                     jnp.sqrt(acc) + ADAGRAD_EPS)

@@ -199,3 +199,56 @@ def test_sharded_lp_step_trains():
     assert np.isfinite(losses).all()
     # adagrad accumulator grew only on touched rows
     assert float(state.sum()) > 0
+
+
+@needs8
+def test_sharded_lp_step_relationless_edges():
+    """The compat step must treat (b, 2) edge arrays as relation-less: the
+    Adagrad accumulator must match the dense rel=None reference (before the
+    fix, column 1 — the dst node id — was fed as relation indices)."""
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import (
+        LINK_PREDICTION,
+        Model,
+        init_model_params,
+        lp_batch_loss_direct,
+    )
+    from marius_tpu.nn.optimizers import init_optimizer
+
+    mesh = _mesh()
+    rng = np.random.default_rng(9)
+    n_pad, d = 64, 16
+    enc = EncoderConfig(stages=((LayerConfig(layer_type="EMBEDDING",
+                                             output_dim=d),),))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", 1, d))
+    params = init_model_params(jax.random.key(0), model)
+    opt_state = init_optimizer(model.dense_optimizer, params)
+    step = make_sharded_lp_step(model, mesh, n_pad)
+
+    values = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32) * 0.1)
+    state = jnp.zeros((n_pad, d), jnp.float32)
+    b, c, nneg = 16, 2, 4
+    edges = jnp.asarray(np.stack([
+        rng.integers(0, n_pad, b), rng.integers(0, n_pad, b)], 1).astype(np.int32))
+    dst_negs = jnp.asarray(rng.integers(0, n_pad, (c, nneg)).astype(np.int32))
+    src_negs = jnp.asarray(rng.integers(0, n_pad, (c, nneg)).astype(np.int32))
+    mask = jnp.ones((b,), bool)
+
+    _, acc, _, _, _ = step(values, state, params, opt_state,
+                           edges, dst_negs, src_negs, mask)
+
+    def loss_fn(v):
+        ids = jnp.concatenate([edges[:, 0], edges[:, 1],
+                               dst_negs.reshape(-1), src_negs.reshape(-1)])
+        x = v[ids]
+        loss, _ = lp_batch_loss_direct(
+            model, params, x[:b], x[b:2 * b], None,
+            x[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
+            x[2 * b + c * nneg:].reshape(c, nneg, d), mask, None, None)
+        return loss
+
+    G_ref = jax.grad(loss_fn)(values)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(G_ref) ** 2,
+                               rtol=1e-4, atol=1e-8)

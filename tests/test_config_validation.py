@@ -105,3 +105,12 @@ def test_multiple_errors_reported_together():
         load_config(d)
     msg = str(ei.value)
     assert "bach_size" in msg and "WRONG" in msg
+
+
+def test_eval_sampling_count_checked():
+    d = _base()
+    enc = copy.deepcopy(GS_ENCODER)
+    enc["eval_neighbor_sampling"] = enc["train_neighbor_sampling"] * 2
+    d["model"]["encoder"] = enc
+    with pytest.raises(ConfigError, match="eval_neighbor_sampling"):
+        load_config(d)

@@ -318,3 +318,23 @@ def test_lp_host_streaming_eval(tmp_path):
     from marius_tpu.manager import _HostStreamLPEval, marius_init
     rt = marius_init(load_config(raw), train=False)
     assert isinstance(rt.test_evaluator, _HostStreamLPEval)
+
+
+def test_async_mean_reduction_loss_scale(tmp_path):
+    """Staleness grouping under MEAN reduction must scale the merged loss by
+    K so the gradient is the SUM of the K sub-batches' mean-gradients (K
+    reference optimizer steps at one snapshot), not their average."""
+    raw = _lp_config(tmp_path, "async_mean")
+    raw["model"]["loss"]["options"]["reduction"] = "MEAN"
+    raw["training"]["pipeline"] = {"sync": False, "staleness_bound": 4}
+    from marius_tpu.manager import marius_init
+
+    rt = marius_init(load_config(raw))
+    assert rt.trainer.model.loss_scale == 4.0
+    # sync / SUM-reduction configs keep the neutral scale
+    raw_sync = _lp_config(tmp_path, "sync_mean")
+    raw_sync["model"]["loss"]["options"]["reduction"] = "MEAN"
+    assert marius_init(load_config(raw_sync)).trainer.model.loss_scale == 1.0
+    raw_sum = _lp_config(tmp_path, "async_sum")
+    raw_sum["training"]["pipeline"] = {"sync": False, "staleness_bound": 4}
+    assert marius_init(load_config(raw_sum)).trainer.model.loss_scale == 1.0

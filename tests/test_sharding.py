@@ -249,3 +249,63 @@ def test_nc_buffer_trainer_data_parallel_mesh():
     # eval path still works with the replicated multi-device cache
     res = tr_m.evaluate_nodes(rng.permutation(n).astype(np.int32)[:24])
     assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_nc_mesh_embedding_row_gather_update():
+    """NC data-parallel sparse update: when S*K < N the shards' (K, d) row
+    grads are all-gathered instead of psum-ing a dense (N, d) scatter —
+    both routes must produce the identical accumulator G, and a trainer
+    sized into the gather route must train."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(num_data=4, num_node=2)
+    n, d, k = 64, 8, 5
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, n, (4, k)).astype(np.int32)
+    ids[0, 0] = ids[1, 0] = ids[2, 0]          # overlapping rows across shards
+    grads = rng.standard_normal((4, k, d)).astype(np.float32)
+
+    def route_gather(ids_l, g_l):
+        ids_all = jax.lax.all_gather(ids_l[0], DATA_AXIS)
+        g_all = jax.lax.all_gather(g_l[0], DATA_AXIS)
+        return jnp.zeros((n, d), jnp.float32).at[ids_all.reshape(-1)].add(
+            g_all.reshape(-1, d), mode="drop")[None]
+
+    def route_psum(ids_l, g_l):
+        G = jnp.zeros((n, d), jnp.float32).at[ids_l[0]].add(g_l[0], mode="drop")
+        return jax.lax.psum(G, DATA_AXIS)[None]
+
+    specs = dict(mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                 out_specs=P(DATA_AXIS))
+    g1 = jax.shard_map(route_gather, **specs)(ids, grads)
+    g2 = jax.shard_map(route_psum, **specs)(ids, grads)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+    # e2e: embedding-table NC trainer big enough for the gather route
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.train.nc import NodeClassificationTrainer
+
+    rng = np.random.default_rng(5)
+    n, e, c, emb = 6000, 12000, 4, 8
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)], 1).astype(np.int32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=emb),),
+        (LayerConfig(layer_type="GNN", input_dim=emb, output_dim=c,
+                     gnn_type="GRAPH_SAGE"),),
+    ))
+    model = Model(learning_task=NODE_CLASSIFICATION, encoder=enc)
+    graph = build_device_graph(edges, n, 0)
+    nbr = (NeighborSamplingConfig("UNIFORM", max_neighbors=4),)
+    mesh4 = make_mesh(num_data=4, num_node=2)
+    tr = NodeClassificationTrainer(
+        model, graph, None, labels, np.arange(400, dtype=np.int32), nbr,
+        batch_size=80, mesh=mesh4, seed=0)
+    losses = [s["loss"] for s in tr.train(3)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
