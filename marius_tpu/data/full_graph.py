@@ -219,11 +219,14 @@ def device_seed_flat_lists(csr_dev: Tuple[Array, Array], seeds: Array,
 def make_nbr_sums(adj: FullGraphAdjacency):
     """Returns ``nbr_sum``: x:(N, d) -> (N, d), the sum of each node's
     combined (in+out) neighbor rows. Scatter-free custom vjp: the combined
-    adjacency is symmetric, so the backward is the SAME gather-sum."""
+    adjacency is symmetric, so the backward is the SAME gather-sum. Large
+    buckets route through the fused Pallas gather-sum kernel
+    (ops/pallas/nbr_sum.py) when it is the measured winner."""
+    from marius_tpu.ops.pallas import gather_sum_auto
 
     def _bucketed_sum(x):
         x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
-        parts = [jnp.sum(x_pad[nbr], axis=1) for nbr in adj.nbrs]
+        parts = [gather_sum_auto(x_pad, nbr) for nbr in adj.nbrs]
         y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return y_sorted[adj.inv_pos]  # back to original node order (a gather)
 

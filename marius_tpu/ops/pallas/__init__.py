@@ -17,8 +17,13 @@ import jax.numpy as jnp
 
 from marius_tpu.ops.pallas.adagrad import sparse_adagrad_update_pallas  # noqa: F401
 from marius_tpu.ops.pallas.gather import BLOCK, gather_rows_pallas  # noqa: F401
+from marius_tpu.ops.pallas.nbr_sum import gather_sum_pallas  # noqa: F401
 
 PALLAS_GATHER_MIN_ROWS = 500_000
+# fused bucketed gather-sum (full-graph neighbor aggregation): threshold in
+# total slots (rows*cap) below which XLA's gather+reduce ties or wins —
+# re-measure with bench_kernels.py when the kernel changes
+PALLAS_GATHER_SUM_MIN_SLOTS = 200_000
 
 
 def pallas_supported() -> bool:
@@ -37,3 +42,15 @@ def gather_rows_auto(table: jax.Array, ids: jax.Array) -> jax.Array:
             ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
         return gather_rows_pallas(table, ids)[:k]
     return jnp.take(table, ids, axis=0)
+
+
+def gather_sum_auto(x_pad: jax.Array, ids: jax.Array) -> jax.Array:
+    """Fused bucketed gather-sum, choosing the faster backend: the Pallas
+    row-streaming kernel avoids materializing the (slots, d) gathered block
+    in HBM; XLA's gather+reduce wins on small buckets."""
+    n, cap = ids.shape
+    d = x_pad.shape[1]
+    if (pallas_supported() and d % 128 == 0
+            and n * cap >= PALLAS_GATHER_SUM_MIN_SLOTS):
+        return gather_sum_pallas(x_pad, ids)
+    return jnp.sum(jnp.take(x_pad, ids, axis=0), axis=1)

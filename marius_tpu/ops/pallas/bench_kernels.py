@@ -60,5 +60,33 @@ def main():
               f"({'pallas' if t_pl < t_xla else 'xla'} wins)")
 
 
+def bench_gather_sum():
+    """Fused bucketed gather-sum vs XLA gather+reduce at arxiv-like bucket
+    shapes (total slots ~2E = 2.33M across buckets; here per-bucket)."""
+    from marius_tpu.ops.pallas.nbr_sum import gather_sum_pallas
+
+    rng = np.random.default_rng(1)
+    print(f"device: {jax.devices()[0].device_kind}")
+    for N, d, n, cap, dt in [
+            (169_344, 128, 120_000, 8, np.float32),
+            (169_344, 128, 40_000, 32, np.float32),
+            (169_344, 128, 4_000, 256, np.float32),
+            (169_344, 128, 64, 8192, np.float32),
+            (169_344, 128, 120_000, 8, jnp.bfloat16),
+            (169_344, 128, 40_000, 32, jnp.bfloat16)]:
+        x = jnp.asarray(rng.standard_normal((N, d)), dtype=dt)
+        x_pad = jnp.concatenate([x, jnp.zeros((1, d), dt)], 0)
+        ids = jnp.asarray(rng.integers(0, N, (n, cap)).astype(np.int32))
+
+        xla = jax.jit(lambda xp, i: jnp.sum(jnp.take(xp, i, axis=0), axis=1))
+        t_xla = _timeit(xla, x_pad, ids, n=20)
+        t_pl = _timeit(gather_sum_pallas, x_pad, ids, n=20)
+        name = "bf16" if dt == jnp.bfloat16 else "f32"
+        print(f"gsum {name} n={n:>7} cap={cap:>5} ({n*cap/1e6:.2f}M slots): "
+              f"xla={t_xla:8.1f}us pallas={t_pl:8.1f}us "
+              f"({'pallas' if t_pl < t_xla else 'xla'} wins)")
+
+
 if __name__ == "__main__":
     main()
+    bench_gather_sum()

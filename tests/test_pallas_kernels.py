@@ -47,3 +47,43 @@ def test_gather_rows_auto_fallback():
     out = gather_rows_auto(table, ids)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(table)[np.asarray(ids)])
+
+
+def test_gather_sum_kernel_matches_reference():
+    """Fused bucketed gather-sum == x_pad[ids].sum(1) across bucket shapes,
+    including sentinel padding slots and f32 accumulation for bf16 input."""
+    import jax.numpy as jnp
+
+    from marius_tpu.ops.pallas.nbr_sum import gather_sum_pallas
+
+    rng = np.random.default_rng(3)
+    N, d = 60, 128
+    x = rng.standard_normal((N, d)).astype(np.float32)
+    x_pad = jnp.asarray(np.concatenate([x, np.zeros((1, d), np.float32)], 0))
+    for n, cap in [(17, 3), (5, 1), (64, 40), (3, 700)]:
+        ids = rng.integers(0, N + 1, (n, cap)).astype(np.int32)  # N = sentinel
+        out = gather_sum_pallas(x_pad, jnp.asarray(ids), interpret=True)
+        ref = np.concatenate([x, np.zeros((1, d))], 0)[ids].sum(axis=1)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    xb = (rng.standard_normal((N, d)) * 0.01).astype(jnp.bfloat16)
+    xb_pad = jnp.concatenate([jnp.asarray(xb), jnp.zeros((1, d), jnp.bfloat16)], 0)
+    ids = jnp.asarray(rng.integers(0, N, (4, 50)).astype(np.int32))
+    out = gather_sum_pallas(xb_pad, ids, interpret=True)
+    ref = np.asarray(xb_pad, np.float32)[np.asarray(ids)].sum(1)
+    # f32 accumulation: only the final bf16 rounding remains
+    assert np.abs(np.asarray(out, np.float32) - ref).max() < 1e-2
+
+
+def test_gather_sum_auto_fallback_cpu():
+    import jax.numpy as jnp
+
+    from marius_tpu.ops.pallas import gather_sum_auto
+
+    rng = np.random.default_rng(4)
+    x_pad = jnp.asarray(rng.standard_normal((21, 128)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 21, (9, 4)).astype(np.int32))
+    out = gather_sum_auto(x_pad, ids)   # CPU -> XLA route
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x_pad)[np.asarray(ids)].sum(1),
+                               rtol=1e-6)
