@@ -179,3 +179,102 @@ def make_nbr_sum_sharded(graph: ShardedFullGraph, mesh, axis: str):
 
     nbr_sum.defvjp(fwd, bwd)
     return nbr_sum
+
+
+def make_gat_ring(graph: ShardedFullGraph, mesh, axis: str):
+    """Ring-sharded GAT attention aggregation (nn/full_graph_encoder._sharded_gat).
+
+    GAT slot logits decompose as leaky(L_i + R_j) with L = a_l.(Wx) anchored
+    and R = a_r.(Wx) source-side, so only the small (n_loc, h) R block and
+    the (n_loc, h*hd) value block rotate around the ring — two passes:
+
+      max pass:  m_i = max_j leaky(L_i + R_j)       (rotates R only)
+      sum pass:  denom_i = sum_j exp(l_ij - m_i),
+                 numer_i = sum_j e_ij * t_j          (rotates R and t)
+
+    Attention dropout masks e in the NUMERATOR only (the single-device path
+    drops normalized alphas, leaving the denominator full — gat_layer
+    semantics); keys fold (shard, step) so slots draw independent bits.
+
+    Returns (ring_max, ring_sum):
+      ring_max(l_vec, r_vec, slope) -> (N', h) neighbor-logit max
+      ring_sum(l_vec, r_vec, t, m, slope, drop_rate, drop_key) ->
+          ((N', h) denom, (N', h*hd) numer); drop_key None disables dropout.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    s, n_loc = graph.num_shards, graph.n_loc
+    perm = [(i, (i + 1) % s) for i in range(s)]
+
+    def _pad(b):
+        return jnp.concatenate([b, jnp.zeros((1, b.shape[1]), b.dtype)], 0)
+
+    def ring_max(l_vec, r_vec, slope):
+        def local(l_loc, r_loc, nbrs, segs):
+            l_pad = _pad(l_loc)
+            m = jnp.full(l_loc.shape, -jnp.inf, l_loc.dtype)
+            block = r_loc
+            for k in range(s):
+                vr = _pad(block)[nbrs[k][0]]                    # (cap, h)
+                lg = jax.nn.leaky_relu(l_pad[segs[k][0]] + vr, slope)
+                m = jnp.maximum(m, jax.ops.segment_max(
+                    lg, segs[k][0], num_segments=n_loc + 1,
+                    indices_are_sorted=True)[:n_loc])
+                if k + 1 < s:
+                    block = jax.lax.ppermute(block, axis, perm)
+            return m
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None)),
+            out_specs=P(axis, None), check_vma=False)(
+            l_vec, r_vec, graph.flat_nbr, graph.flat_seg)
+
+    def ring_sum(l_vec, r_vec, t, m, slope, drop_rate=0.0, drop_key=None):
+        h = l_vec.shape[1]
+
+        def local(l_loc, r_loc, t_loc, m_loc, key_loc, nbrs, segs):
+            l_pad, m_pad = _pad(l_loc), _pad(m_loc)
+            denom = jnp.zeros((n_loc, h), t_loc.dtype)
+            numer = jnp.zeros((n_loc, t_loc.shape[1]), t_loc.dtype)
+            rb, tb = r_loc, t_loc
+            shard = jax.lax.axis_index(axis)
+            for k in range(s):
+                seg = segs[k][0]
+                vr = _pad(rb)[nbrs[k][0]]                       # (cap, h)
+                vt = _pad(tb)[nbrs[k][0]]                       # (cap, h*hd)
+                lg = jax.nn.leaky_relu(l_pad[seg] + vr, slope)
+                e = jnp.exp(lg - m_pad[seg])                    # (cap, h)
+                denom = denom + jax.ops.segment_sum(
+                    e, seg, num_segments=n_loc + 1,
+                    indices_are_sorted=True)[:n_loc]
+                e_num = e
+                if drop_key is not None and drop_rate > 0.0:
+                    keep = jax.random.bernoulli(
+                        jax.random.fold_in(key_loc[0], shard * s + k),
+                        1.0 - drop_rate, e.shape)
+                    e_num = jnp.where(keep, e / (1.0 - drop_rate), 0.0)
+                hd = vt.shape[1] // h
+                weighted = (e_num[:, :, None]
+                            * vt.reshape(-1, h, hd)).reshape(-1, h * hd)
+                numer = numer + jax.ops.segment_sum(
+                    weighted, seg, num_segments=n_loc + 1,
+                    indices_are_sorted=True)[:n_loc]
+                if k + 1 < s:
+                    rb = jax.lax.ppermute(rb, axis, perm)
+                    tb = jax.lax.ppermute(tb, axis, perm)
+            return denom, numer
+
+        if drop_key is None:
+            drop_key = jax.random.key(0)   # unused branch, shape placeholder
+            drop_rate = 0.0
+        keys = jnp.broadcast_to(drop_key, (s,))
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None), P(axis), P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None)), check_vma=False)(
+            l_vec, r_vec, t, m, keys, graph.flat_nbr, graph.flat_seg)
+
+    return ring_max, ring_sum

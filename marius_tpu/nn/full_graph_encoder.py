@@ -93,9 +93,9 @@ class _ShardedAdjView:
 
 
 def supports_sharded_full_graph(config: EncoderConfig) -> bool:
-    """Ring-sharded mode covers the aggregation layers (GraphSAGE/GCN);
-    GAT's per-slot attention weights need the bucketed single-device path."""
-    return all(l.gnn_type.upper() in ("GRAPH_SAGE", "GCN")
+    """Ring-sharded mode covers GraphSAGE/GCN (plain neighbor-sum ring) and
+    GAT (two-pass attention ring, make_gat_ring)."""
+    return all(l.gnn_type.upper() in ("GRAPH_SAGE", "GCN", "GAT")
                for s in config.stages for l in s
                if l.layer_type.upper() == "GNN")
 
@@ -108,12 +108,18 @@ def prepare_sharded_full_graph(sharded_graph, config: EncoderConfig,
     (data/full_graph_sharded.py); degree vectors are (S*n_loc,) padded +
     sharded. ``features``: the (S*n_loc, d) sharded block, enabling the
     same constant first-stage aggregation as the single-device path."""
-    from marius_tpu.data.full_graph_sharded import make_nbr_sum_sharded
+    from marius_tpu.data.full_graph_sharded import (
+        make_gat_ring,
+        make_nbr_sum_sharded,
+    )
 
     assert supports_sharded_full_graph(config), \
-        "sharded full-graph mode supports GraphSAGE/GCN stages only"
+        "sharded full-graph mode supports GraphSAGE/GCN/GAT stages only"
     adj = _ShardedAdjView(in_deg, out_deg, sharded_graph.num_nodes)
     ops = {"nbr_sum": make_nbr_sum_sharded(sharded_graph, mesh, axis)}
+    if _has_gat(config):
+        ops["gat_ring_max"], ops["gat_ring_sum"] = make_gat_ring(
+            sharded_graph, mesh, axis)
     ops["const_agg"] = _const_first_agg(adj, config, features,
                                         ops["nbr_sum"])
     return adj, ops
@@ -197,6 +203,55 @@ def _full_graph_gcn(layer: LayerConfig, p, x_scaled_sum, x, num_nbrs):
     a = x_scaled_sum + x / jnp.sqrt(num_nbrs + 1.0)[:, None]
     a = a / jnp.sqrt(num_nbrs + 1.0)[:, None]
     return post_hook(layer, p, a @ p["w"])
+
+
+def _sharded_gat(layer: LayerConfig, p, x, ops, train: bool,
+                 dropout_key) -> Array:
+    """GAT over the ring-sharded full graph (make_gat_ring): logits
+    decompose as leaky(L_i + R_j), so per-node L/R/value vectors are
+    computed globally (GSPMD row-sharded matmuls) and only R and the value
+    block rotate. m is stop-gradiented — softmax shift invariance makes the
+    computed gradient exact while skipping the max pass's backward."""
+    h = layer.num_heads
+    head_dim = (layer.output_dim if layer.average_heads
+                else layer.output_dim // h)
+
+    if train and layer.input_dropout > 0 and dropout_key is not None:
+        keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 0),
+                                    1.0 - layer.input_dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - layer.input_dropout), 0.0)
+
+    w = p["w"].reshape(x.shape[-1], h, head_dim)
+    t3 = jnp.einsum("nd,dhk->nhk", x, w)                   # (N', h, k)
+    l_vec = jnp.einsum("nhk,hk->nh", t3, p["a_l"])
+    r_vec = jnp.einsum("nhk,hk->nh", t3, p["a_r"])
+    t = t3.reshape(x.shape[0], h * head_dim)
+
+    slope = layer.negative_slope
+    m_nbr = ops["gat_ring_max"](l_vec, r_vec, slope)
+    self_logit = jax.nn.leaky_relu(l_vec + r_vec, slope)
+    m = jax.lax.stop_gradient(jnp.maximum(m_nbr, self_logit))
+
+    att_drop = (layer.attention_dropout
+                if train and dropout_key is not None else 0.0)
+    denom_nbr, numer_nbr = ops["gat_ring_sum"](
+        l_vec, r_vec, t, m, slope, att_drop,
+        jax.random.fold_in(dropout_key, 1) if att_drop > 0 else None)
+
+    e_self = jnp.exp(self_logit - m)                       # (N', h)
+    denom = denom_nbr + e_self
+    alpha_self = e_self / denom
+    if att_drop > 0:
+        keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 2),
+                                    1.0 - att_drop, alpha_self.shape)
+        alpha_self = jnp.where(keep, alpha_self / (1.0 - att_drop), 0.0)
+    out = (numer_nbr.reshape(-1, h, head_dim) / denom[:, :, None]
+           + alpha_self[:, :, None] * t3)                  # (N', h, k)
+    if layer.average_heads:
+        y = jnp.mean(out, axis=1)
+    else:
+        y = out.reshape(out.shape[0], h * head_dim)
+    return post_hook(layer, p, y)
 
 
 def _full_graph_gat(layer: LayerConfig, p, x, adj, ops,
@@ -429,10 +484,14 @@ def full_graph_encoder_forward(
                     stage_outputs.append(_full_graph_gcn(
                         layer, p, x_scaled_sum, current, num_nbrs))
                 elif g == "GAT":
-                    stage_outputs.append(_full_graph_gat(
-                        layer, p, current, adj, ops, train,
-                        None if dropout_key is None
-                        else jax.random.fold_in(dropout_key, i * 101 + j)))
+                    k_gat = (None if dropout_key is None
+                             else jax.random.fold_in(dropout_key, i * 101 + j))
+                    if "gat_ring_max" in ops:
+                        stage_outputs.append(_sharded_gat(
+                            layer, p, current, ops, train, k_gat))
+                    else:
+                        stage_outputs.append(_full_graph_gat(
+                            layer, p, current, adj, ops, train, k_gat))
                 else:
                     raise ValueError(
                         f"full-graph mode does not support {layer.gnn_type}; "

@@ -97,7 +97,7 @@ class NodeClassificationTrainer:
                     "sharded full-graph mode uses ONE mesh axis " \
                     f"(got shape {dict(mesh.shape)})"
                 assert supports_sharded_full_graph(model.encoder), \
-                    "sharded full-graph mode supports GraphSAGE/GCN only"
+                    "sharded full-graph mode supports GraphSAGE/GCN/GAT only"
                 assert features is not None and not model.has_embeddings, \
                     "sharded full-graph mode needs feature inputs " \
                     "(sharded embedding tables: use the sampled path)"

@@ -175,3 +175,58 @@ def test_sharded_full_graph_from_config(tmp_path):
     result = marius_train(load_config(raw))
     assert len(result["epochs"]) == 2
     assert 0.0 <= result["test"]["accuracy"] <= 1.0
+
+
+@needs8
+def test_sharded_gat_matches_single_device():
+    """Ring-sharded GAT (two-pass attention ring, make_gat_ring) must
+    reproduce the single-device bucketed full-graph GAT trajectory —
+    same permutation, exact math up to float reassociation."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.train.nc import (
+        NodeClassificationEvaluator,
+        NodeClassificationTrainer,
+    )
+
+    rng = np.random.default_rng(13)
+    n, e, f, c = 120, 700, 8, 4
+    edges = _graph(rng, n, e)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    train_nodes = rng.permutation(n).astype(np.int32)[:80]
+
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=f),),
+        (LayerConfig(layer_type="GNN", gnn_type="GAT", input_dim=f,
+                     output_dim=12, num_heads=3, average_heads=False,
+                     bias=True, activation="RELU"),),
+        (LayerConfig(layer_type="GNN", gnn_type="GAT", input_dim=12,
+                     output_dim=c, num_heads=2, average_heads=True),),
+    ))
+    model = Model(NODE_CLASSIFICATION, enc, None, loss_type="CROSS_ENTROPY",
+                  loss_reduction="SUM")
+    graph = build_device_graph(edges, n)
+    adj = build_full_graph_adjacency(edges, n)
+
+    mesh = make_mesh(num_data=1, num_node=8)
+    tr_m = NodeClassificationTrainer(model, graph, feats, labels, train_nodes,
+                                     [], batch_size=20, seed=0,
+                                     full_graph=adj, mesh=mesh)
+    assert tr_m._fg_sharded and "gat_ring_max" in tr_m._fg_ops
+    losses_m = [s["loss"] for s in tr_m.train(3)]
+
+    tr_1 = NodeClassificationTrainer(model, graph, feats, labels, train_nodes,
+                                     [], batch_size=20, seed=0,
+                                     full_graph=adj, fg_seed_restrict=False)
+    losses_1 = [s["loss"] for s in tr_1.train(3)]
+    np.testing.assert_allclose(losses_m, losses_1, rtol=5e-4)
+    assert losses_m[-1] < losses_m[0]
+
+    ev_m = NodeClassificationEvaluator(tr_m, np.arange(40, dtype=np.int32))
+    ev_1 = NodeClassificationEvaluator(tr_1, np.arange(40, dtype=np.int32))
+    assert abs(ev_m.evaluate(tr_m.state)["accuracy"]
+               - ev_1.evaluate(tr_1.state)["accuracy"]) < 1e-6
