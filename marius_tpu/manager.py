@@ -143,12 +143,31 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             train_filter = (build_edge_key_set(train_edges, corrupt_dst=True),
                             build_edge_key_set(train_edges, corrupt_dst=False))
 
+        # Async pipeline mapping (PipelineTrainer, trainer.cpp:35-74): K
+        # staleness-bound batches read ONE table snapshot and their updates
+        # merge — expressed as a K-times-larger compiled step with K-times
+        # the negative chunks, preserving each sub-batch's chunk structure.
+        # Applies in BOTH storage modes (the reference pipelines over the
+        # buffer the same way).
+        batch_size = cfg.training.batch_size
+        neg = cfg.training.negative_sampling
+        if not cfg.training.sync and cfg.training.staleness_bound > 1:
+            k = cfg.training.staleness_bound
+            batch_size *= k
+            neg = dataclasses.replace(neg, num_chunks=neg.num_chunks * k)
+            if model.loss_reduction.upper() == "MEAN":
+                # the merged step must apply the SUM of the K sub-batch
+                # mean-gradients (K reference steps at one snapshot), not
+                # their average (see Model.loss_scale)
+                model = dataclasses.replace(model, loss_scale=float(k))
+            log.info("Async pipeline: staleness_bound=%d -> step of %d edges", k, batch_size)
+
         if cfg.storage.embeddings_backend == "PARTITION_BUFFER":
             from marius_tpu.train.buffer_trainer import PartitionBufferLPTrainer
             trainer = PartitionBufferLPTrainer(
                 model, num_nodes, num_rels, train_edges,
-                cfg.training.negative_sampling,
-                batch_size=cfg.training.batch_size,
+                neg,
+                batch_size=batch_size,
                 num_partitions=cfg.storage.num_partitions,
                 buffer_capacity=cfg.storage.buffer_capacity,
                 seed=cfg.training.seed,
@@ -163,22 +182,6 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 prefetching=cfg.storage.prefetching,
             )
         else:
-            # Async pipeline mapping (PipelineTrainer, trainer.cpp:35-74): K
-            # staleness-bound batches read ONE table snapshot and their updates
-            # merge — expressed as a K-times-larger compiled step with K-times
-            # the negative chunks, preserving each sub-batch's chunk structure.
-            batch_size = cfg.training.batch_size
-            neg = cfg.training.negative_sampling
-            if not cfg.training.sync and cfg.training.staleness_bound > 1:
-                k = cfg.training.staleness_bound
-                batch_size *= k
-                neg = dataclasses.replace(neg, num_chunks=neg.num_chunks * k)
-                if model.loss_reduction.upper() == "MEAN":
-                    # the merged step must apply the SUM of the K sub-batch
-                    # mean-gradients (K reference steps at one snapshot), not
-                    # their average (see Model.loss_scale)
-                    model = dataclasses.replace(model, loss_scale=float(k))
-                log.info("Async pipeline: staleness_bound=%d -> step of %d edges", k, batch_size)
             trainer = LinkPredictionTrainer(
                 model, num_nodes, num_rels, train_edges,
                 neg,

@@ -338,3 +338,19 @@ def test_async_mean_reduction_loss_scale(tmp_path):
     raw_sum = _lp_config(tmp_path, "async_sum")
     raw_sum["training"]["pipeline"] = {"sync": False, "staleness_bound": 4}
     assert marius_init(load_config(raw_sum)).trainer.model.loss_scale == 1.0
+
+
+def test_async_buffer_honors_staleness(tmp_path):
+    """Async x buffer: the staleness mapping applies in buffer mode too (the
+    reference pipelines over the partition buffer the same way) — previously
+    pipeline.sync=false was silently ignored for PARTITION_BUFFER configs."""
+    from marius_tpu.manager import marius_init
+
+    raw = _lp_config(tmp_path, "async_buf")
+    raw["storage"]["embeddings"] = {
+        "type": "PARTITION_BUFFER",
+        "options": {"num_partitions": 4, "buffer_capacity": 2}}
+    raw["training"]["pipeline"] = {"sync": False, "staleness_bound": 3}
+    rt = marius_init(load_config(raw))
+    assert rt.trainer.batch_size == 300      # 100 * K
+    assert rt.trainer.neg_config.num_chunks == 12  # 4 * K
