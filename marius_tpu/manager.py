@@ -205,6 +205,23 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         # trainer's device mirror
         eval_features = None if host_streaming else trainer.features
 
+        # exact-ALL full-graph encoding for GNN evaluation: when every eval
+        # sampler is ALL and the encoder supports it, all-node encoding is
+        # ONE full-graph pass (no per-batch frontiers, no all_cap_limit
+        # truncation — the reference's unbounded ALL, neighbor.cpp:9)
+        eval_full_graph = None
+        if (eval_nbr and graph is not None and not host_streaming
+                and getattr(cfg, "full_graph", "AUTO").upper() != "OFF"
+                and all(n.sampling_type.upper() == "ALL" for n in eval_nbr)):
+            from marius_tpu.nn.full_graph_encoder import supports_full_graph
+            if supports_full_graph(model.encoder):
+                from marius_tpu.data.full_graph import (
+                    build_full_graph_adjacency,
+                )
+                eval_full_graph = build_full_graph_adjacency(
+                    train_edges, num_nodes)
+                log.info("Evaluation uses exact-ALL full-graph encoding")
+
         def make_eval(edges):
             if edges is None or len(edges) == 0:
                 return None
@@ -217,6 +234,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 graph=graph,
                 nbr_configs=eval_nbr,
                 features=eval_features,
+                full_graph=eval_full_graph,
             )
             if host_streaming:
                 return _HostStreamLPEval(ev, features)

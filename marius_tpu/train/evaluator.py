@@ -55,6 +55,9 @@ class LinkPredictionEvaluator:
         graph=None,                 # DeviceGraph, required for GNN encoders
         nbr_configs=(),             # eval-time NeighborSamplingConfigs
         features=None,              # (N+1, F) device array with sentinel row
+        full_graph=None,            # FullGraphAdjacency: exact-ALL one-pass
+                                    # all-node encoding (callers gate on all
+                                    # eval samplers being ALL)
     ):
         self.model = model
         self.num_nodes = num_nodes
@@ -66,6 +69,13 @@ class LinkPredictionEvaluator:
         self.graph = graph
         self.nbr_configs = tuple(nbr_configs)
         self.features = features
+        self.full_graph = full_graph
+        self._fg_ops = None
+        if full_graph is not None and self.nbr_configs:
+            from marius_tpu.nn.full_graph_encoder import prepare_full_graph
+            feats = None if features is None else features[:-1]
+            self.full_graph, self._fg_ops = prepare_full_graph(
+                full_graph, model.encoder, feats)
 
         padded, self.num_edges, self.num_batches = pad_edges(eval_edges, batch_size)
         self.edges = jnp.asarray(padded)
@@ -326,7 +336,8 @@ class LinkPredictionEvaluator:
             encoded = encode_all_nodes(
                 self.model, state.params, table_values, graph=self.graph,
                 nbr_configs=self.nbr_configs, features=self.features,
-                batch_size=self.batch_size)
+                batch_size=self.batch_size, full_graph=self.full_graph,
+                fg_ops=self._fg_ops)
         nb, b = self.num_batches, self.batch_size
 
         @jax.jit
@@ -358,7 +369,8 @@ class LinkPredictionEvaluator:
             encoded = encode_all_nodes(
                 self.model, state.params, table_values, graph=self.graph,
                 nbr_configs=self.nbr_configs, features=self.features,
-                batch_size=self.batch_size)
+                batch_size=self.batch_size, full_graph=self.full_graph,
+                fg_ops=self._fg_ops)
         stats = self._eval_fn(encoded, state.params, self.edges)
         stats = jax.device_get(stats)
         dt = time.perf_counter() - t0

@@ -38,12 +38,36 @@ def encode_all_nodes(
     batch_size: int = 1000,
     hop_caps: Optional[Sequence[int]] = None,
     seed: int = 13,
+    full_graph=None,    # FullGraphAdjacency: exact-ALL one-pass encoding
+    fg_ops=None,        # prepared ops from prepare_full_graph (optional)
 ) -> Array:
     """Encoded representations (num_nodes, d_out) for every node."""
     if not nbr_configs:
         # shallow encoder: single pass over the raw table/features
         return encoder_forward(model.encoder, params["encoder"], table_values,
                                None if features is None else features[:-1])
+
+    if full_graph is not None:
+        # exact unbounded-ALL encoding in ONE full-graph pass (every GNN
+        # layer over all nodes, data/full_graph.py) — replaces per-batch
+        # frontier sampling AND the all_cap_limit truncation; callers gate
+        # on all eval samplers being ALL
+        from marius_tpu.nn.full_graph_encoder import (
+            full_graph_encoder_forward,
+            prepare_full_graph,
+        )
+        feats = None if features is None else features[:-1]
+        if fg_ops is None:
+            full_graph, fg_ops = prepare_full_graph(
+                full_graph, model.encoder, feats)
+
+        @jax.jit
+        def enc_fg(table_values, params):
+            return full_graph_encoder_forward(
+                model.encoder, params["encoder"], table_values, feats,
+                full_graph, ops=fg_ops, train=False)
+
+        return enc_fg(table_values, params)
 
     assert graph is not None
     num_nodes = graph.num_nodes

@@ -157,3 +157,33 @@ def test_all_cap_truncation_warning():
     finally:
         log.removeHandler(cap)
         log.setLevel(old_level)
+
+
+def test_full_graph_eval_matches_sampled_all():
+    """LP evaluation with an exact-ALL full-graph encode (one pass over all
+    nodes) must reproduce sampled-ALL evaluation (cap >= max degree) — same
+    encoder math, no frontier machinery, no cap truncation."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    train, valid, test = generate_random_lp_dataset()
+    graph = build_device_graph(train, NUM_NODES, NUM_RELS)
+    max_deg = int(np.asarray(graph.degrees).max())
+    nbr_all = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)]
+    trainer = LinkPredictionTrainer(
+        _gnn_lp_model(), NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+        batch_size=100, seed=0, graph=graph, nbr_configs=nbr_all)
+    trainer.train(2)
+
+    all_edges = np.concatenate([train, valid, test])
+    kw = dict(all_edges=all_edges, batch_size=100, filtered=True,
+              graph=graph, nbr_configs=nbr_all)
+    ev_sampled = LinkPredictionEvaluator(
+        trainer.model, NUM_NODES, NUM_RELS, train[:100], **kw)
+    ev_fg = LinkPredictionEvaluator(
+        trainer.model, NUM_NODES, NUM_RELS, train[:100],
+        full_graph=build_full_graph_adjacency(train, NUM_NODES), **kw)
+    a = ev_sampled.evaluate(trainer.state)
+    b = ev_fg.evaluate(trainer.state)
+    assert abs(a["mrr"] - b["mrr"]) < 1e-4, (a["mrr"], b["mrr"])
+    assert abs(a["hits@10"] - b["hits@10"]) < 1e-6

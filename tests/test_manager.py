@@ -354,3 +354,19 @@ def test_async_buffer_honors_staleness(tmp_path):
     rt = marius_init(load_config(raw))
     assert rt.trainer.batch_size == 300      # 100 * K
     assert rt.trainer.neg_config.num_chunks == 12  # 4 * K
+
+
+def test_lp_eval_auto_full_graph(tmp_path):
+    """ALL-everywhere eval sampling on a supported GNN encoder auto-routes
+    all-node evaluation encoding through the exact full-graph pass."""
+    from marius_tpu.manager import marius_init
+
+    raw = _lp_config(tmp_path, "fg_eval")
+    enc = copy.deepcopy(GS_ENCODER)
+    enc["train_neighbor_sampling"] = [{"type": "ALL"}]
+    raw["model"]["encoder"] = enc
+    rt = marius_init(load_config(raw))
+    assert rt.valid_evaluator is not None
+    assert rt.valid_evaluator.full_graph is not None
+    res = rt.valid_evaluator.evaluate(rt.trainer.state)
+    assert 0.0 < res["mrr"] <= 1.0
