@@ -355,7 +355,10 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
         negative_sampling=_negative_sampling(t.get("negative_sampling")),
         num_epochs=int(t.get("num_epochs", 10)),
         epochs_per_shuffle=int(t.get("epochs_per_shuffle", 1)),
-        epochs_per_eval=int(t.get("epochs_per_eval", 1)),
+        # evaluation.epochs_per_eval is the reference's placement
+        # (EvaluationConfig, marius_config.py:781); training-level wins
+        epochs_per_eval=int(t.get("epochs_per_eval",
+                                  ev.get("epochs_per_eval", 1))),
         sync=bool((t.get("pipeline") or {}).get("sync", True)),
         staleness_bound=int((t.get("pipeline") or {}).get("staleness_bound", 16)),
         checkpoint_interval=int((t.get("checkpoint") or {}).get("interval", -1)),

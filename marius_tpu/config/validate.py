@@ -408,6 +408,9 @@ def check_config_values(cfg) -> List[str]:
     if not (0.0 <= t.negative_sampling.degree_fraction <= 1.0):
         e.append(f"training.negative_sampling.degree_fraction: must be in "
                  f"[0, 1], got {t.negative_sampling.degree_fraction}")
+    if t.save_best and not cfg.storage.save_model:
+        e.append("training.checkpoint.save_best requires storage.save_model: "
+                 "true (save_best keeps the best-valid model in model_dir)")
     _enum(e, "mesh_mode", t.mesh_mode, "training.mesh.mode")
     if (t.mesh_mode == "explicit" and max(t.mesh_data, t.mesh_node) > 1
             and n_gnn > 0):

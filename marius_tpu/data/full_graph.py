@@ -307,11 +307,15 @@ def make_gather_blocks(adj: FullGraphAdjacency):
         return gather_blocks(x), None
 
     def bwd(_, u_blocks):
+        from marius_tpu.ops.pallas import gather_sum_auto
+
         d = u_blocks[0].shape[-1]
         flat_u = jnp.concatenate(
             [u.reshape(-1, d) for u in u_blocks]
             + [jnp.zeros((1, d), u_blocks[0].dtype)], 0)
-        parts = [jnp.sum(flat_u[inv], axis=1) for inv in adj.inv_map]
+        # fused bucketed gather-sum: same sentinel convention (inv pad slots
+        # point at flat_u's appended zero row)
+        parts = [gather_sum_auto(flat_u, inv) for inv in adj.inv_map]
         g_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return (g_sorted[adj.inv_pos],)
 

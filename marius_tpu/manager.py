@@ -15,6 +15,7 @@ import time
 from typing import Any, Dict, List, Optional
 
 import numpy as np
+import yaml
 
 from marius_tpu.config.schema import MariusConfig, load_config
 from marius_tpu.data.graph import build_device_graph
@@ -209,17 +210,24 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         # sampler is ALL and the encoder supports it, all-node encoding is
         # ONE full-graph pass (no per-batch frontiers, no all_cap_limit
         # truncation — the reference's unbounded ALL, neighbor.cpp:9)
-        eval_full_graph = None
+        eval_full_graph = eval_fg_ops = None
         if (eval_nbr and graph is not None and not host_streaming
                 and getattr(cfg, "full_graph", "AUTO").upper() != "OFF"
                 and all(n.sampling_type.upper() == "ALL" for n in eval_nbr)):
-            from marius_tpu.nn.full_graph_encoder import supports_full_graph
+            from marius_tpu.nn.full_graph_encoder import (
+                prepare_full_graph,
+                supports_full_graph,
+            )
             if supports_full_graph(model.encoder):
                 from marius_tpu.data.full_graph import (
                     build_full_graph_adjacency,
                 )
-                eval_full_graph = build_full_graph_adjacency(
-                    train_edges, num_nodes)
+                adj = build_full_graph_adjacency(train_edges, num_nodes)
+                feats = None if eval_features is None else eval_features[:-1]
+                # prepare once (const first-stage agg, GAT inverse map);
+                # valid and test evaluators share the result
+                eval_full_graph, eval_fg_ops = prepare_full_graph(
+                    adj, model.encoder, feats)
                 log.info("Evaluation uses exact-ALL full-graph encoding")
 
         def make_eval(edges):
@@ -235,6 +243,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 nbr_configs=eval_nbr,
                 features=eval_features,
                 full_graph=eval_full_graph,
+                fg_ops=eval_fg_ops,
             )
             if host_streaming:
                 return _HostStreamLPEval(ev, features)
@@ -406,6 +415,17 @@ def marius_train(config, model_dir: Optional[str] = None) -> Dict[str, Any]:
     epoch_stats: List[Dict[str, float]] = []
     eval_stats: List[Dict[str, float]] = []
     best_metric: Optional[float] = None   # training.checkpoint.save_best
+    if t.save_best and cfg.storage.model_dir:
+        # resume: a previously saved best must not be overwritten by a
+        # worse first post-resume validation
+        meta_path = os.path.join(cfg.storage.model_dir, "meta.yaml")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev_meta = yaml.safe_load(f) or {}
+            if prev_meta.get("best_valid_metric") is not None:
+                best_metric = float(prev_meta["best_valid_metric"])
+                log.info("save_best: previous best valid metric %.5f in %s",
+                         best_metric, cfg.storage.model_dir)
     for epoch in range(rt.epochs_processed, t.num_epochs):
         stats = rt.trainer.train_epoch()
         rt.epochs_processed = epoch + 1

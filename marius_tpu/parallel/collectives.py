@@ -226,16 +226,19 @@ def make_sharded_lp_step(model, mesh, num_nodes_padded: int, axis_name: str = "n
 
     def step(values, state, params, opt_state, edges, dst_negs, src_negs, mask):
         has_rels = edges.shape[1] == 3
+        # inverse (src-corruption) scoring needs relations — without them the
+        # reference skips the lhs term (decoder_methods.cpp:99-102), and so
+        # does LinkPredictionTrainer
+        use_inverse = model.decoder.use_inverse_relations and has_rels
         if has_rels not in updates:
             updates[has_rels] = make_sharded_lp_update(
                 model, mesh, num_nodes_padded, node_axis=axis_name,
-                data_axis=None, has_rels=has_rels,
-                use_inverse=model.decoder.use_inverse_relations)
+                data_axis=None, has_rels=has_rels, use_inverse=use_inverse)
         batch = {"src": edges[:, 0], "dst": edges[:, -1],
                  "mask": mask, "dst_negs": dst_negs}
         if has_rels:
             batch["rel"] = edges[:, 1]
-        if model.decoder.use_inverse_relations:
+        if use_inverse:
             batch["src_negs"] = src_negs
         return updates[has_rels](values, state, params, opt_state, batch)
 

@@ -108,10 +108,18 @@ def load_state(directory: str, template) -> Tuple[Any, Dict[str, Any]]:
         path = os.path.join(directory, name.replace("/", "__") + ".npy")
         if os.path.exists(path):
             restored[name] = np.load(path)
-        else:
+        elif name.startswith(OPTIM_STATE_PREFIXES):
             # checkpoint saved with save_state=false: optimizer leaves keep
             # the template's (fresh-init) values; meta reports them
             missing.append(name)
+        else:
+            # a missing MODEL leaf is a corrupt/mismatched checkpoint, not a
+            # save_state=false artifact — evaluating fresh-init params would
+            # silently report garbage
+            raise FileNotFoundError(
+                f"checkpoint {directory} is missing model leaf '{name}' "
+                f"({path}); the checkpoint does not match the configured "
+                "model")
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for p, leaf in flat:

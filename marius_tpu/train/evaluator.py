@@ -58,6 +58,8 @@ class LinkPredictionEvaluator:
         full_graph=None,            # FullGraphAdjacency: exact-ALL one-pass
                                     # all-node encoding (callers gate on all
                                     # eval samplers being ALL)
+        fg_ops=None,                # pre-prepared ops (share the const-agg /
+                                    # inverse-map work across evaluators)
     ):
         self.model = model
         self.num_nodes = num_nodes
@@ -70,8 +72,8 @@ class LinkPredictionEvaluator:
         self.nbr_configs = tuple(nbr_configs)
         self.features = features
         self.full_graph = full_graph
-        self._fg_ops = None
-        if full_graph is not None and self.nbr_configs:
+        self._fg_ops = fg_ops
+        if full_graph is not None and fg_ops is None and self.nbr_configs:
             from marius_tpu.nn.full_graph_encoder import prepare_full_graph
             feats = None if features is None else features[:-1]
             self.full_graph, self._fg_ops = prepare_full_graph(

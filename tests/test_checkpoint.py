@@ -79,3 +79,21 @@ def test_interval_checkpoints(tmp_path):
     assert os.path.basename(path) == "checkpoint_3"
     _, meta = ckpt.load_state(path, trainer.state)
     assert meta["epochs_processed"] == 3
+
+
+def test_missing_model_leaf_raises(tmp_path):
+    """A checkpoint missing a MODEL leaf (mismatched/corrupt dir) must raise
+    instead of silently evaluating fresh-init values; only optimizer leaves
+    (save_state=false) fall back to the template."""
+    import pytest
+
+    train, _, _ = generate_random_lp_dataset()
+    trainer = LinkPredictionTrainer(
+        _model(), NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=10),
+        batch_size=100, seed=0)
+    d = str(tmp_path / "ck")
+    ckpt.save_state(d, trainer.state)
+    os.remove(os.path.join(d, "table__values.npy"))
+    with pytest.raises(FileNotFoundError, match="table/values"):
+        ckpt.load_state(d, trainer.state)

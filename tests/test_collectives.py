@@ -203,9 +203,12 @@ def test_sharded_lp_step_trains():
 
 @needs8
 def test_sharded_lp_step_relationless_edges():
-    """The compat step must treat (b, 2) edge arrays as relation-less: the
-    Adagrad accumulator must match the dense rel=None reference (before the
-    fix, column 1 — the dst node id — was fed as relation indices)."""
+    """The compat step must treat (b, 2) edge arrays as relation-less: no
+    relation gathers (before the fix, column 1 — the dst node id — was fed
+    as relation indices) and NO inverse-corruption term (without relations
+    the reference skips the lhs term, decoder_methods.cpp:99-102). The
+    Adagrad accumulator must match the dense rel=None, src_negs=None
+    reference."""
     from marius_tpu.nn.decoders.edge import EdgeDecoder
     from marius_tpu.nn.encoder import EncoderConfig
     from marius_tpu.nn.layers import LayerConfig
@@ -241,12 +244,11 @@ def test_sharded_lp_step_relationless_edges():
 
     def loss_fn(v):
         ids = jnp.concatenate([edges[:, 0], edges[:, 1],
-                               dst_negs.reshape(-1), src_negs.reshape(-1)])
+                               dst_negs.reshape(-1)])
         x = v[ids]
         loss, _ = lp_batch_loss_direct(
             model, params, x[:b], x[b:2 * b], None,
-            x[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
-            x[2 * b + c * nneg:].reshape(c, nneg, d), mask, None, None)
+            x[2 * b:].reshape(c, nneg, d), None, mask, None, None)
         return loss
 
     G_ref = jax.grad(loss_fn)(values)

@@ -114,3 +114,11 @@ def test_eval_sampling_count_checked():
     d["model"]["encoder"] = enc
     with pytest.raises(ConfigError, match="eval_neighbor_sampling"):
         load_config(d)
+
+
+def test_save_best_requires_save_model():
+    d = _base()
+    d["storage"]["save_model"] = False
+    d["training"]["checkpoint"] = {"save_best": True}
+    with pytest.raises(ConfigError, match="save_best"):
+        load_config(d)

@@ -370,3 +370,38 @@ def test_lp_eval_auto_full_graph(tmp_path):
     assert rt.valid_evaluator.full_graph is not None
     res = rt.valid_evaluator.evaluate(rt.trainer.state)
     assert 0.0 < res["mrr"] <= 1.0
+
+
+def test_save_best_not_overwritten_by_worse_resume(tmp_path):
+    """A previously saved best (meta.yaml best_valid_metric) must survive a
+    later run whose validations never beat it."""
+    import yaml as _yaml
+
+    raw = _lp_config(tmp_path, "best2", **{"storage.save_model": True})
+    raw["storage"]["model_dir"] = str(tmp_path / "model_bb")
+    raw["training"]["num_epochs"] = 2
+    raw["training"]["epochs_per_eval"] = 1
+    raw["training"]["checkpoint"] = {"save_best": True}
+    marius_train(load_config(raw))
+
+    meta_path = tmp_path / "model_bb" / "meta.yaml"
+    meta = _yaml.safe_load(open(meta_path))
+    meta["best_valid_metric"] = 2.0   # unbeatable (MRR <= 1)
+    _yaml.safe_dump(meta, open(meta_path, "w"))
+    table_before = (tmp_path / "model_bb" / "table__values.npy").read_bytes()
+
+    marius_train(load_config(raw))    # re-run: no eval can beat 2.0
+    meta2 = _yaml.safe_load(open(meta_path))
+    assert meta2["best_valid_metric"] == 2.0
+    assert (tmp_path / "model_bb" / "table__values.npy").read_bytes() == table_before
+
+
+def test_evaluation_epochs_per_eval_honored(tmp_path):
+    """evaluation.epochs_per_eval (the reference's placement,
+    marius_config.py:781) controls eval cadence when training-level is
+    unset."""
+    raw = _lp_config(tmp_path, "cadence")
+    raw["training"]["num_epochs"] = 4
+    raw["evaluation"]["epochs_per_eval"] = 2
+    res = marius_train(load_config(raw))
+    assert [e["epoch"] for e in res["evals"]] == [2, 4]
