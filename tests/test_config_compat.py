@@ -157,3 +157,60 @@ def test_check_compat_keys_covers_nested_layers():
 
 def test_compat_keys_quiet_on_clean_config():
     assert check_compat_keys(_base()) == []
+
+
+@needs_reference
+def test_reference_fb15k_yaml_trains_end_to_end(tmp_path):
+    """The reference's shipped fb15k_237.yaml runs VERBATIM through
+    marius_train (only dataset_dir/model_dir/epochs redirected) on an
+    fb15k-shaped synthetic in the same binary layout — the full switch-over
+    workflow a reference user follows."""
+    from marius_tpu.manager import marius_train
+    from marius_tpu.tools.preprocess import generate_random_dataset_lp
+
+    raw = yaml.safe_load(open(EXAMPLES / "fb15k_237.yaml"))
+    ds = str(tmp_path / "ds")
+    generate_random_dataset_lp(ds, num_nodes=80, num_edges=800,
+                               num_relations=6)
+    raw["storage"]["dataset"]["dataset_dir"] = ds
+    raw["storage"]["model_dir"] = str(tmp_path / "model_0")
+    raw["training"]["num_epochs"] = 2
+    raw["training"]["batch_size"] = 100           # 800 edges, not 272k
+    raw["training"]["negative_sampling"]["negatives_per_positive"] = 20
+    raw["evaluation"]["batch_size"] = 100
+
+    res = marius_train(load_config(raw))
+    assert len(res["epochs"]) == 2
+    assert 0.0 < res["test"]["mrr"] <= 1.0
+    assert (tmp_path / "model_0" / "meta.yaml").exists()
+
+
+@needs_reference
+def test_reference_arxiv_yaml_trains_end_to_end(tmp_path):
+    """Same for the reference's ogbn_arxiv.yaml (3-layer GraphSAGE, ALL
+    sampling) on an arxiv-shaped synthetic NC dataset — exercises the
+    exact-ALL path the reference's headline NC config uses."""
+    from marius_tpu.manager import marius_train
+    from marius_tpu.tools.preprocess import generate_random_dataset_nc
+
+    raw = yaml.safe_load(open(EXAMPLES / "ogbn_arxiv.yaml"))
+    ds = str(tmp_path / "ds_nc")
+    generate_random_dataset_nc(ds, num_nodes=120, num_edges=800,
+                               num_classes=6, feature_dim=16)
+    raw["storage"]["dataset"]["dataset_dir"] = ds
+    raw["storage"]["model_dir"] = str(tmp_path / "model_nc")
+    raw["training"]["num_epochs"] = 2
+    raw["training"]["batch_size"] = 40
+    raw["evaluation"]["batch_size"] = 40
+    # shrink the reference's d=128 layers to the synthetic's feature_dim
+    for stage in raw["model"]["encoder"]["layers"]:
+        for layer in stage:
+            for k in ("input_dim", "output_dim"):
+                if layer.get(k, -1) > 16:
+                    layer[k] = 16
+    last = raw["model"]["encoder"]["layers"][-1][-1]
+    last["output_dim"] = 6
+
+    res = marius_train(load_config(raw))
+    assert len(res["epochs"]) == 2
+    assert 0.0 <= res["test"]["accuracy"] <= 1.0
