@@ -338,8 +338,12 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
                                  .get("num_cache_partitions", 0)),
         randomly_assign_edge_buckets=bool(((s.get("embeddings") or {}).get("options") or {})
                                           .get("randomly_assign_edge_buckets", True)),
+        # compute dtype: embeddings tier's dtype, falling back to the
+        # features tier's for feature-only (NC) models
         embeddings_dtype=str(((s.get("embeddings") or {}).get("options") or {})
-                             .get("dtype", "float")).lower(),
+                             .get("dtype",
+                                  ((s.get("features") or {}).get("options")
+                                   or {}).get("dtype", "float"))).lower(),
         model_dir=model_dir or s.get("model_dir", "") or
         (os.path.join(dataset.dataset_dir, "model_0") if dataset.dataset_dir else ""),
         # training.save_model and storage.prefetch are the reference's

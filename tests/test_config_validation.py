@@ -122,3 +122,15 @@ def test_save_best_requires_save_model():
     d["training"]["checkpoint"] = {"save_best": True}
     with pytest.raises(ConfigError, match="save_best"):
         load_config(d)
+
+
+def test_features_dtype_fallback():
+    """storage.features.options.dtype drives the compute dtype for
+    feature-only (NC) models; an embeddings tier dtype takes precedence."""
+    d = _base()
+    d["storage"]["features"] = {"type": "DEVICE_MEMORY",
+                                "options": {"dtype": "bfloat16"}}
+    assert load_config(d).storage.embeddings_dtype == "bfloat16"
+    d["storage"]["embeddings"] = {"type": "DEVICE_MEMORY",
+                                  "options": {"dtype": "float"}}
+    assert load_config(d).storage.embeddings_dtype == "float"
