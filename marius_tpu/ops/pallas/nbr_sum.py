@@ -3,17 +3,20 @@
 The hot op of full-graph GNN training (data/full_graph.py make_nbr_sums) is
 ``x_pad[nbr].sum(axis=1)`` per degree bucket — XLA materializes the gathered
 (slots, d) block in HBM and reduces it in a second pass, paying write+read
-of the whole block on top of the random-row reads. This kernel streams each
-neighbor row from HBM with double-buffered per-row DMAs (the proven pattern
-of ops/pallas/gather.py) and accumulates in VMEM, so HBM traffic is ONE
-random read per slot plus the (n, d) output write.
+of the whole block on top of the random-row reads. This kernel streams
+neighbor rows from HBM with grouped double-buffered DMAs (the proven
+per-row-DMA pattern of ops/pallas/gather.py) and accumulates in VMEM, so
+HBM traffic is ONE random read per slot plus the (n, d) output write.
+
+Per pipeline stage it issues GROUP row DMAs into a (GROUP, d) scratch tile
+and folds them with one VPU reduction — (8, 128)-shaped adds instead of
+per-slot (1, d) adds — while the next group's DMAs are in flight.
 
 Accumulation runs in f32 regardless of input dtype (bf16 sums over
 thousand-degree hubs would lose mass), matching XLA's reduce semantics.
 
-Use via ``gather_sum_auto`` or pass ``use_pallas`` to
-data/full_graph.make_nbr_sums; selection follows the measured win/loss
-policy of ops/pallas/__init__ (TPU backend + lane-aligned rows).
+Use via ``gather_sum_auto``; selection follows the measured win/loss policy
+of ops/pallas/__init__ (TPU backend + lane-aligned rows + slot threshold).
 """
 
 from __future__ import annotations
@@ -25,37 +28,46 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_BUF = 8            # in-flight row DMAs
+GROUP = 8            # rows per DMA group = one VPU reduction tile
+N_BUF = 2            # groups in flight (2*GROUP row DMAs)
 TARGET_SLOTS = 2048  # ids per grid program (rows*cap), sized for SMEM
 
 
 def _kernel(ids_ref, x_ref, out_ref, scratch, sems, *, rows: int, cap: int):
-    total = rows * cap
+    gpr = cap // GROUP            # groups per output row
+    total = rows * gpr
 
-    def dma(slot, k):
+    def dma(buf, t, g):
+        r, c = g // gpr, (g % gpr) * GROUP + t
         return pltpu.make_async_copy(
-            x_ref.at[ids_ref[k // cap, k % cap]],
-            scratch.at[slot],
-            sems.at[slot],
+            x_ref.at[ids_ref[r, c]],
+            scratch.at[buf, t],
+            sems.at[buf, t],
         )
 
+    def start_group(g):
+        for t in range(GROUP):
+            dma(g % N_BUF, t, g).start()
+
     for w in range(min(N_BUF - 1, total)):
-        dma(w, w).start()
+        start_group(w)
 
     d = out_ref.shape[-1]
 
-    def body(k, acc):
-        @pl.when(k + N_BUF - 1 < total)
+    def body(g, acc):
+        @pl.when(g + N_BUF - 1 < total)
         def _():
-            dma((k + N_BUF - 1) % N_BUF, k + N_BUF - 1).start()
+            start_group(g + N_BUF - 1)
 
-        dma(k % N_BUF, k).wait()
-        acc = acc + scratch[pl.ds(k % N_BUF, 1), :].astype(jnp.float32)
-        row_done = (k % cap) == (cap - 1)
+        for t in range(GROUP):
+            dma(g % N_BUF, t, g).wait()
+        acc = acc + jnp.sum(
+            scratch[g % N_BUF].astype(jnp.float32), axis=0, keepdims=True)
+        row_done = (g % gpr) == (gpr - 1)
 
         @pl.when(row_done)
         def _():
-            out_ref[pl.ds(k // cap, 1), :] = acc.astype(out_ref.dtype)
+            out_ref[pl.ds(g // gpr, 1), :] = acc.astype(out_ref.dtype)
 
         return jnp.where(row_done, jnp.zeros_like(acc), acc)
 
@@ -69,21 +81,24 @@ def gather_sum_pallas(x_pad: jax.Array, ids: jax.Array,
 
     ``x_pad`` must already carry the zero sentinel row that padding ids point
     at (the make_nbr_sums convention); rows need d % 128 == 0 for lane-aligned
-    row DMAs. Grid rows are padded internally and sliced off."""
+    row DMAs. cap is padded to a GROUP multiple and grid rows to a block
+    multiple internally (extra slots read the zero sentinel)."""
     n, cap = ids.shape
     d = x_pad.shape[1]
     assert d % 128 == 0, \
         "row DMA needs lane-aligned rows (Mosaic tiling); pad dim to 128"
-    rows = max(1, TARGET_SLOTS // cap)
+    sentinel = x_pad.shape[0] - 1
+    cap_pad = -(-cap // GROUP) * GROUP
+    rows = max(1, TARGET_SLOTS // cap_pad)
     n_pad = -(-n // rows) * rows
-    if n_pad != n:
-        ids = jnp.pad(ids, ((0, n_pad - n), (0, 0)),
-                      constant_values=x_pad.shape[0] - 1)
+    if cap_pad != cap or n_pad != n:
+        ids = jnp.pad(ids, ((0, n_pad - n), (0, cap_pad - cap)),
+                      constant_values=sentinel)
     out = pl.pallas_call(
-        functools.partial(_kernel, rows=rows, cap=cap),
+        functools.partial(_kernel, rows=rows, cap=cap_pad),
         grid=(n_pad // rows,),
         in_specs=[
-            pl.BlockSpec((rows, cap), lambda i: (i, 0),
+            pl.BlockSpec((rows, cap_pad), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),    # x stays in HBM
         ],
@@ -91,8 +106,8 @@ def gather_sum_pallas(x_pad: jax.Array, ids: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), x_pad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, d), x_pad.dtype),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.VMEM((N_BUF, GROUP, d), x_pad.dtype),
+            pltpu.SemaphoreType.DMA((N_BUF, GROUP)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=False),
