@@ -181,6 +181,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 features=features,
                 mesh=mesh,
                 prefetching=cfg.storage.prefetching,
+                epochs_per_shuffle=cfg.training.epochs_per_shuffle,
             )
         else:
             trainer = LinkPredictionTrainer(
@@ -197,6 +198,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 mesh=mesh,
                 sharding_mode=cfg.training.mesh_mode,
                 edges_backend=cfg.storage.edges_backend,
+                epochs_per_shuffle=cfg.training.epochs_per_shuffle,
             )
 
         all_edges_list = [train_edges] + [e for e in (valid_edges, test_edges) if e is not None]
@@ -365,6 +367,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 dtype=_dtype(cfg),
                 mesh=mesh,
                 full_graph=full_graph,
+                epochs_per_shuffle=cfg.training.epochs_per_shuffle,
             )
 
             def make_nc_eval(split):

@@ -99,6 +99,7 @@ class PartitionBufferLPTrainer:
                                           # batches over DATA_AXIS (GSPMD)
         prefetching: bool = True,         # overlap next-state host prep with
                                           # device compute (storage.prefetching)
+        epochs_per_shuffle: int = 1,      # re-shuffle edges every N epochs
     ):
         assert model.learning_task == LINK_PREDICTION
         assert model.has_embeddings, "partition-buffer LP needs an embedding table"
@@ -118,6 +119,7 @@ class PartitionBufferLPTrainer:
         self.num_partitions = num_partitions
         self.capacity = min(buffer_capacity, num_partitions)
         self.seed = seed
+        self.epochs_per_shuffle = max(1, int(epochs_per_shuffle))
         self.ordering = ordering.upper()
         self.fine_to_coarse_ratio = fine_to_coarse_ratio
         self.num_cache_partitions = num_cache_partitions
@@ -440,7 +442,8 @@ class PartitionBufferLPTrainer:
                 self.edges_by_bucket, self.bucket_offsets, bucket_ids,
                 identity, self.buffer.psize)
             return native.shuffle_rows(
-                e, seed=(self.seed * 977 + self.epoch) * 1009 + s_idx)
+                e, seed=(self.seed * 977 + self.epoch // self.epochs_per_shuffle)
+                * 1009 + s_idx)
 
         losses = []
         with cf.ThreadPoolExecutor(max_workers=1) as pool:

@@ -71,10 +71,12 @@ class NodeClassificationTrainer:
         fg_seed_restrict: Optional[bool] = None,  # None = auto (on when the
                           # encoder's final stage supports it); False forces
                           # the all-N final stage (same math, used by tests)
+        epochs_per_shuffle: int = 1,   # re-permute seeds every N epochs
     ):
         self.model = model
         self.graph = graph
         self.batch_size = batch_size
+        self.epochs_per_shuffle = max(1, int(epochs_per_shuffle))
         self.nbr_configs = tuple(nbr_configs)
         self.mesh = mesh
         self.full_graph = full_graph
@@ -377,7 +379,8 @@ class NodeClassificationTrainer:
             csr_dev = self._fg_csr_dev
 
             def epoch_fn_fg(state: TrainState, train_nodes: Array):
-                k_perm = jax.random.fold_in(jax.random.key(54321), state.epoch)
+                k_perm = jax.random.fold_in(jax.random.key(54321),
+                                            state.epoch // self.epochs_per_shuffle)
                 perm = jax.random.permutation(k_perm, nb * b)
                 shuffled = jnp.take(train_nodes, perm).reshape(nb, b)
                 masks = (perm < num_train).reshape(nb, b)
@@ -395,7 +398,8 @@ class NodeClassificationTrainer:
             return epoch_fn_fg
 
         def epoch_fn(state: TrainState, train_nodes: Array):
-            k_perm = jax.random.fold_in(jax.random.key(54321), state.epoch)
+            k_perm = jax.random.fold_in(jax.random.key(54321),
+                                            state.epoch // self.epochs_per_shuffle)
             perm = jax.random.permutation(k_perm, nb * b)
             shuffled = jnp.take(train_nodes, perm)
             masks = perm < num_train
@@ -418,7 +422,8 @@ class NodeClassificationTrainer:
         (= a retrace, budget is static in the epoch fn) is rare."""
         nb, b = self.num_batches, self.batch_size
         n = self.graph.num_nodes
-        k_perm = jax.random.fold_in(jax.random.key(54321), epoch)
+        k_perm = jax.random.fold_in(jax.random.key(54321),
+                                    epoch // self.epochs_per_shuffle)
         perm = np.asarray(jax.random.permutation(k_perm, nb * b))
         shuffled = self._train_nodes_np[perm].reshape(nb, b)
         masks = (perm < self.num_train).reshape(nb, b)

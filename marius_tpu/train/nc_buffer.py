@@ -63,6 +63,7 @@ class PartitionBufferNCTrainer:
                      # each buffer state: the HBM feature cache is replicated,
                      # seeds shard over the data axis, dense grads psum
                      # (model.cpp:136-159 all_reduce analogue)
+        epochs_per_shuffle: int = 1,   # re-shuffle train seeds every N epochs
     ):
         assert model.learning_task == NODE_CLASSIFICATION
         assert not model.has_embeddings, \
@@ -114,6 +115,7 @@ class PartitionBufferNCTrainer:
         self.params = init_model_params(jax.random.fold_in(key, 1), model)
         self.opt_state = init_optimizer(model.dense_optimizer, self.params)
         self.epoch = 0
+        self.epochs_per_shuffle = max(1, int(epochs_per_shuffle))
         self._state_fn = None
         self._shapes = None
 
@@ -228,7 +230,8 @@ class PartitionBufferNCTrainer:
     def train_epoch(self) -> Dict[str, float]:
         t0 = time.perf_counter()
         states = self._plan_epoch()
-        rng = np.random.default_rng(self.seed * 131 + self.epoch)
+        rng = np.random.default_rng(
+            self.seed * 131 + self.epoch // self.epochs_per_shuffle)
         psize = self.cache.psize
         P = self.num_partitions
 

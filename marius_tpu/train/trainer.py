@@ -105,6 +105,8 @@ class LinkPredictionTrainer:
                                         # (shallow encoders only)
         edges_backend: str = "DEVICE_MEMORY",  # DEVICE_MEMORY | HOST_MEMORY |
                                                # FLAT_FILE (storage.h:149)
+        epochs_per_shuffle: int = 1,   # re-permute edges every N epochs
+                                       # (training.epochs_per_shuffle)
     ):
         assert model.learning_task == LINK_PREDICTION
         assert batch_size % neg_config.num_chunks == 0, \
@@ -116,6 +118,7 @@ class LinkPredictionTrainer:
         self.batch_size = batch_size
         self.train_filter_keys = train_filter_keys
         self.seed = seed
+        self.epochs_per_shuffle = max(1, int(epochs_per_shuffle))
 
         # Edge storage tier (StorageBackend, options.h:68 / storage.h:149).
         # DEVICE_MEMORY: the whole (padded) edge list is HBM-resident and the
@@ -368,7 +371,11 @@ class LinkPredictionTrainer:
         num_edges = self.num_edges
 
         def epoch_fn(state: TrainState, edges: Array):
-            k_perm = jax.random.fold_in(jax.random.key(12345), state.epoch)
+            # the permutation key advances every epochs_per_shuffle epochs
+            # (training.epochs_per_shuffle — shuffle cadence is free here,
+            # but the trajectory should honor the configured cadence)
+            k_perm = jax.random.fold_in(
+                jax.random.key(12345), state.epoch // self.epochs_per_shuffle)
             perm = jax.random.permutation(k_perm, nb * b)
             shuffled = jnp.take(edges, perm, axis=0)
             masks = perm < num_edges
@@ -413,7 +420,8 @@ class LinkPredictionTrainer:
         permutation; memory-mapped files get a chunked shuffle (random chunk
         order + in-chunk permutation) to keep reads sequential.
         """
-        rng = np.random.default_rng((self.seed * 9176 + self._host_epoch) & 0x7FFFFFFF)
+        shuffle_epoch = self._host_epoch // self.epochs_per_shuffle
+        rng = np.random.default_rng((self.seed * 9176 + shuffle_epoch) & 0x7FFFFFFF)
         ce = self.chunk_batches * self.batch_size
         nchunks = -(-self.num_edges // ce)
         cols = self.edges_host.shape[1]

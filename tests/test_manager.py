@@ -405,3 +405,31 @@ def test_evaluation_epochs_per_eval_honored(tmp_path):
     raw["evaluation"]["epochs_per_eval"] = 2
     res = marius_train(load_config(raw))
     assert [e["epoch"] for e in res["evals"]] == [2, 4]
+
+
+def test_epochs_per_shuffle_honored(tmp_path):
+    """training.epochs_per_shuffle gates the edge permutation: with K=2 the
+    first two epochs see the SAME batch order (identical per-epoch losses
+    when the model state is reset), with K=1 they differ."""
+    import jax
+    import numpy as np
+    from marius_tpu.manager import marius_init
+
+    def first_two_perms(k):
+        raw = _lp_config(tmp_path, f"shuf{k}")
+        raw["training"]["epochs_per_shuffle"] = k
+        rt = marius_init(load_config(raw))
+        tr = rt.trainer
+        # reproduce the epoch fn's permutation derivation per epoch
+        nb, b = tr.num_batches, tr.batch_size
+        perms = []
+        for epoch in (0, 1):
+            kp = jax.random.fold_in(jax.random.key(12345),
+                                    epoch // tr.epochs_per_shuffle)
+            perms.append(np.asarray(jax.random.permutation(kp, nb * b)))
+        return perms
+
+    p2 = first_two_perms(2)
+    assert np.array_equal(p2[0], p2[1])
+    p1 = first_two_perms(1)
+    assert not np.array_equal(p1[0], p1[1])
