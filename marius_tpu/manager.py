@@ -342,6 +342,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 ordering=cfg.storage.node_partition_ordering,
                 seed=cfg.training.seed,
                 mesh=mesh,
+                epochs_per_shuffle=cfg.training.epochs_per_shuffle,
             )
 
             class _BufferNCEval:

@@ -433,3 +433,52 @@ def test_epochs_per_shuffle_honored(tmp_path):
     assert np.array_equal(p2[0], p2[1])
     p1 = first_two_perms(1)
     assert not np.array_equal(p1[0], p1[1])
+
+
+def test_epochs_per_shuffle_wired_to_all_trainers(tmp_path):
+    """The config value must reach every trainer class, not just the
+    in-memory LP path (the NC buffer trainer was initially missed)."""
+    from marius_tpu.manager import marius_init
+
+    raw = _lp_config(tmp_path, "shufw_lp")
+    raw["training"]["epochs_per_shuffle"] = 3
+    assert marius_init(load_config(raw)).trainer.epochs_per_shuffle == 3
+
+    raw = _lp_config(tmp_path, "shufw_buf")
+    raw["training"]["epochs_per_shuffle"] = 3
+    raw["storage"]["embeddings"] = {
+        "type": "PARTITION_BUFFER",
+        "options": {"num_partitions": 4, "buffer_capacity": 2}}
+    assert marius_init(load_config(raw)).trainer.epochs_per_shuffle == 3
+
+    ds_dir = str(tmp_path / "ds_nc_shufw")
+    generate_random_dataset_nc(ds_dir, num_nodes=60, num_edges=600,
+                               num_classes=4, feature_dim=8)
+    nc_raw = {
+        "model": {
+            "learning_task": "NODE_CLASSIFICATION",
+            "encoder": {
+                "layers": [
+                    [{"type": "FEATURE", "output_dim": 8}],
+                    [{"type": "GNN", "input_dim": 8, "output_dim": 4,
+                      "options": {"type": "GRAPH_SAGE", "aggregator": "MEAN"}}],
+                ],
+                "train_neighbor_sampling": [
+                    {"type": "UNIFORM", "options": {"max_neighbors": 4}}],
+            },
+            "loss": {"type": "CROSS_ENTROPY", "options": {"reduction": "SUM"}},
+            "dense_optimizer": {"type": "ADAM",
+                                "options": {"learning_rate": 0.01}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds_dir}, "save_model": False},
+        "training": {"batch_size": 30, "num_epochs": 1,
+                     "epochs_per_shuffle": 3},
+        "evaluation": {"batch_size": 30},
+    }
+    assert marius_init(load_config(nc_raw)).trainer.epochs_per_shuffle == 3
+
+    nc_buf = copy.deepcopy(nc_raw)
+    nc_buf["storage"]["features"] = {"type": "PARTITION_BUFFER"}
+    nc_buf["storage"]["embeddings"] = {
+        "options": {"num_partitions": 4, "buffer_capacity": 2}}
+    assert marius_init(load_config(nc_buf)).trainer.epochs_per_shuffle == 3
