@@ -66,6 +66,11 @@ class FullGraphAdjacency:
     # pairs each node's occurrences with its own slots) — needed by
     # per-slot-weighted layers (GAT) whose backward is not the plain sum.
     inv_map: Optional[Tuple[Array, ...]] = None
+    # Relational companion (data/full_graph_rel.py RelFullGraph): the
+    # DIRECTIONAL, per-relation view RGCN stages aggregate over. Built when
+    # the encoder has RGCN layers (build_full_graph_adjacency
+    # with_relations=True); None otherwise.
+    rel: Optional[object] = None
 
     @property
     def total_slots(self) -> int:
@@ -107,10 +112,12 @@ def _greedy_buckets(deg_sorted: np.ndarray, waste: float = 1.15,
 
 def build_full_graph_adjacency(
         edges: np.ndarray, num_nodes: int,
-        max_degree_limit: Optional[int] = None) -> Optional[FullGraphAdjacency]:
+        max_degree_limit: Optional[int] = None,
+        with_relations: bool = False) -> Optional[FullGraphAdjacency]:
     """Build the bucketed symmetric adjacency. Bucketing bounds padding
     waste, so arbitrary hub degrees are fine; ``max_degree_limit`` is kept
-    for API compatibility and ignored."""
+    for API compatibility and ignored. ``with_relations`` additionally
+    builds the directional per-relation companion RGCN stages need."""
     del max_degree_limit
     e = np.asarray(edges)
     if len(e) == 0 or num_nodes == 0:
@@ -145,10 +152,15 @@ def build_full_graph_adjacency(
         nbr[rows, cols] = nbrs_sorted[src_idx]
         buckets.append(jnp.asarray(nbr))
 
+    rel = None
+    if with_relations:
+        from marius_tpu.data.full_graph_rel import build_rel_full_graph
+        rel = build_rel_full_graph(e, num_nodes)
+
     return FullGraphAdjacency(
         nbrs=tuple(buckets), inv_pos=jnp.asarray(inv_pos),
         in_deg=jnp.asarray(in_deg), out_deg=jnp.asarray(out_deg),
-        num_nodes=int(num_nodes))
+        num_nodes=int(num_nodes), rel=rel)
 
 
 def host_csr_from_adjacency(adj: FullGraphAdjacency):

@@ -224,7 +224,10 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 from marius_tpu.data.full_graph import (
                     build_full_graph_adjacency,
                 )
-                adj = build_full_graph_adjacency(train_edges, num_nodes)
+                from marius_tpu.nn.full_graph_encoder import encoder_has_rgcn
+                adj = build_full_graph_adjacency(
+                    train_edges, num_nodes,
+                    with_relations=encoder_has_rgcn(model.encoder))
                 feats = None if eval_features is None else eval_features[:-1]
                 # prepare once (const first-stage agg, GAT inverse map);
                 # valid and test evaluators share the result
@@ -297,7 +300,12 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                     from marius_tpu.data.full_graph import (
                         build_full_graph_adjacency,
                     )
-                    full_graph = build_full_graph_adjacency(edges, num_nodes)
+                    from marius_tpu.nn.full_graph_encoder import (
+                        encoder_has_rgcn,
+                    )
+                    full_graph = build_full_graph_adjacency(
+                        edges, num_nodes,
+                        with_relations=encoder_has_rgcn(model.encoder))
                 if full_graph is not None:
                     log.info("Full-graph ALL mode: %d padded slots over "
                              "%d degree buckets, exact ALL",

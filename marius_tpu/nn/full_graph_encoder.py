@@ -8,8 +8,10 @@ unbounded ALL sampling — with zero dedup/remap work and a scatter-free
 backward. Supports GraphSAGE (GCN/MEAN), GCN, and GAT (gat_layer.cpp:49-142
 semantics: self node participates in the softmax; per-bucket masked softmax
 here, with the gather's vjp routed through the inverse occurrence map so
-attention training never emits a row scatter). RGCN needs per-edge relation
-types and keeps the sampled path.
+attention training never emits a row scatter), and RGCN (rgcn_layer.cpp
+semantics via the relation-bucketed batched matmul in
+data/full_graph_rel.py; requires build_full_graph_adjacency
+with_relations=True).
 """
 
 from __future__ import annotations
@@ -39,7 +41,11 @@ from marius_tpu.ops.segment import masked_softmax
 
 Array = jax.Array
 
-SUPPORTED_GNN = {"GRAPH_SAGE", "GCN", "GAT"}
+SUPPORTED_GNN = {"GRAPH_SAGE", "GCN", "GAT", "RGCN"}
+# layer types the seed-restricted FINAL stage covers (RGCN's directional
+# per-relation aggregation has no flat-CSR seed path yet; an RGCN final
+# stage simply runs over all N nodes)
+SEED_GNN = {"GRAPH_SAGE", "GCN", "GAT"}
 
 
 def supports_full_graph(config: EncoderConfig) -> bool:
@@ -54,15 +60,24 @@ def _has_gat(config: EncoderConfig) -> bool:
                if l.layer_type.upper() == "GNN")
 
 
+def encoder_has_rgcn(config: EncoderConfig) -> bool:
+    """Callers use this to build the adjacency with its relational companion
+    (build_full_graph_adjacency with_relations=True)."""
+    return any(l.gnn_type.upper() == "RGCN"
+               for s in config.stages for l in s
+               if l.layer_type.upper() == "GNN")
+
+
 def supports_seed_restrict(config: EncoderConfig) -> bool:
-    """True when the FINAL stage is all supported-GNN layers, so training can
-    compute it for the batch's seed rows only (see ``seed_restrict`` in
+    """True when the FINAL stage is all seed-capable GNN layers, so training
+    can compute it for the batch's seed rows only (see ``seed_restrict`` in
     full_graph_encoder_forward) instead of all N nodes."""
     if not supports_full_graph(config) or len(config.stages) == 0:
         return False
     last = config.stages[-1]
     return len(last) > 0 and all(
-        l.layer_type.upper() == "GNN" for l in last)
+        l.layer_type.upper() == "GNN"
+        and l.gnn_type.upper() in SEED_GNN for l in last)
 
 
 def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
@@ -77,6 +92,12 @@ def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
     if _has_gat(config):
         ops["gather_blocks"] = make_gather_blocks(adj)
         ops["to_sorted"], ops["to_orig"] = make_permuters(adj)
+    if encoder_has_rgcn(config):
+        from marius_tpu.data.full_graph_rel import make_rel_sum
+        assert adj.rel is not None, \
+            ("RGCN full-graph mode needs the relational companion: build "
+             "the adjacency with with_relations=True")
+        ops["rel_sum"] = make_rel_sum(adj.rel)
     ops["const_agg"] = _const_first_agg(adj, config, features, ops["nbr_sum"])
     return adj, ops
 
@@ -203,6 +224,17 @@ def _full_graph_gcn(layer: LayerConfig, p, x_scaled_sum, x, num_nbrs):
     a = x_scaled_sum + x / jnp.sqrt(num_nbrs + 1.0)[:, None]
     a = a / jnp.sqrt(num_nbrs + 1.0)[:, None]
     return post_hook(layer, p, a @ p["w"])
+
+
+def _full_graph_rgcn(layer: LayerConfig, p, x, ops, adj) -> Array:
+    """rgcn_layer (layers.py) over ALL out-edges: mean over each node's
+    out-neighbors of x[dst] @ W[rel], plus the self transform. ``rel_sum``
+    (data/full_graph_rel.py) returns the per-node SUM; dividing by the real
+    out-degree equals the sampled layer's masked_mean under unbounded ALL."""
+    s = ops["rel_sum"](x, p["relation_matrices"])
+    deg = jnp.maximum(adj.out_deg.astype(x.dtype), 1.0)
+    out = s / deg[:, None] + x @ p["self_matrix"]
+    return post_hook(layer, p, out)
 
 
 def _sharded_gat(layer: LayerConfig, p, x, ops, train: bool,
@@ -492,6 +524,9 @@ def full_graph_encoder_forward(
                     else:
                         stage_outputs.append(_full_graph_gat(
                             layer, p, current, adj, ops, train, k_gat))
+                elif g == "RGCN":
+                    stage_outputs.append(_full_graph_rgcn(
+                        layer, p, current, ops, adj))
                 else:
                     raise ValueError(
                         f"full-graph mode does not support {layer.gnn_type}; "

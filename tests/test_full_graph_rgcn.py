@@ -1,0 +1,165 @@
+"""Full-graph RGCN (data/full_graph_rel.py + full_graph_encoder RGCN branch).
+
+Parity model: the sampled rgcn_layer under unbounded ALL (reference
+rgcn_layer.cpp semantics — mean over out-neighbors of x[dst] @ W[rel] plus
+the self transform). The custom-vjp gathers are checked against a naive
+scatter-based implementation's autodiff on a small graph."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marius_tpu.data.full_graph import build_full_graph_adjacency
+from marius_tpu.data.full_graph_rel import build_rel_full_graph, make_rel_sum
+
+
+def random_kg(seed=0, n=60, e=500, r=5, d=8):
+    rng = np.random.default_rng(seed)
+    edges = np.stack([
+        rng.integers(0, n, e),
+        rng.integers(0, r, e),
+        rng.integers(0, n, e),
+    ], 1).astype(np.int32)
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    w = rng.normal(0, 0.3, (r, d, d)).astype(np.float32)
+    return edges, x, w
+
+
+def naive_rel_sum(edges, x, w):
+    """Scatter-based reference: sum over out-edges of x[dst] @ W[rel]."""
+    t = jnp.einsum("ed,edo->eo", x[edges[:, 2]], w[edges[:, 1]])
+    return jnp.zeros((x.shape[0], w.shape[-1]), x.dtype).at[edges[:, 0]].add(t)
+
+
+def test_rel_sum_matches_naive_forward_and_grads():
+    edges, x, w = random_kg()
+    rg = build_rel_full_graph(edges, x.shape[0])
+    rel_sum = make_rel_sum(rg)
+
+    out = rel_sum(jnp.asarray(x), jnp.asarray(w))
+    ref = naive_rel_sum(edges, jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # grads through a scalar loss with a fixed cotangent pattern
+    cot = jnp.asarray(np.random.default_rng(1).normal(
+        0, 1, out.shape).astype(np.float32))
+
+    gx, gw = jax.grad(
+        lambda xx, ww: jnp.sum(rel_sum(xx, ww) * cot), argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(w))
+    rx, rw = jax.grad(
+        lambda xx, ww: jnp.sum(naive_rel_sum(edges, xx, ww) * cot),
+        argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rel_sum_skewed_relations_and_isolated_nodes():
+    """Heavily skewed relation counts exercise multi-bucket paths; nodes
+    with zero out-edges must come back exactly zero."""
+    rng = np.random.default_rng(3)
+    n, d = 40, 4
+    # relation 0 has 300 edges, relations 1..6 a handful each
+    rels = np.concatenate([np.zeros(300, np.int64),
+                           rng.integers(1, 7, 18)])
+    e = len(rels)
+    edges = np.stack([
+        rng.integers(0, n // 2, e),        # nodes in [n//2, n) isolated
+        rels,
+        rng.integers(0, n, e)], 1).astype(np.int32)
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    w = rng.normal(0, 0.3, (7, d, d)).astype(np.float32)
+
+    rg = build_rel_full_graph(edges, n)
+    out = make_rel_sum(rg)(jnp.asarray(x), jnp.asarray(w))
+    ref = naive_rel_sum(edges, jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(out)[n // 2:]).max() == 0.0
+
+
+def test_full_graph_rgcn_matches_sampled_all():
+    """Full-graph RGCN NC training matches the sampled-ALL trajectory."""
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import Model
+    from marius_tpu.nn.optimizers import OptimizerConfig
+    from marius_tpu.train.nc import (
+        NodeClassificationEvaluator,
+        NodeClassificationTrainer,
+    )
+
+    n, feat_dim, classes, r = 120, 8, 3, 4
+    rng = np.random.default_rng(7)
+    edges = np.stack([rng.integers(0, n, 900),
+                      rng.integers(0, r, 900),
+                      rng.integers(0, n, 900)], 1).astype(np.int32)
+    feats = rng.normal(0, 1, (n, feat_dim)).astype(np.float32)
+    labels = rng.integers(0, classes, n).astype(np.int32)
+    train_nodes = np.arange(90, dtype=np.int32)
+    test_nodes = np.arange(90, n, dtype=np.int32)
+
+    stages = (
+        (LayerConfig(layer_type="FEATURE", output_dim=feat_dim),),
+        (LayerConfig(layer_type="GNN", gnn_type="RGCN",
+                     input_dim=feat_dim, output_dim=feat_dim, bias=True,
+                     activation="RELU", num_relations=r),),
+        (LayerConfig(layer_type="GNN", gnn_type="RGCN",
+                     input_dim=feat_dim, output_dim=classes, bias=True,
+                     num_relations=r),),
+    )
+    def model():
+        return Model(
+            learning_task="NODE_CLASSIFICATION",
+            encoder=EncoderConfig(stages=stages), decoder=None,
+            loss_type="CROSS_ENTROPY", loss_reduction="SUM",
+            dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+
+    graph = build_device_graph(edges, n, num_relations=r)
+    max_deg = int(np.asarray(graph.degrees).max())
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)] * 2
+
+    sampled = NodeClassificationTrainer(
+        model(), graph, feats, labels, train_nodes, nbr,
+        batch_size=45, seed=0)
+    fg_adj = build_full_graph_adjacency(edges, n, with_relations=True)
+    assert fg_adj is not None and fg_adj.rel is not None
+    full = NodeClassificationTrainer(
+        model(), graph, feats, labels, train_nodes, nbr,
+        batch_size=45, seed=0, full_graph=fg_adj)
+    # RGCN final stage has no seed path: the auto chooser must not pick it
+    assert full._fg_seed_restrict is False
+
+    s_stats = sampled.train(3)
+    f_stats = full.train(3)
+    for s, f in zip(s_stats, f_stats):
+        assert abs(s["loss"] - f["loss"]) < 1e-2 * max(abs(s["loss"]), 1.0), \
+            f"loss diverged: sampled {s['loss']} vs full-graph {f['loss']}"
+
+    ev_s = NodeClassificationEvaluator(sampled, test_nodes)
+    ev_f = NodeClassificationEvaluator(full, test_nodes)
+    a = ev_s.evaluate(sampled.state)
+    b = ev_f.evaluate(full.state)
+    assert abs(a["accuracy"] - b["accuracy"]) < 1e-6
+
+
+def test_prepare_full_graph_requires_rel_structure():
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.full_graph_encoder import prepare_full_graph
+
+    edges, _, _ = random_kg()
+    adj = build_full_graph_adjacency(edges, 60)  # no relations
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=8),),
+        (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=8,
+                     output_dim=8, num_relations=5),),
+    ))
+    with pytest.raises(AssertionError, match="with_relations"):
+        prepare_full_graph(adj, enc)
