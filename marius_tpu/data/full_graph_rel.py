@@ -218,3 +218,256 @@ def make_rel_sum(rg: RelFullGraph):
         return anchor_sum(t_flat)
 
     return rel_sum
+
+
+def edges_from_rel_graph(rg: RelFullGraph) -> np.ndarray:
+    """Recover the (E, 3) [src, rel, dst] edge array from the bucketed
+    structure (slot_src + relation buckets) — lets the ring-sharded builder
+    run from a RelFullGraph without the caller re-plumbing raw edges."""
+    src = np.asarray(rg.slot_src).astype(np.int64)
+    dst = np.concatenate(
+        [np.asarray(b).reshape(-1) for b in rg.rel_nbr]).astype(np.int64)
+    rel = np.concatenate(
+        [np.repeat(np.asarray(r), b.shape[1])
+         for r, b in zip(rg.rel_ids, rg.rel_nbr)]).astype(np.int64)
+    valid = src < rg.num_nodes
+    return np.stack([src[valid], rel[valid], dst[valid]], 1)
+
+
+# --------------------------------------------------------------------------
+# Ring-sharded RGCN: node-sharded exact-ALL relational aggregation
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _RingRelCells:
+    """One direction's ring schedule. For ring step k, shard s owns the
+    ANCHOR side of the cell's edges and gathers values from the visiting
+    block (originally shard (s-k) mod S). Relation-bucketed per step with
+    shapes UNIFORM across shards (caps maxed over shards), so one compiled
+    program serves every shard.
+
+    nbr[k][b]:  (S, n_b, cap) gathered node's LOCAL row in the visiting
+                block, pad = n_loc (reads the zero sentinel)
+    rel[k][b]:  (n_b,) relation ids (same rows on every shard)
+    anch[k][b]: (S, n_b, cap) anchor's LOCAL row, pad = n_loc
+    perm[k]:    (S, T_k) anchor-sorted position -> flat (bucket-major) slot,
+                pad = T_k (reads the appended zero row)
+    seg[k]:     (S, T_k) anchor local row at each sorted position, sorted
+                ascending, pad = n_loc (dropped by the segment sum)
+    """
+
+    nbr: Tuple[Tuple[Array, ...], ...]
+    rel: Tuple[Tuple[Array, ...], ...]
+    anch: Tuple[Tuple[Array, ...], ...]
+    perm: Tuple[Array, ...]
+    seg: Tuple[Array, ...]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedRelGraph:
+    """Ring schedules for both flow directions of the RGCN operator.
+
+    fwd: anchor = src (out_i sums over its out-edges' transformed dst rows).
+    bwd: anchor = dst (the x-cotangent sums u[src] @ W^T per dst) — the
+    directional operator is NOT symmetric, so the backward needs its own
+    schedule (unlike full_graph_sharded's combined-symmetric neighbor sum).
+    """
+
+    fwd: _RingRelCells
+    bwd: _RingRelCells
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_shards: int = dataclasses.field(metadata=dict(static=True))
+    n_loc: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _build_ring_cells(anchor: np.ndarray, gathered: np.ndarray,
+                      rel: np.ndarray, num_rels: int, num_nodes: int,
+                      num_shards: int, n_loc: int) -> _RingRelCells:
+    s = num_shards
+    a_own, a_loc = anchor // n_loc, anchor % n_loc
+    g_own, g_loc = gathered // n_loc, gathered % n_loc
+    step = (a_own - g_own) % s
+
+    nbr_all, rel_all, anch_all, perm_all, seg_all = [], [], [], [], []
+    for k in range(s):
+        in_k = step == k
+        cnt = np.zeros((s, num_rels), np.int64)
+        np.add.at(cnt, (a_own[in_k], rel[in_k]), 1)
+        maxcnt = cnt.max(axis=0)
+        active = np.flatnonzero(maxcnt > 0)
+        if len(active) == 0:
+            nbr_all.append(())
+            rel_all.append(())
+            anch_all.append(())
+            perm_all.append(jnp.zeros((s, 0), jnp.int32))
+            seg_all.append(jnp.zeros((s, 0), jnp.int32))
+            continue
+        order = active[np.argsort(maxcnt[active], kind="stable")]
+        bounds = _greedy_buckets(maxcnt[order])
+
+        nbr_k, rel_k, anch_k = [], [], []
+        slot_lists = [[] for _ in range(s)]   # (flat_slot, anchor_local)
+        base = 0
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            rows = order[lo:hi]
+            cap = max(int(maxcnt[rows].max()), 1)
+            n_b = len(rows)
+            nbr_b = np.full((s, n_b, cap), n_loc, np.int32)
+            anch_b = np.full((s, n_b, cap), n_loc, np.int32)
+            for sh in range(s):
+                for i, r in enumerate(rows):
+                    m = in_k & (a_own == sh) & (rel == r)
+                    c = int(m.sum())
+                    if c == 0:
+                        continue
+                    nbr_b[sh, i, :c] = g_loc[m]
+                    anch_b[sh, i, :c] = a_loc[m]
+                    slots = base + i * cap + np.arange(c, dtype=np.int64)
+                    slot_lists[sh].append(
+                        (slots, a_loc[m].astype(np.int64)))
+            nbr_k.append(jnp.asarray(nbr_b))
+            anch_k.append(jnp.asarray(anch_b))
+            rel_k.append(jnp.asarray(rows.astype(np.int32)))
+            base += n_b * cap
+        t_k = base
+
+        perm_k = np.full((s, t_k), t_k, np.int32)
+        seg_k = np.full((s, t_k), n_loc, np.int32)
+        for sh in range(s):
+            if not slot_lists[sh]:
+                continue
+            slots = np.concatenate([p[0] for p in slot_lists[sh]])
+            anchs = np.concatenate([p[1] for p in slot_lists[sh]])
+            o = np.lexsort((slots, anchs))
+            perm_k[sh, :len(slots)] = slots[o]
+            seg_k[sh, :len(slots)] = anchs[o]
+        nbr_all.append(tuple(nbr_k))
+        rel_all.append(tuple(rel_k))
+        anch_all.append(tuple(anch_k))
+        perm_all.append(jnp.asarray(perm_k))
+        seg_all.append(jnp.asarray(seg_k))
+
+    return _RingRelCells(nbr=tuple(nbr_all), rel=tuple(rel_all),
+                         anch=tuple(anch_all), perm=tuple(perm_all),
+                         seg=tuple(seg_all))
+
+
+def build_sharded_rel_graph(edges: np.ndarray, num_nodes: int,
+                            num_shards: int) -> ShardedRelGraph:
+    """Build both ring schedules from an (E, 3) [src, rel, dst] array. Node
+    rows use the same layout as ShardedFullGraph: node i on shard i//n_loc
+    at local row i%n_loc, n_loc = ceil(N/S)."""
+    e = np.asarray(edges)
+    src = e[:, 0].astype(np.int64)
+    dst = e[:, -1].astype(np.int64)
+    rel = (e[:, 1].astype(np.int64) if e.shape[1] >= 3
+           else np.zeros(len(e), np.int64))
+    num_rels = int(rel.max()) + 1 if len(rel) else 1
+    n_loc = -(-num_nodes // num_shards)
+    fwd = _build_ring_cells(src, dst, rel, num_rels, num_nodes,
+                            num_shards, n_loc)
+    bwd = _build_ring_cells(dst, src, rel, num_rels, num_nodes,
+                            num_shards, n_loc)
+    return ShardedRelGraph(fwd=fwd, bwd=bwd, num_nodes=int(num_nodes),
+                           num_shards=int(num_shards), n_loc=int(n_loc))
+
+
+def make_rel_sum_sharded(srg: ShardedRelGraph, mesh, axis: str):
+    """Ring-sharded twin of make_rel_sum: (S*n_loc, d_in) row-sharded x and
+    replicated (R, d_in, d_out) W -> row-sharded per-node out-edge sums.
+
+    Forward rotates the x block; each step transforms the visiting cell's
+    relation buckets (batched einsum) and segment-sums into the local
+    accumulator. Backward (custom vjp) rotates x AND the upstream cotangent
+    together: the visiting-x cells yield the W grad (psum'd over the ring),
+    the visiting-u cells yield the x grad via the transposed schedule."""
+    from jax.sharding import PartitionSpec as P
+
+    s, n_loc = srg.num_shards, srg.n_loc
+    ring = [(i, (i + 1) % s) for i in range(s)]
+
+    def _spec(a):
+        return P(axis, *([None] * (a.ndim - 1))) if a.ndim > 1 else P()
+
+    specs_fwd = jax.tree.map(_spec, srg.fwd)
+    specs_bwd = jax.tree.map(_spec, srg.bwd)
+
+    def _pad(b):
+        return jnp.concatenate([b, jnp.zeros((1, b.shape[1]), b.dtype)], 0)
+
+    def _cell_sums(cells, k, blk_pad, w, transpose, d_res, dtype):
+        """One cell's per-anchor sums: gather visiting rows, transform by
+        W (or W^T), reorder anchor-sorted, sorted segment-sum."""
+        parts = []
+        for b in range(len(cells.nbr[k])):
+            rows = blk_pad[cells.nbr[k][b][0]]       # (n_b, cap, d)
+            wb = w[cells.rel[k][b]]                  # (n_b, d_in, d_out)
+            eq = "nco,ndo->ncd" if transpose else "ncd,ndo->nco"
+            t = jnp.einsum(eq, rows, wb)
+            parts.append(t.reshape(-1, d_res))
+        if not parts:
+            return jnp.zeros((n_loc, d_res), dtype)
+        t_flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        t_pad = jnp.concatenate(
+            [t_flat, jnp.zeros((1, d_res), t_flat.dtype)], 0)
+        return jax.ops.segment_sum(
+            t_pad[cells.perm[k][0]], cells.seg[k][0],
+            num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
+
+    def fwd_local(x_loc, w, cells):
+        d_out = w.shape[-1]
+        acc = jnp.zeros((n_loc, d_out), x_loc.dtype)
+        block = x_loc
+        for k in range(s):
+            acc = acc + _cell_sums(cells, k, _pad(block), w,
+                                   False, d_out, x_loc.dtype)
+            if k + 1 < s:
+                block = jax.lax.ppermute(block, axis, ring)
+        return acc
+
+    def bwd_local(x_loc, u_loc, w, cells_f, cells_b):
+        d_in, d_out = w.shape[-2], w.shape[-1]
+        dx = jnp.zeros((n_loc, d_in), x_loc.dtype)
+        dw = jnp.zeros_like(w)
+        u_loc_pad = _pad(u_loc)
+        xb, ub = x_loc, u_loc
+        for k in range(s):
+            xb_pad, ub_pad = _pad(xb), _pad(ub)
+            # W grad from the forward schedule: xs visiting, u local
+            for b in range(len(cells_f.nbr[k])):
+                xs = xb_pad[cells_f.nbr[k][b][0]]        # (n_b, cap, d_in)
+                us = u_loc_pad[cells_f.anch[k][b][0]]    # (n_b, cap, d_out)
+                dw = dw.at[cells_f.rel[k][b]].add(
+                    jnp.einsum("ncd,nco->ndo", xs, us))
+            # x grad from the transposed schedule: u visiting, anchor = dst
+            dx = dx + _cell_sums(cells_b, k, ub_pad, w,
+                                 True, d_in, x_loc.dtype)
+            if k + 1 < s:
+                xb = jax.lax.ppermute(xb, axis, ring)
+                ub = jax.lax.ppermute(ub, axis, ring)
+        return dx, jax.lax.psum(dw, axis)
+
+    fwd_sm = jax.shard_map(
+        fwd_local, mesh=mesh,
+        in_specs=(P(axis, None), P(), specs_fwd),
+        out_specs=P(axis, None), check_vma=False)
+    bwd_sm = jax.shard_map(
+        bwd_local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), specs_fwd, specs_bwd),
+        out_specs=(P(axis, None), P()), check_vma=False)
+
+    @jax.custom_vjp
+    def rel_sum(x, w):
+        return fwd_sm(x, w, srg.fwd)
+
+    def f(x, w):
+        return rel_sum(x, w), (x, w)
+
+    def b(res, u):
+        x, w = res
+        return bwd_sm(x, u, w, srg.fwd, srg.bwd)
+
+    rel_sum.defvjp(f, b)
+    return rel_sum

@@ -114,33 +114,42 @@ class _ShardedAdjView:
 
 
 def supports_sharded_full_graph(config: EncoderConfig) -> bool:
-    """Ring-sharded mode covers GraphSAGE/GCN (plain neighbor-sum ring) and
-    GAT (two-pass attention ring, make_gat_ring)."""
-    return all(l.gnn_type.upper() in ("GRAPH_SAGE", "GCN", "GAT")
+    """Ring-sharded mode covers GraphSAGE/GCN (plain neighbor-sum ring),
+    GAT (two-pass attention ring, make_gat_ring), and RGCN (two-schedule
+    relational ring, make_rel_sum_sharded)."""
+    return all(l.gnn_type.upper() in ("GRAPH_SAGE", "GCN", "GAT", "RGCN")
                for s in config.stages for l in s
                if l.layer_type.upper() == "GNN")
 
 
 def prepare_sharded_full_graph(sharded_graph, config: EncoderConfig,
                                in_deg, out_deg, mesh, axis: str,
-                               features=None):
+                               features=None, rel_sharded=None):
     """(adj_view, ops) for full_graph_encoder_forward over a node-sharded
     mesh: nbr_sum is the collective-permute ring
     (data/full_graph_sharded.py); degree vectors are (S*n_loc,) padded +
     sharded. ``features``: the (S*n_loc, d) sharded block, enabling the
-    same constant first-stage aggregation as the single-device path."""
+    same constant first-stage aggregation as the single-device path.
+    ``rel_sharded``: a ShardedRelGraph, required when the encoder has RGCN
+    stages."""
     from marius_tpu.data.full_graph_sharded import (
         make_gat_ring,
         make_nbr_sum_sharded,
     )
 
     assert supports_sharded_full_graph(config), \
-        "sharded full-graph mode supports GraphSAGE/GCN/GAT stages only"
+        "sharded full-graph mode supports GraphSAGE/GCN/GAT/RGCN stages only"
     adj = _ShardedAdjView(in_deg, out_deg, sharded_graph.num_nodes)
     ops = {"nbr_sum": make_nbr_sum_sharded(sharded_graph, mesh, axis)}
     if _has_gat(config):
         ops["gat_ring_max"], ops["gat_ring_sum"] = make_gat_ring(
             sharded_graph, mesh, axis)
+    if encoder_has_rgcn(config):
+        from marius_tpu.data.full_graph_rel import make_rel_sum_sharded
+        assert rel_sharded is not None, \
+            ("sharded RGCN needs a ShardedRelGraph: build with "
+             "build_sharded_rel_graph")
+        ops["rel_sum"] = make_rel_sum_sharded(rel_sharded, mesh, axis)
     ops["const_agg"] = _const_first_agg(adj, config, features,
                                         ops["nbr_sum"])
     return adj, ops

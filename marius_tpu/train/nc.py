@@ -156,9 +156,21 @@ class NodeClassificationTrainer:
 
             in_deg = pad_deg(np.asarray(full_graph.in_deg))
             out_deg = pad_deg(np.asarray(full_graph.out_deg))
+            rel_sharded = None
+            from marius_tpu.nn.full_graph_encoder import encoder_has_rgcn
+            if encoder_has_rgcn(model.encoder):
+                from marius_tpu.data.full_graph_rel import (
+                    build_sharded_rel_graph,
+                    edges_from_rel_graph,
+                )
+                assert full_graph.rel is not None, \
+                    ("sharded RGCN needs the relational companion: build "
+                     "the adjacency with with_relations=True")
+                rel_sharded = build_sharded_rel_graph(
+                    edges_from_rel_graph(full_graph.rel), num_nodes, s)
             self._fg_view, self._fg_ops = prepare_sharded_full_graph(
                 self._fg_sg, model.encoder, in_deg, out_deg, mesh,
-                self._fg_axis, features=self._fg_x)
+                self._fg_axis, features=self._fg_x, rel_sharded=rel_sharded)
             assert fg_seed_restrict is not True, \
                 "seed_restrict is a single-device optimization"
         elif full_graph is not None:

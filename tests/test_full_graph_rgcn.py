@@ -149,6 +149,114 @@ def test_full_graph_rgcn_matches_sampled_all():
     assert abs(a["accuracy"] - b["accuracy"]) < 1e-6
 
 
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 virtual devices")
+
+
+@needs8
+@pytest.mark.parametrize("n,e,r,s", [(97, 600, 5, 4), (64, 300, 3, 8)])
+def test_rel_sum_sharded_matches_single_device(n, e, r, s):
+    """Ring-sharded relational sum == bucketed single-device op, forward
+    and both grads (the backward runs its own transposed ring schedule)."""
+    from marius_tpu.data.full_graph_rel import (
+        build_sharded_rel_graph,
+        make_rel_sum_sharded,
+    )
+    from marius_tpu.data.full_graph_sharded import ShardedFullGraph, shard_rows
+    from marius_tpu.parallel.mesh import NODE_AXIS, make_mesh
+
+    rng = np.random.default_rng(n + e)
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, r, e),
+                      rng.integers(0, n, e)], 1).astype(np.int32)
+    d = 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    w = (rng.standard_normal((r, d, d)) * 0.3).astype(np.float32)
+
+    rg = build_rel_full_graph(edges, n)
+    ref = make_rel_sum(rg)(jnp.asarray(x), jnp.asarray(w))
+
+    mesh = make_mesh(num_data=1, num_node=s, devices=jax.devices()[:s])
+    srg = build_sharded_rel_graph(edges, n, s)
+    # shard_rows only needs padded_nodes/n_loc; fake the view
+    class _V:
+        padded_nodes = srg.num_shards * srg.n_loc
+    x_sh = shard_rows(x, _V, mesh, NODE_AXIS)
+    rel_sum_sh = make_rel_sum_sharded(srg, mesh, NODE_AXIS)
+    out = jax.jit(rel_sum_sh)(x_sh, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out)[n:], 0.0)
+
+    cot = rng.standard_normal((_V.padded_nodes, d)).astype(np.float32)
+    cot_sh = shard_rows(cot[:n], _V, mesh, NODE_AXIS)
+    gx, gw = jax.jit(jax.grad(
+        lambda xx, ww: jnp.sum(rel_sum_sh(xx, ww) * cot_sh),
+        argnums=(0, 1)))(x_sh, jnp.asarray(w))
+    rx, rw = jax.grad(
+        lambda xx, ww: jnp.sum(naive_rel_sum(edges, xx, ww)
+                               * jnp.asarray(cot[:n])),
+        argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gx)[:n], np.asarray(rx),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=2e-4, atol=2e-4)
+
+
+@needs8
+def test_sharded_rgcn_trainer_matches_single_device():
+    """Ring-sharded RGCN NC training reproduces the single-device
+    full-graph trajectory (same permutation, float reassociation only)."""
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.parallel.mesh import make_mesh
+    from marius_tpu.train.nc import (
+        NodeClassificationEvaluator,
+        NodeClassificationTrainer,
+    )
+
+    rng = np.random.default_rng(17)
+    n, e, f, c, r = 120, 700, 8, 4, 5
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, r, e),
+                      rng.integers(0, n, e)], 1).astype(np.int32)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    train_nodes = rng.permutation(n).astype(np.int32)[:80]
+
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=f),),
+        (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=f,
+                     output_dim=12, bias=True, activation="RELU",
+                     num_relations=r),),
+        (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=12,
+                     output_dim=c, num_relations=r),),
+    ))
+    model = Model(NODE_CLASSIFICATION, enc, None, loss_type="CROSS_ENTROPY",
+                  loss_reduction="SUM")
+    graph = build_device_graph(edges, n, num_relations=r)
+    adj = build_full_graph_adjacency(edges, n, with_relations=True)
+
+    mesh = make_mesh(num_data=1, num_node=8)
+    tr_m = NodeClassificationTrainer(model, graph, feats, labels, train_nodes,
+                                     [], batch_size=20, seed=0,
+                                     full_graph=adj, mesh=mesh)
+    assert tr_m._fg_sharded and "rel_sum" in tr_m._fg_ops
+    losses_m = [st["loss"] for st in tr_m.train(3)]
+
+    tr_1 = NodeClassificationTrainer(model, graph, feats, labels, train_nodes,
+                                     [], batch_size=20, seed=0,
+                                     full_graph=adj, fg_seed_restrict=False)
+    losses_1 = [st["loss"] for st in tr_1.train(3)]
+    np.testing.assert_allclose(losses_m, losses_1, rtol=5e-4)
+    assert losses_m[-1] < losses_m[0]
+
+    ev_m = NodeClassificationEvaluator(tr_m, np.arange(40, dtype=np.int32))
+    ev_1 = NodeClassificationEvaluator(tr_1, np.arange(40, dtype=np.int32))
+    assert abs(ev_m.evaluate(tr_m.state)["accuracy"]
+               - ev_1.evaluate(tr_1.state)["accuracy"]) < 1e-6
+
+
 def test_prepare_full_graph_requires_rel_structure():
     from marius_tpu.nn.encoder import EncoderConfig
     from marius_tpu.nn.layers import LayerConfig
