@@ -187,3 +187,45 @@ def test_full_graph_eval_matches_sampled_all():
     b = ev_fg.evaluate(trainer.state)
     assert abs(a["mrr"] - b["mrr"]) < 1e-4, (a["mrr"], b["mrr"])
     assert abs(a["hits@10"] - b["hits@10"]) < 1e-6
+
+
+def test_full_graph_eval_rgcn_matches_sampled_all():
+    """Same full-graph-vs-sampled-ALL eval parity with an RGCN encoder
+    (relation-bucketed full-graph path, data/full_graph_rel.py)."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    encoder = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=DIM),),
+        (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=DIM,
+                     output_dim=DIM, bias=True, num_relations=NUM_RELS),),
+    ))
+    model = Model(
+        learning_task="LINK_PREDICTION", encoder=encoder,
+        decoder=EdgeDecoder("DISTMULT", NUM_RELS, DIM),
+        loss_type="SOFTMAX_CE", loss_reduction="SUM",
+        dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.05),
+        sparse_lr=0.1)
+
+    train, valid, test = generate_random_lp_dataset()
+    graph = build_device_graph(train, NUM_NODES, NUM_RELS)
+    max_deg = int(np.asarray(graph.degrees).max())
+    nbr_all = [NeighborSamplingConfig("ALL", max_neighbors=max_deg)]
+    trainer = LinkPredictionTrainer(
+        model, NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+        batch_size=100, seed=0, graph=graph, nbr_configs=nbr_all)
+    trainer.train(2)
+
+    all_edges = np.concatenate([train, valid, test])
+    kw = dict(all_edges=all_edges, batch_size=100, filtered=True,
+              graph=graph, nbr_configs=nbr_all)
+    ev_sampled = LinkPredictionEvaluator(
+        trainer.model, NUM_NODES, NUM_RELS, train[:100], **kw)
+    ev_fg = LinkPredictionEvaluator(
+        trainer.model, NUM_NODES, NUM_RELS, train[:100],
+        full_graph=build_full_graph_adjacency(
+            train, NUM_NODES, with_relations=True), **kw)
+    a = ev_sampled.evaluate(trainer.state)
+    b = ev_fg.evaluate(trainer.state)
+    assert abs(a["mrr"] - b["mrr"]) < 1e-4, (a["mrr"], b["mrr"])
+    assert abs(a["hits@10"] - b["hits@10"]) < 1e-6
