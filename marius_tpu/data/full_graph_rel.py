@@ -116,7 +116,6 @@ def build_rel_full_graph(edges: np.ndarray, num_nodes: int) -> RelFullGraph:
     slot_of_edge_sorted = []           # aligned with rel-stable-sorted edges
     base = 0
     counts = np.bincount(rel, minlength=num_rels).astype(np.int64)
-    perm_r = np.argsort(counts, kind="stable")
     order_e = np.argsort(rel, kind="stable")
     offsets_e = np.searchsorted(rel[order_e], np.arange(num_rels + 1))
     for blk, rows in zip(rel_buckets, rel_row_ids):
@@ -206,8 +205,10 @@ def make_rel_sum(rg: RelFullGraph):
 
     anchor_sum.defvjp(as_fwd, as_bwd)
 
-    def rel_sum(x: Array, w_stack: Array) -> Array:
-        blocks = gather_blocks(x)
+    def from_blocks(blocks, w_stack: Array) -> Array:
+        """Transform + aggregate pre-gathered neighbor blocks. Exposed so a
+        constant input's gather can be cached once (full_graph_encoder
+        _const_first_agg) while W stays live."""
         d_out = w_stack.shape[-1]
         parts = []
         for blk, rids in zip(blocks, rg.rel_ids):
@@ -217,6 +218,11 @@ def make_rel_sum(rg: RelFullGraph):
         t_flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return anchor_sum(t_flat)
 
+    def rel_sum(x: Array, w_stack: Array) -> Array:
+        return from_blocks(gather_blocks(x), w_stack)
+
+    rel_sum.gather_blocks = gather_blocks
+    rel_sum.from_blocks = from_blocks
     return rel_sum
 
 
@@ -283,18 +289,25 @@ class ShardedRelGraph:
 
 
 def _build_ring_cells(anchor: np.ndarray, gathered: np.ndarray,
-                      rel: np.ndarray, num_rels: int, num_nodes: int,
+                      rel: np.ndarray, num_rels: int,
                       num_shards: int, n_loc: int) -> _RingRelCells:
     s = num_shards
     a_own, a_loc = anchor // n_loc, anchor % n_loc
     g_own, g_loc = gathered // n_loc, gathered % n_loc
-    step = (a_own - g_own) % s
+    step = ((a_own - g_own) % s).astype(np.int64)
+
+    # one global stable sort by (step, anchor shard, relation); every cell
+    # is then a contiguous run — O(E log E) total, not O(s^2 R E) masking
+    key = (step * s + a_own) * num_rels + rel
+    order = np.argsort(key, kind="stable")
+    off = np.searchsorted(key[order], np.arange(s * s * num_rels + 1))
+    g_l, a_l = g_loc[order], a_loc[order]
 
     nbr_all, rel_all, anch_all, perm_all, seg_all = [], [], [], [], []
     for k in range(s):
-        in_k = step == k
-        cnt = np.zeros((s, num_rels), np.int64)
-        np.add.at(cnt, (a_own[in_k], rel[in_k]), 1)
+        o0 = k * s * num_rels
+        cnt = (off[o0 + 1:o0 + s * num_rels + 1]
+               - off[o0:o0 + s * num_rels]).reshape(s, num_rels)
         maxcnt = cnt.max(axis=0)
         active = np.flatnonzero(maxcnt > 0)
         if len(active) == 0:
@@ -304,29 +317,29 @@ def _build_ring_cells(anchor: np.ndarray, gathered: np.ndarray,
             perm_all.append(jnp.zeros((s, 0), jnp.int32))
             seg_all.append(jnp.zeros((s, 0), jnp.int32))
             continue
-        order = active[np.argsort(maxcnt[active], kind="stable")]
-        bounds = _greedy_buckets(maxcnt[order])
+        rows_order = active[np.argsort(maxcnt[active], kind="stable")]
+        bounds = _greedy_buckets(maxcnt[rows_order])
 
         nbr_k, rel_k, anch_k = [], [], []
         slot_lists = [[] for _ in range(s)]   # (flat_slot, anchor_local)
         base = 0
         for lo, hi in zip(bounds[:-1], bounds[1:]):
-            rows = order[lo:hi]
+            rows = rows_order[lo:hi]
             cap = max(int(maxcnt[rows].max()), 1)
             n_b = len(rows)
             nbr_b = np.full((s, n_b, cap), n_loc, np.int32)
             anch_b = np.full((s, n_b, cap), n_loc, np.int32)
             for sh in range(s):
                 for i, r in enumerate(rows):
-                    m = in_k & (a_own == sh) & (rel == r)
-                    c = int(m.sum())
+                    c = int(cnt[sh, r])
                     if c == 0:
                         continue
-                    nbr_b[sh, i, :c] = g_loc[m]
-                    anch_b[sh, i, :c] = a_loc[m]
+                    e0 = off[o0 + sh * num_rels + r]
+                    nbr_b[sh, i, :c] = g_l[e0:e0 + c]
+                    anch_b[sh, i, :c] = a_l[e0:e0 + c]
                     slots = base + i * cap + np.arange(c, dtype=np.int64)
                     slot_lists[sh].append(
-                        (slots, a_loc[m].astype(np.int64)))
+                        (slots, a_l[e0:e0 + c].astype(np.int64)))
             nbr_k.append(jnp.asarray(nbr_b))
             anch_k.append(jnp.asarray(anch_b))
             rel_k.append(jnp.asarray(rows.astype(np.int32)))
@@ -366,10 +379,8 @@ def build_sharded_rel_graph(edges: np.ndarray, num_nodes: int,
            else np.zeros(len(e), np.int64))
     num_rels = int(rel.max()) + 1 if len(rel) else 1
     n_loc = -(-num_nodes // num_shards)
-    fwd = _build_ring_cells(src, dst, rel, num_rels, num_nodes,
-                            num_shards, n_loc)
-    bwd = _build_ring_cells(dst, src, rel, num_rels, num_nodes,
-                            num_shards, n_loc)
+    fwd = _build_ring_cells(src, dst, rel, num_rels, num_shards, n_loc)
+    bwd = _build_ring_cells(dst, src, rel, num_rels, num_shards, n_loc)
     return ShardedRelGraph(fwd=fwd, bwd=bwd, num_nodes=int(num_nodes),
                            num_shards=int(num_shards), n_loc=int(n_loc))
 

@@ -98,7 +98,8 @@ def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
             ("RGCN full-graph mode needs the relational companion: build "
              "the adjacency with with_relations=True")
         ops["rel_sum"] = make_rel_sum(adj.rel)
-    ops["const_agg"] = _const_first_agg(adj, config, features, ops["nbr_sum"])
+    ops["const_agg"] = _const_first_agg(adj, config, features,
+                                        ops["nbr_sum"], ops)
     return adj, ops
 
 
@@ -151,11 +152,12 @@ def prepare_sharded_full_graph(sharded_graph, config: EncoderConfig,
              "build_sharded_rel_graph")
         ops["rel_sum"] = make_rel_sum_sharded(rel_sharded, mesh, axis)
     ops["const_agg"] = _const_first_agg(adj, config, features,
-                                        ops["nbr_sum"])
+                                        ops["nbr_sum"], ops)
     return adj, ops
 
 
-def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum):
+def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum,
+                     ops=None):
     """{(stage, layer): precomputed aggregation} for the first GNN stage.
 
     When the encoder input is a view of the node FEATURES (a single FEATURE
@@ -184,6 +186,7 @@ def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum):
     num_nbrs = (adj.in_deg + adj.out_deg).astype(features.dtype)
     inv_sqrt = 1.0 / jnp.sqrt(num_nbrs + 1.0)
     const = {}
+    rgcn_blocks = None
     for j, layer in enumerate(config.stages[1]):
         if layer.layer_type.upper() != "GNN":
             continue
@@ -198,6 +201,19 @@ def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum):
                 const[(1, j)] = ("affine", base, count)
             else:
                 const[(1, j)] = base
+        elif g == "RGCN" and not bias0:
+            # the relation transform needs the live W, but the big slot
+            # gather of the constant input can run ONCE: cache the gathered
+            # blocks, each step only pays the einsum + anchor sum. (With a
+            # trained stage-0 bias the blocks are no longer constant per
+            # valid slot vs padding slot; skipped.)
+            rel_sum = None if ops is None else ops.get("rel_sum")
+            if rel_sum is not None and hasattr(rel_sum, "gather_blocks"):
+                if rgcn_blocks is None:
+                    rgcn_blocks = tuple(
+                        jax.lax.stop_gradient(b)
+                        for b in rel_sum.gather_blocks(current0))
+                const[(1, j)] = ("rgcn_blocks", rgcn_blocks)
     return const
 
 
@@ -235,12 +251,17 @@ def _full_graph_gcn(layer: LayerConfig, p, x_scaled_sum, x, num_nbrs):
     return post_hook(layer, p, a @ p["w"])
 
 
-def _full_graph_rgcn(layer: LayerConfig, p, x, ops, adj) -> Array:
+def _full_graph_rgcn(layer: LayerConfig, p, x, ops, adj, const=None) -> Array:
     """rgcn_layer (layers.py) over ALL out-edges: mean over each node's
     out-neighbors of x[dst] @ W[rel], plus the self transform. ``rel_sum``
     (data/full_graph_rel.py) returns the per-node SUM; dividing by the real
-    out-degree equals the sampled layer's masked_mean under unbounded ALL."""
-    s = ops["rel_sum"](x, p["relation_matrices"])
+    out-degree equals the sampled layer's masked_mean under unbounded ALL.
+    ``const`` = ("rgcn_blocks", blocks): the constant input's slot gather,
+    precomputed once (_const_first_agg) — only the transform runs live."""
+    if const is not None:
+        s = ops["rel_sum"].from_blocks(const[1], p["relation_matrices"])
+    else:
+        s = ops["rel_sum"](x, p["relation_matrices"])
     deg = jnp.maximum(adj.out_deg.astype(x.dtype), 1.0)
     out = s / deg[:, None] + x @ p["self_matrix"]
     return post_hook(layer, p, out)
@@ -535,7 +556,7 @@ def full_graph_encoder_forward(
                             layer, p, current, adj, ops, train, k_gat))
                 elif g == "RGCN":
                     stage_outputs.append(_full_graph_rgcn(
-                        layer, p, current, ops, adj))
+                        layer, p, current, ops, adj, const=const))
                 else:
                     raise ValueError(
                         f"full-graph mode does not support {layer.gnn_type}; "

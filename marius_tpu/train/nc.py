@@ -85,7 +85,7 @@ class NodeClassificationTrainer:
         if full_graph is not None:
             from marius_tpu.nn.full_graph_encoder import supports_full_graph
             assert supports_full_graph(model.encoder), \
-                "full-graph mode supports GraphSAGE/GCN/GAT stages only"
+                "full-graph mode supports GraphSAGE/GCN/GAT/RGCN stages only"
             if mesh is not None:
                 # node-sharded ring mode: activations row-shard over the
                 # mesh's non-trivial axis, each layer's neighbor sum runs
@@ -99,7 +99,7 @@ class NodeClassificationTrainer:
                     "sharded full-graph mode uses ONE mesh axis " \
                     f"(got shape {dict(mesh.shape)})"
                 assert supports_sharded_full_graph(model.encoder), \
-                    "sharded full-graph mode supports GraphSAGE/GCN/GAT only"
+                    "sharded full-graph mode supports GraphSAGE/GCN/GAT/RGCN only"
                 assert features is not None and not model.has_embeddings, \
                     "sharded full-graph mode needs feature inputs " \
                     "(sharded embedding tables: use the sampled path)"

@@ -135,6 +135,10 @@ def test_full_graph_rgcn_matches_sampled_all():
         batch_size=45, seed=0, full_graph=fg_adj)
     # RGCN final stage has no seed path: the auto chooser must not pick it
     assert full._fg_seed_restrict is False
+    # constant FEATURE input (no trained bias): the first RGCN stage's slot
+    # gather is cached once; only the relation transform runs per batch
+    c = full._fg_ops["const_agg"].get((1, 0))
+    assert c is not None and c[0] == "rgcn_blocks"
 
     s_stats = sampled.train(3)
     f_stats = full.train(3)
