@@ -226,6 +226,51 @@ def make_rel_sum(rg: RelFullGraph):
     return rel_sum
 
 
+def host_out_csr(rg: RelFullGraph):
+    """Directed out-CSR with per-slot relation ids, ORIGINAL src order:
+    (offsets (N+1,) int64, dst (E,) int32, rel (E,) int32). Backs the
+    seed-restricted RGCN final stage (full_graph_encoder._seed_rgcn): a
+    batch's out-edges come from one searchsorted + gathers, like the
+    combined CSR in data/full_graph.py but directional and relational."""
+    e = edges_from_rel_graph(rg)
+    src = e[:, 0]
+    order = np.argsort(src, kind="stable")
+    offsets = np.searchsorted(src[order], np.arange(rg.num_nodes + 1))
+    return (offsets.astype(np.int64), e[order, 2].astype(np.int32),
+            e[order, 1].astype(np.int32))
+
+
+def device_rel_csr(csr):
+    """Device-resident int32 copy of host_out_csr's output."""
+    offsets, dst, rel = csr
+    assert int(offsets[-1]) < np.iinfo(np.int32).max
+    return (jnp.asarray(offsets.astype(np.int32)), jnp.asarray(dst),
+            jnp.asarray(rel))
+
+
+def device_seed_flat_lists_rel(csr_dev, seeds: Array, mask: Array,
+                               budget: int, num_nodes: int):
+    """Relational twin of data/full_graph.py device_seed_flat_lists: flat
+    OUT-edge lists of one seed batch, built in-jit. Returns (flat_nbr,
+    flat_rel, flat_seg), all (budget,) int32 — flat_nbr pad = num_nodes
+    (zero sentinel row), flat_rel pad = 0, flat_seg pad = batch_size."""
+    offsets, nbrs, rels = csr_dev
+    b = seeds.shape[0]
+    s = jnp.minimum(seeds, num_nodes - 1)
+    deg = (offsets[s + 1] - offsets[s]) * mask.astype(jnp.int32)
+    cum = jnp.cumsum(deg)
+    slots = jnp.arange(budget, dtype=jnp.int32)
+    seg = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    valid = slots < cum[-1]
+    seg_c = jnp.minimum(seg, b - 1)
+    start = cum[seg_c] - deg[seg_c]
+    idx = jnp.clip(offsets[s[seg_c]] + (slots - start), 0, nbrs.shape[0] - 1)
+    flat_nbr = jnp.where(valid, nbrs[idx], num_nodes)
+    flat_rel = jnp.where(valid, rels[idx], 0)
+    flat_seg = jnp.where(valid, seg_c, b)
+    return flat_nbr, flat_rel, flat_seg
+
+
 def edges_from_rel_graph(rg: RelFullGraph) -> np.ndarray:
     """Recover the (E, 3) [src, rel, dst] edge array from the bucketed
     structure (slot_src + relation buckets) — lets the ring-sharded builder

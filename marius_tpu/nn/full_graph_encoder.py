@@ -42,10 +42,12 @@ from marius_tpu.ops.segment import masked_softmax
 Array = jax.Array
 
 SUPPORTED_GNN = {"GRAPH_SAGE", "GCN", "GAT", "RGCN"}
-# layer types the seed-restricted FINAL stage covers (RGCN's directional
-# per-relation aggregation has no flat-CSR seed path yet; an RGCN final
-# stage simply runs over all N nodes)
-SEED_GNN = {"GRAPH_SAGE", "GCN", "GAT"}
+# layer types the seed-restricted FINAL stage covers
+SEED_GNN = {"GRAPH_SAGE", "GCN", "GAT", "RGCN"}
+# _seed_rgcn materializes a (batch, R, d_in) per-(seed, relation) sum; cap
+# R*d_in so that block stays a few hundred MB at batch 1000 — beyond it the
+# all-N final stage is the better trade anyway
+SEED_RGCN_MAX_R_DIN = 262_144
 
 
 def supports_full_graph(config: EncoderConfig) -> bool:
@@ -75,9 +77,22 @@ def supports_seed_restrict(config: EncoderConfig) -> bool:
     if not supports_full_graph(config) or len(config.stages) == 0:
         return False
     last = config.stages[-1]
-    return len(last) > 0 and all(
-        l.layer_type.upper() == "GNN"
-        and l.gnn_type.upper() in SEED_GNN for l in last)
+    if len(last) == 0 or any(
+            l.layer_type.upper() != "GNN"
+            or l.gnn_type.upper() not in SEED_GNN for l in last):
+        return False
+    return all(l.num_relations * l.input_dim <= SEED_RGCN_MAX_R_DIN
+               for l in last if l.gnn_type.upper() == "RGCN")
+
+
+def final_stage_has_rgcn(config: EncoderConfig) -> bool:
+    """Callers use this to also build the directional relational flat lists
+    the seed-restricted RGCN stage consumes."""
+    if len(config.stages) == 0:
+        return False
+    return any(l.layer_type.upper() == "GNN"
+               and l.gnn_type.upper() == "RGCN"
+               for l in config.stages[-1])
 
 
 def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
@@ -408,6 +423,25 @@ def _seed_gcn(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,
     return _full_graph_gcn(layer, p, agg, x[seeds], num_nbrs[seeds])
 
 
+def _seed_rgcn(layer: LayerConfig, p, x, seeds, rel_flat, out_deg,
+               b: int) -> Array:
+    """RGCN final stage for the seed rows only. Aggregation is linear, so
+    sum FIRST per (seed, relation) — one segment_sum over the batch's flat
+    out-edge slots — then transform once per relation: a single
+    (b, R, d_in) x (R, d_in, d_out) einsum on the MXU, instead of the
+    reference's per-slot bmm (rgcn_layer.cpp) or an all-N stage."""
+    flat_nbr, flat_rel, flat_seg = rel_flat
+    r = layer.num_relations
+    vals = _seed_gather(x, flat_nbr)                     # (S, d_in), pad -> 0
+    key = jnp.minimum(flat_seg, b) * r + flat_rel        # pad -> [b*r, b*r+r)
+    z = jax.ops.segment_sum(vals, key, num_segments=b * r + r)[:b * r]
+    agg = jnp.einsum("bri,rio->bo", z.reshape(b, r, -1),
+                     p["relation_matrices"])
+    deg = jnp.maximum(out_deg[seeds].astype(x.dtype), 1.0)
+    out = agg / deg[:, None] + x[seeds] @ p["self_matrix"]
+    return post_hook(layer, p, out)
+
+
 def _seed_gat(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,
               b: int, num_nodes: int, train: bool, dropout_key) -> Array:
     """GAT final stage over the seeds' flat CSR slots: the softmax over
@@ -490,7 +524,10 @@ def full_graph_encoder_forward(
     num_nbrs = (adj.in_deg + adj.out_deg).astype(
         (embeddings if embeddings is not None else features).dtype)
     if seed_restrict is not None:
-        seeds, flat_nbr, flat_seg = seed_restrict
+        seeds, flat_nbr, flat_seg = seed_restrict[:3]
+        # optional 4th element: (flat_nbr, flat_rel, flat_seg) over the
+        # DIRECTED out-edges, consumed by RGCN final-stage layers
+        rel_flat = seed_restrict[3] if len(seed_restrict) > 3 else None
         nseeds = seeds.shape[0]
 
     outputs: List[Array] = []
@@ -528,6 +565,13 @@ def full_graph_encoder_forward(
                         stage_outputs.append(_seed_gat(
                             layer, p, current, seeds, flat_nbr, flat_seg,
                             nseeds, adj.num_nodes, train, k_d))
+                    elif g == "RGCN":
+                        assert rel_flat is not None, \
+                            ("seed-restricted RGCN needs the relational "
+                             "flat lists (device_seed_flat_lists_rel)")
+                        stage_outputs.append(_seed_rgcn(
+                            layer, p, current, seeds, rel_flat,
+                            adj.out_deg, nseeds))
                     else:
                         raise ValueError(
                             f"seed-restricted mode does not support "

@@ -200,6 +200,21 @@ class NodeClassificationTrainer:
                 self._fg_csr = host_csr_from_adjacency(self.full_graph)
                 self._fg_csr_dev = device_csr(self._fg_csr)
                 self._fg_budget = None   # sized from the first epoch's need
+                # RGCN final stage: also the DIRECTED out-CSR with per-slot
+                # relation ids (full_graph_rel.host_out_csr)
+                self._fg_rel_csr = self._fg_rel_csr_dev = None
+                self._fg_rel_budget = None
+                from marius_tpu.nn.full_graph_encoder import (
+                    final_stage_has_rgcn,
+                )
+                if final_stage_has_rgcn(model.encoder):
+                    from marius_tpu.data.full_graph_rel import (
+                        device_rel_csr,
+                        host_out_csr,
+                    )
+                    assert self.full_graph.rel is not None
+                    self._fg_rel_csr = host_out_csr(self.full_graph.rel)
+                    self._fg_rel_csr_dev = device_rel_csr(self._fg_rel_csr)
 
         padded, self.num_train, self.num_batches = _pad_ids(train_nodes, batch_size)
         self._train_nodes_np = padded
@@ -255,7 +270,9 @@ class NodeClassificationTrainer:
             feats = None if self.features is None else self.features[:-1]
             adj = self.full_graph
         table_values = state.table.values if state.table is not None else None
-        sr = None if flat is None else (seeds_c, flat[0], flat[1])
+        # flat = (flat_nbr, flat_seg[, rel_flat]); the encoder reads the
+        # optional relational lists as seed_restrict[3]
+        sr = None if flat is None else (seeds_c,) + tuple(flat)
 
         def loss_fn(emb, dense_params):
             out = full_graph_encoder_forward(
@@ -385,10 +402,15 @@ class NodeClassificationTrainer:
             # device_seed_flat_lists). The slot budget is the only host
             # input, baked in statically by train_epoch.
             from marius_tpu.data.full_graph import device_seed_flat_lists
+            from marius_tpu.data.full_graph_rel import (
+                device_seed_flat_lists_rel,
+            )
 
             budget = self._fg_budget
+            rel_budget = self._fg_rel_budget
             n = self.graph.num_nodes
             csr_dev = self._fg_csr_dev
+            rel_csr_dev = self._fg_rel_csr_dev
 
             def epoch_fn_fg(state: TrainState, train_nodes: Array):
                 k_perm = jax.random.fold_in(jax.random.key(54321),
@@ -400,6 +422,9 @@ class NodeClassificationTrainer:
                 def body(carry, xs):
                     flat = device_seed_flat_lists(csr_dev, xs[0], xs[1],
                                                   budget, n)
+                    if rel_csr_dev is not None:
+                        flat = flat + (device_seed_flat_lists_rel(
+                            rel_csr_dev, xs[0], xs[1], rel_budget, n),)
                     return self._batch_step_full_graph(
                         carry, xs[0], xs[1], flat)
 
@@ -444,8 +469,19 @@ class NodeClassificationTrainer:
         seeds = np.minimum(shuffled.astype(np.int64), n - 1)
         need = int(((offsets[seeds + 1] - offsets[seeds]) * masks)
                    .sum(axis=1).max())
+        retrace = False
         if self._fg_budget is None or need > self._fg_budget:
             self._fg_budget = max(128, -(-int(need * 1.25) // 128) * 128)
+            retrace = True
+        if self._fg_rel_csr is not None:
+            r_off = self._fg_rel_csr[0]
+            need_r = int(((r_off[seeds + 1] - r_off[seeds]) * masks)
+                         .sum(axis=1).max())
+            if self._fg_rel_budget is None or need_r > self._fg_rel_budget:
+                self._fg_rel_budget = max(
+                    128, -(-int(need_r * 1.25) // 128) * 128)
+                retrace = True
+        if retrace:
             self._epoch_fn = jax.jit(self._build_epoch_fn(),
                                      donate_argnums=(0,))
 

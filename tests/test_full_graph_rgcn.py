@@ -133,8 +133,9 @@ def test_full_graph_rgcn_matches_sampled_all():
     full = NodeClassificationTrainer(
         model(), graph, feats, labels, train_nodes, nbr,
         batch_size=45, seed=0, full_graph=fg_adj)
-    # RGCN final stage has no seed path: the auto chooser must not pick it
-    assert full._fg_seed_restrict is False
+    # seed-restricted RGCN final stage engages automatically (small R*d_in)
+    assert full._fg_seed_restrict is True
+    assert full._fg_rel_csr is not None
     # constant FEATURE input (no trained bias): the first RGCN stage's slot
     # gather is cached once; only the relation transform runs per batch
     c = full._fg_ops["const_agg"].get((1, 0))
@@ -259,6 +260,48 @@ def test_sharded_rgcn_trainer_matches_single_device():
     ev_1 = NodeClassificationEvaluator(tr_1, np.arange(40, dtype=np.int32))
     assert abs(ev_m.evaluate(tr_m.state)["accuracy"]
                - ev_1.evaluate(tr_1.state)["accuracy"]) < 1e-6
+
+
+def test_full_graph_rgcn_seed_restrict_matches_all_n():
+    """The seed-restricted RGCN final stage (aggregate-per-(seed, relation)
+    then one batched einsum) is the same math as the all-N final stage."""
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.train.nc import NodeClassificationTrainer
+
+    rng = np.random.default_rng(23)
+    n, e, f, c, r = 100, 600, 8, 4, 4
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, r, e),
+                      rng.integers(0, n, e)], 1).astype(np.int32)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    train_nodes = rng.permutation(n).astype(np.int32)[:70]
+
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=f),),
+        (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=f,
+                     output_dim=12, bias=True, activation="RELU",
+                     num_relations=r),),
+        (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=12,
+                     output_dim=c, num_relations=r),),
+    ))
+    model = Model(NODE_CLASSIFICATION, enc, None, loss_type="CROSS_ENTROPY",
+                  loss_reduction="SUM")
+    graph = build_device_graph(edges, n, num_relations=r)
+    adj = build_full_graph_adjacency(edges, n, with_relations=True)
+
+    kw = dict(batch_size=25, seed=0, full_graph=adj)
+    tr_seed = NodeClassificationTrainer(
+        model, graph, feats, labels, train_nodes, [], **kw)
+    assert tr_seed._fg_seed_restrict is True
+    tr_full = NodeClassificationTrainer(
+        model, graph, feats, labels, train_nodes, [],
+        fg_seed_restrict=False, **kw)
+    ls = [st["loss"] for st in tr_seed.train(4)]
+    lf = [st["loss"] for st in tr_full.train(4)]
+    np.testing.assert_allclose(ls, lf, rtol=2e-5)
 
 
 def test_prepare_full_graph_requires_rel_structure():
