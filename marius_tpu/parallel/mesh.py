@@ -44,6 +44,31 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def put_global(data, sharding: NamedSharding):
+    """device_put that also works when the mesh spans PROCESSES (multi-host):
+    every process passes the SAME full array and receives the one logical
+    jax.Array, with only its addressable shards materialized locally.
+    Single-process this is exactly jax.device_put."""
+    if jax.process_count() == 1:
+        return jax.device_put(data, sharding)
+    if hasattr(data, "dtype") and jnp_issubdtype_prng(data.dtype):
+        raw = jax.make_array_from_callback(
+            jax.random.key_data(data).shape, sharding,
+            lambda idx: np.asarray(jax.random.key_data(data))[idx])
+        return jax.random.wrap_key_data(raw)
+    arr = np.asarray(data)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def jnp_issubdtype_prng(dtype) -> bool:
+    import jax.numpy as jnp
+    try:
+        return jnp.issubdtype(dtype, jax.dtypes.prng_key)
+    except TypeError:
+        return False
+
+
 def shard_train_state(state, mesh: Mesh):
     """Place a TrainState on a mesh: embedding table + Adagrad state row-sharded
     over NODE_AXIS (replicated over DATA_AXIS), dense params/opt replicated.
@@ -60,7 +85,7 @@ def shard_train_state(state, mesh: Mesh):
     def place(path, leaf):
         names = {getattr(p, "name", None) for p in path}
         if {"table"} & names and hasattr(leaf, "ndim") and leaf.ndim == 2:
-            return jax.device_put(leaf, rows)
-        return jax.device_put(leaf, repl)
+            return put_global(leaf, rows)
+        return put_global(leaf, repl)
 
     return jax.tree_util.tree_map_with_path(place, state)

@@ -132,7 +132,13 @@ class LinkPredictionTrainer:
         self.has_rels = train_edges.shape[1] == 3
         if self.edges_backend == "DEVICE_MEMORY":
             padded, self.num_edges, self.num_batches = pad_edges(train_edges, batch_size)
-            self.edges = jnp.asarray(padded)
+            if mesh is not None:
+                # replicated ACROSS the mesh (and across processes when the
+                # mesh spans hosts — put_global slices per-process shards)
+                from marius_tpu.parallel.mesh import put_global, replicated
+                self.edges = put_global(padded, replicated(mesh))
+            else:
+                self.edges = jnp.asarray(padded)
             self.edges_host = None
         else:
             self.edges_host = train_edges  # np.ndarray or np.memmap — no copy
@@ -195,7 +201,11 @@ class LinkPredictionTrainer:
         if features is not None:
             f = np.zeros((num_nodes + 1, features.shape[1]), np.float32)
             f[:num_nodes] = features
-            self.features = jnp.asarray(f)
+            if mesh is not None:
+                from marius_tpu.parallel.mesh import put_global, replicated
+                self.features = put_global(f, replicated(mesh))
+            else:
+                self.features = jnp.asarray(f)
 
         self._explicit_update = None
         if mesh is not None:

@@ -1,0 +1,60 @@
+"""Worker for tests/test_multihost.py: one process of a 2-process
+multi-controller LP training run. Launched with its own env (4 virtual CPU
+devices, NO conftest) — argv: process_id num_processes port. Also imported
+by the test for ``build_trainer`` (module import has no side effects beyond
+forcing the CPU platform)."""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def build_trainer(mesh, sharding_mode="gspmd"):
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    num_nodes, num_rels, dim = 64, 4, 16
+    rng = np.random.default_rng(0)
+    edges = np.stack([rng.integers(0, num_nodes, 400),
+                      rng.integers(0, num_rels, 400),
+                      rng.integers(0, num_nodes, 400)], 1).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=dim),),))
+    model = Model(learning_task=LINK_PREDICTION, encoder=enc,
+                  decoder=EdgeDecoder("DISTMULT", num_rels, dim))
+    return LinkPredictionTrainer(
+        model, num_nodes, num_rels, edges,
+        NegativeSamplingConfig(num_chunks=4, negatives_per_positive=8),
+        batch_size=40, seed=0, mesh=mesh, sharding_mode=sharding_mode)
+
+
+def main():
+    pid, nproc, port = (int(sys.argv[1]), int(sys.argv[2]),
+                        int(sys.argv[3]))
+    from marius_tpu.parallel import multihost
+    from marius_tpu.parallel.mesh import make_mesh
+
+    multihost.initialize(f"localhost:{port}", num_processes=nproc,
+                         process_id=pid)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 8, jax.device_count()
+    mesh = make_mesh(num_data=4, num_node=2)
+    trainer = build_trainer(mesh)
+    losses = [trainer.train_epoch()["loss"] for _ in range(3)]
+    print("LOSSES " + json.dumps(losses), flush=True)
+    # the explicit shard_map collective step over the same global mesh
+    trainer_x = build_trainer(mesh, sharding_mode="explicit")
+    losses_x = [trainer_x.train_epoch()["loss"] for _ in range(3)]
+    print("LOSSES_X " + json.dumps(losses_x), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Multi-host (multi-controller) training: two coordinated processes, each
+owning 4 of the 8 virtual CPU devices, run the SAME GSPMD LP training program
+over one global (data x node) mesh — the JAX multi-controller model SURVEY
+§2.3 names for the cross-host DCN tier (the reference has no multi-node path
+at all; its ceiling is single-process NCCL, model.cpp:136-159)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 virtual devices")
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@needs8
+def test_two_process_training_matches_single_process(tmp_path):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTEST_CURRENT_TEST", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(WORKER))
+    port = _free_port()
+
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        cwd=str(tmp_path)) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    def parse(tag):
+        res = []
+        for out in outs:
+            line = [l for l in out.splitlines() if l.startswith(tag + " ")][-1]
+            res.append(json.loads(line[len(tag) + 1:]))
+        return res
+
+    losses = parse("LOSSES")
+    losses_x = parse("LOSSES_X")
+    # both controllers compute the same global program
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    np.testing.assert_allclose(losses_x[0], losses_x[1], rtol=1e-6)
+
+    # and the 2-process run reproduces the single-process 8-device
+    # trajectory (same seed, same global mesh shape) in BOTH modes
+    from marius_tpu.parallel.mesh import make_mesh
+    from tests.multihost_worker import build_trainer
+
+    mesh = make_mesh(num_data=4, num_node=2, devices=jax.devices()[:8])
+    trainer = build_trainer(mesh)
+    ref = [trainer.train_epoch()["loss"] for _ in range(3)]
+    np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
+    assert ref[-1] < ref[0]
+    trainer_x = build_trainer(mesh, sharding_mode="explicit")
+    ref_x = [trainer_x.train_epoch()["loss"] for _ in range(3)]
+    np.testing.assert_allclose(losses_x[0], ref_x, rtol=1e-5)
