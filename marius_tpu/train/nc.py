@@ -224,6 +224,31 @@ class NodeClassificationTrainer:
         params = init_model_params(jax.random.fold_in(key, 1), model, dtype)
         self.state = init_train_state(jax.random.fold_in(key, 2), model, params,
                                       num_nodes, dtype)
+
+        # Multi-controller (multi-host) data parallelism: when the mesh spans
+        # processes, every array the compiled epoch touches must be ONE
+        # global jax.Array — place state/graph/features/labels replicated
+        # across the mesh (parallel/multihost.py; the ring full-graph mode
+        # stays single-controller for now).
+        if (mesh is not None and jax.process_count() > 1
+                and not self._fg_sharded and self.full_graph is None):
+            from marius_tpu.parallel.mesh import (
+                put_global,
+                replicated,
+                shard_train_state,
+            )
+            repl = replicated(mesh)
+
+            def _g(a):
+                return put_global(np.asarray(a), repl)
+
+            if self.features is not None:
+                self.features = put_global(self.features, repl)
+            self.labels = _g(self.labels)
+            self.train_nodes = _g(self._train_nodes_np)
+            self.graph = jax.tree.map(_g, self.graph)
+            self.state = shard_train_state(self.state, mesh)
+
         # seed-restricted full-graph: built by _fg_ensure_budget on the first
         # train_epoch (the flat-list slot budget is static in the epoch fn)
         self._epoch_fn = (None if self._fg_seed_restrict else

@@ -36,6 +36,37 @@ def build_trainer(mesh, sharding_mode="gspmd"):
         batch_size=40, seed=0, mesh=mesh, sharding_mode=sharding_mode)
 
 
+def build_nc_trainer(mesh):
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.nn.optimizers import OptimizerConfig
+    from marius_tpu.train.nc import NodeClassificationTrainer
+
+    n, f, c = 80, 8, 4
+    rng = np.random.default_rng(1)
+    edges = np.stack([rng.integers(0, n, 500),
+                      rng.integers(0, n, 500)], 1).astype(np.int32)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=f),),
+        (LayerConfig(layer_type="GNN", gnn_type="GRAPH_SAGE",
+                     aggregator="MEAN", input_dim=f, output_dim=c,
+                     bias=True),),
+    ))
+    model = Model(learning_task=NODE_CLASSIFICATION, encoder=enc,
+                  decoder=None, loss_type="CROSS_ENTROPY",
+                  loss_reduction="SUM",
+                  dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+    return NodeClassificationTrainer(
+        model, build_device_graph(edges, n), feats, labels,
+        np.arange(64, dtype=np.int32),
+        [NeighborSamplingConfig("UNIFORM", max_neighbors=4)],
+        batch_size=32, seed=0, mesh=mesh)
+
+
 def main():
     pid, nproc, port = (int(sys.argv[1]), int(sys.argv[2]),
                         int(sys.argv[3]))
@@ -54,6 +85,10 @@ def main():
     trainer_x = build_trainer(mesh, sharding_mode="explicit")
     losses_x = [trainer_x.train_epoch()["loss"] for _ in range(3)]
     print("LOSSES_X " + json.dumps(losses_x), flush=True)
+    # data-parallel node classification (shard_map over seed nodes)
+    trainer_nc = build_nc_trainer(mesh)
+    losses_nc = [trainer_nc.train_epoch()["loss"] for _ in range(3)]
+    print("LOSSES_NC " + json.dumps(losses_nc), flush=True)
 
 
 if __name__ == "__main__":

@@ -74,3 +74,11 @@ def test_two_process_training_matches_single_process(tmp_path):
     trainer_x = build_trainer(mesh, sharding_mode="explicit")
     ref_x = [trainer_x.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_x[0], ref_x, rtol=1e-5)
+
+    # data-parallel NC over the same 2-process mesh
+    from tests.multihost_worker import build_nc_trainer
+    losses_nc = parse("LOSSES_NC")
+    np.testing.assert_allclose(losses_nc[0], losses_nc[1], rtol=1e-6)
+    trainer_nc = build_nc_trainer(mesh)
+    ref_nc = [trainer_nc.train_epoch()["loss"] for _ in range(3)]
+    np.testing.assert_allclose(losses_nc[0], ref_nc, rtol=1e-5)
