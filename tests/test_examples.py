@@ -55,6 +55,21 @@ def test_custom_nc_graphsage_example(tmp_path, capsys, monkeypatch):
     assert "epoch 2" in out and "accuracy" in out
 
 
+def test_mesh_example_runs(tmp_path, capsys):
+    """fb15k_237_mesh.py (the reference's fb15k_237_gpu.py twin) trains and
+    evaluates over a real device mesh on a fabricated preprocessed dataset."""
+    from marius_tpu.tools.preprocess.generate import generate_random_dataset_lp
+
+    ds = tmp_path / "ds_mesh_example"
+    generate_random_dataset_lp(str(ds), num_nodes=60, num_edges=600,
+                               num_relations=4)
+    mod = _load("fb15k_237_mesh", [str(ds)])
+    mod.NUM_EPOCHS = 2
+    mod.main()
+    out = capsys.readouterr().out
+    assert "mesh" in out and "epoch 2" in out and "mrr" in out
+
+
 def test_examples_import_cleanly():
-    for name in ("fb15k_237", "custom_lp", "ogbn_arxiv_nc"):
+    for name in ("fb15k_237", "custom_lp", "ogbn_arxiv_nc", "fb15k_237_mesh"):
         _load(name, ["/tmp/nonexistent_dataset_dir"])
