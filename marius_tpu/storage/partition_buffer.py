@@ -30,6 +30,28 @@ from marius_tpu.nn.initialization import InitConfig, initialize_tensor
 from marius_tpu.parallel.embedding_table import ADAGRAD_EPS
 
 
+def _place(arr: np.ndarray, sharding):
+    """Host -> device placement for buffer STATE arrays. With a sharding
+    whose mesh spans processes, this yields ONE global jax.Array
+    (parallel.mesh.put_global); otherwise the plain single-controller put."""
+    if sharding is None:
+        return jnp.asarray(arr)
+    from marius_tpu.parallel.mesh import put_global
+    return put_global(arr, sharding)
+
+
+def _arg(arr, sharding=None):
+    """Placement for per-call jit ARGUMENTS (admit blocks, slot indices):
+    multi-controller passes plain numpy (replicated at the jit boundary —
+    a committed process-local array would not be addressable everywhere);
+    single-controller keeps the early async transfer."""
+    if jax.process_count() > 1:
+        return np.asarray(arr)
+    if sharding is not None:
+        return jax.device_put(np.asarray(arr), sharding)
+    return jnp.asarray(arr)
+
+
 @dataclasses.dataclass
 class PartitionBuffer:
     num_nodes: int
@@ -124,14 +146,10 @@ class PartitionBuffer:
             else:
                 blocks_v.append(self.host_values[self.part_rows(p)])
                 blocks_s.append(self.host_state[self.part_rows(p)])
-        if self.sharding is not None:
-            self.device_values = jax.device_put(
-                np.concatenate(blocks_v, axis=0), self.sharding)
-            self.device_state = jax.device_put(
-                np.concatenate(blocks_s, axis=0), self.sharding)
-        else:
-            self.device_values = jnp.asarray(np.concatenate(blocks_v, axis=0))
-            self.device_state = jnp.asarray(np.concatenate(blocks_s, axis=0))
+        self.device_values = _place(np.concatenate(blocks_v, axis=0),
+                                    self.sharding)
+        self.device_state = _place(np.concatenate(blocks_s, axis=0),
+                                   self.sharding)
         self.resident = np.asarray(parts, np.int32)
         self.part_to_slot = np.full(self.num_partitions, -1, np.int32)
         for slot, p in enumerate(parts):
@@ -170,7 +188,7 @@ class PartitionBuffer:
         # compute overlaps the transfer (buffer.cpp:222-322 AsyncWriteBlock).
         if evict:
             slots = [int(self.part_to_slot[p]) for p in evict]
-            idx = jnp.asarray(np.concatenate(
+            idx = _arg(np.concatenate(
                 [np.arange(s * self.psize, (s + 1) * self.psize)
                  for s in slots]))
             vals_d = jnp.take(self.device_values, idx, axis=0)
@@ -191,11 +209,11 @@ class PartitionBuffer:
             # compiled multi-slot update (transfer latency dominates swaps on
             # remote-attached devices)
             pairs = list(zip(admit, free_slots))
-            starts = jnp.asarray([slot * self.psize for _, slot in pairs],
-                                 jnp.int32)
-            blocks_v = jnp.asarray(np.stack(
+            starts = _arg(np.asarray([slot * self.psize for _, slot in pairs],
+                                     np.int32))
+            blocks_v = _arg(np.stack(
                 [self.host_values[self.part_rows(p)] for p, _ in pairs]))
-            blocks_s = jnp.asarray(np.stack(
+            blocks_s = _arg(np.stack(
                 [self.host_state[self.part_rows(p)] for p, _ in pairs]))
             self.device_values = _update_slots(self.device_values, blocks_v, starts)
             self.device_state = _update_slots(self.device_state, blocks_s, starts)
@@ -304,8 +322,7 @@ class ReadOnlyPartitionCache:
                   if p < 0 else self.host[p * self.psize:(p + 1) * self.psize]
                   for p in parts]
         stacked = np.concatenate(blocks, axis=0)
-        self.device = (jnp.asarray(stacked) if self.sharding is None
-                       else jax.device_put(stacked, self.sharding))
+        self.device = _place(stacked, self.sharding)
         self.resident = np.asarray(parts, np.int32)
         self.part_to_slot = np.full(self.num_partitions, -1, np.int32)
         for slot, p in enumerate(parts):
@@ -326,10 +343,7 @@ class ReadOnlyPartitionCache:
         for p, slot in zip(admit, free):
             block = self.host[p * self.psize:(p + 1) * self.psize]
             self.device = _update_slot(
-                self.device,
-                jnp.asarray(block) if self.sharding is None
-                else jax.device_put(block, self.sharding),
-                slot * self.psize)
+                self.device, _arg(block, self.sharding), slot * self.psize)
             self.resident[slot] = p
             self.part_to_slot[p] = slot
 
@@ -345,9 +359,7 @@ class ReadOnlyPartitionCache:
             if p >= 0:
                 block = self.host[p * self.psize:(p + 1) * self.psize]
                 self.device = _update_slot(
-                    self.device,
-                    jnp.asarray(block) if self.sharding is None
-                    else jax.device_put(block, self.sharding),
+                    self.device, _arg(block, self.sharding),
                     slot * self.psize)
             old = int(self.resident[slot])
             if old >= 0 and self.part_to_slot[old] == slot:

@@ -48,6 +48,7 @@ from marius_tpu.ops.unique import unique_padded
 from marius_tpu.parallel.embedding_table import ADAGRAD_EPS, EmbeddingTable
 from marius_tpu.storage.partition_buffer import (
     PartitionBuffer,
+    _arg,
     sparse_adagrad_update_buffer,
 )
 from marius_tpu.tools.preprocess.partitioner import partition_edges
@@ -134,18 +135,29 @@ class PartitionBufferLPTrainer:
         if mesh is not None:
             # row-shard the HBM working set over the node axis (replicate if
             # the buffer doesn't split evenly); batches shard over data inside
-            # the compiled state function
+            # the compiled state function. Multi-controller meshes keep the
+            # buffer REPLICATED: eviction reads the device slice back to host
+            # numpy, which needs every row addressable from this process.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from marius_tpu.parallel.mesh import NODE_AXIS
             n_node = mesh.shape[NODE_AXIS]
-            if self.buffer.buffer_rows % n_node == 0:
+            if (self.buffer.buffer_rows % n_node == 0
+                    and jax.process_count() == 1):
                 self.buffer.sharding = NamedSharding(mesh, P(NODE_AXIS, None))
             else:
                 self.buffer.sharding = NamedSharding(mesh, P())
 
         self.params = init_model_params(jax.random.fold_in(key, 1), model)
         self.opt_state = init_optimizer(model.dense_optimizer, self.params)
+        if mesh is not None and jax.process_count() > 1:
+            # multi-controller: dense params/opt state must be global arrays
+            from marius_tpu.parallel.mesh import put_global, replicated
+            repl = replicated(mesh)
+            self.params = jax.tree.map(
+                lambda a: put_global(a, repl), self.params)
+            self.opt_state = jax.tree.map(
+                lambda a: put_global(a, repl), self.opt_state)
         self.epoch = 0
 
         # bucket-grouped edges: one stable sort, then per-bucket slices
@@ -180,6 +192,9 @@ class PartitionBufferLPTrainer:
             self.feature_cache = ReadOnlyPartitionCache.create(
                 np.asarray(features, np.float32), num_nodes, num_partitions,
                 self.capacity)
+            if mesh is not None and jax.process_count() > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self.feature_cache.sharding = NamedSharding(mesh, P())
         self._state_fn = None
         self._max_batches = 0
         self._max_graph_edges = 0
@@ -378,8 +393,8 @@ class PartitionBufferLPTrainer:
             if rels is not None:
                 rel_arr = np.zeros(max_edges, np.int32)
                 rel_arr[:len(rels)] = rels[order]
-                rel_arr = jnp.asarray(rel_arr)
-            return jnp.asarray(offs), jnp.asarray(cols), rel_arr
+                rel_arr = _arg(rel_arr)
+            return _arg(offs), _arg(cols), rel_arr
 
         out_offsets, out_cols, out_rels = one_dir(src, dst, rel)
         in_offsets, in_cols, in_rels = one_dir(dst, src, rel)
@@ -390,7 +405,7 @@ class PartitionBufferLPTrainer:
         return DeviceGraph(
             out_offsets=out_offsets, out_cols=out_cols, out_rels=out_rels,
             in_offsets=in_offsets, in_cols=in_cols, in_rels=in_rels,
-            degrees=jnp.asarray(deg), num_nodes=n,
+            degrees=_arg(deg), num_nodes=n,
             num_relations=self.num_relations)
 
     # ------------------------------------------------------------------
@@ -422,6 +437,9 @@ class PartitionBufferLPTrainer:
             self._max_graph_edges = max_graph_edges
 
         key = jax.random.fold_in(jax.random.key(self.seed + 7), self.epoch)
+        if self.mesh is not None and jax.process_count() > 1:
+            from marius_tpu.parallel.mesh import put_global, replicated
+            key = put_global(key, replicated(self.mesh))
         self.buffer.load(states[0])
         pad_rows = max_batches * self.batch_size
         cols = 3 if self.has_rels else 2
@@ -476,8 +494,8 @@ class PartitionBufferLPTrainer:
                  self.params, self.opt_state, key), loss = self._state_fn(
                     self.buffer.device_values, self.buffer.device_state,
                     self.params, self.opt_state, key,
-                    jnp.asarray(padded), jnp.asarray(masks),
-                    jnp.asarray(self.buffer.slot_valid_counts()), graph,
+                    _arg(padded), _arg(masks),
+                    _arg(self.buffer.slot_valid_counts()), graph,
                     self.feature_cache.device
                     if self.feature_cache is not None else None)
                 losses.append(loss)  # lazy: don't block the dispatch queue

@@ -36,6 +36,29 @@ def build_trainer(mesh, sharding_mode="gspmd"):
         batch_size=40, seed=0, mesh=mesh, sharding_mode=sharding_mode)
 
 
+def build_buffer_trainer(mesh):
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.buffer_trainer import PartitionBufferLPTrainer
+
+    num_nodes, num_rels, dim = 64, 4, 16
+    rng = np.random.default_rng(0)
+    edges = np.stack([rng.integers(0, num_nodes, 400),
+                      rng.integers(0, num_rels, 400),
+                      rng.integers(0, num_nodes, 400)], 1).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=dim),),))
+    model = Model(learning_task=LINK_PREDICTION, encoder=enc,
+                  decoder=EdgeDecoder("DISTMULT", num_rels, dim))
+    return PartitionBufferLPTrainer(
+        model, num_nodes, num_rels, edges,
+        NegativeSamplingConfig(num_chunks=4, negatives_per_positive=8),
+        batch_size=40, num_partitions=4, buffer_capacity=2, seed=0,
+        mesh=mesh)
+
+
 def build_nc_trainer(mesh):
     from marius_tpu.data.graph import build_device_graph
     from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
@@ -89,6 +112,11 @@ def main():
     trainer_nc = build_nc_trainer(mesh)
     losses_nc = [trainer_nc.train_epoch()["loss"] for _ in range(3)]
     print("LOSSES_NC " + json.dumps(losses_nc), flush=True)
+    # out-of-core buffer training: replicated HBM working set, host-RAM
+    # table, data-sharded batches, swaps/evictions across the ring of states
+    trainer_buf = build_buffer_trainer(mesh)
+    losses_buf = [trainer_buf.train_epoch()["loss"] for _ in range(3)]
+    print("LOSSES_BUF " + json.dumps(losses_buf), flush=True)
 
 
 if __name__ == "__main__":

@@ -82,3 +82,12 @@ def test_two_process_training_matches_single_process(tmp_path):
     trainer_nc = build_nc_trainer(mesh)
     ref_nc = [trainer_nc.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_nc[0], ref_nc, rtol=1e-5)
+
+    # out-of-core buffer training over the same 2-process mesh (replicated
+    # working set, data-sharded batches, host-RAM table + swaps)
+    from tests.multihost_worker import build_buffer_trainer
+    losses_buf = parse("LOSSES_BUF")
+    np.testing.assert_allclose(losses_buf[0], losses_buf[1], rtol=1e-6)
+    trainer_buf = build_buffer_trainer(mesh)
+    ref_buf = [trainer_buf.train_epoch()["loss"] for _ in range(3)]
+    np.testing.assert_allclose(losses_buf[0], ref_buf, rtol=1e-5)
