@@ -35,7 +35,7 @@ from marius_tpu.data.samplers.neighbor import (
 from marius_tpu.nn.encoder import encoder_forward
 from marius_tpu.nn.model import NODE_CLASSIFICATION, Model, init_model_params, nc_batch_loss
 from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
-from marius_tpu.storage.partition_buffer import ReadOnlyPartitionCache
+from marius_tpu.storage.partition_buffer import ReadOnlyPartitionCache, _arg
 from marius_tpu.tools.preprocess.partitioner import partition_edges
 from marius_tpu.train.trainer import TrainState
 
@@ -114,6 +114,14 @@ class PartitionBufferNCTrainer:
         key = jax.random.key(seed)
         self.params = init_model_params(jax.random.fold_in(key, 1), model)
         self.opt_state = init_optimizer(model.dense_optimizer, self.params)
+        if mesh is not None and jax.process_count() > 1:
+            # multi-controller: dense params/opt state must be global arrays
+            from marius_tpu.parallel.mesh import put_global, replicated
+            repl = replicated(mesh)
+            self.params = jax.tree.map(
+                lambda a: put_global(a, repl), self.params)
+            self.opt_state = jax.tree.map(
+                lambda a: put_global(a, repl), self.opt_state)
         self.epoch = 0
         self.epochs_per_shuffle = max(1, int(epochs_per_shuffle))
         self._state_fn = None
@@ -213,7 +221,7 @@ class PartitionBufferNCTrainer:
             offs = np.concatenate([offs, offs[-1:]])
             cols = np.full(max_edges, n, np.int32)
             cols[:len(other)] = other[order]
-            return jnp.asarray(offs), jnp.asarray(cols)
+            return _arg(offs), _arg(cols)
 
         out_offsets, out_cols = one_dir(src, dst)
         in_offsets, in_cols = one_dir(dst, src)
@@ -224,7 +232,7 @@ class PartitionBufferNCTrainer:
         return DeviceGraph(
             out_offsets=out_offsets, out_cols=out_cols, out_rels=None,
             in_offsets=in_offsets, in_cols=in_cols, in_rels=None,
-            degrees=jnp.asarray(deg), num_nodes=n, num_relations=1)
+            degrees=_arg(deg), num_nodes=n, num_relations=1)
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
@@ -251,6 +259,9 @@ class PartitionBufferNCTrainer:
             self._shapes = shapes
 
         key = jax.random.fold_in(jax.random.key(self.seed + 17), self.epoch)
+        if self.mesh is not None and jax.process_count() > 1:
+            from marius_tpu.parallel.mesh import put_global, replicated
+            key = put_global(key, replicated(self.mesh))
         losses = []
         pad_rows = max_batches * self.batch_size
         fill = self.cache.buffer_rows
@@ -274,9 +285,9 @@ class PartitionBufferNCTrainer:
             b = self.batch_size
             self.params, self.opt_state, key, loss = self._state_fn(
                 self.params, self.opt_state, key, self.cache.device, graph,
-                jnp.asarray(seeds_pad.reshape(max_batches, b)),
-                jnp.asarray(masks.reshape(max_batches, b)),
-                jnp.asarray(labels_pad.reshape(max_batches, b)))
+                _arg(seeds_pad.reshape(max_batches, b)),
+                _arg(masks.reshape(max_batches, b)),
+                _arg(labels_pad.reshape(max_batches, b)))
             losses.append(loss)
 
         total_loss = float(jnp.sum(jnp.stack(losses)))
@@ -357,8 +368,8 @@ class PartitionBufferNCTrainer:
             masks = np.arange(pad_rows) < len(seeds_l)
             acc = jax.device_get(eval_fn(
                 self.params, self.cache.device, graph,
-                jnp.asarray(seeds_pad), jnp.asarray(masks),
-                jnp.asarray(labels_pad)))
+                _arg(seeds_pad), _arg(masks),
+                _arg(labels_pad)))
             totals = {k: totals[k] + float(v) for k, v in acc.items()}
 
         reporter = NodeClassificationReporter()

@@ -90,6 +90,36 @@ def build_nc_trainer(mesh):
         batch_size=32, seed=0, mesh=mesh)
 
 
+def build_nc_buffer_trainer(mesh):
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.nn.optimizers import OptimizerConfig
+    from marius_tpu.train.nc_buffer import PartitionBufferNCTrainer
+
+    n, f, c = 80, 8, 4
+    rng = np.random.default_rng(1)
+    edges = np.stack([rng.integers(0, n, 500),
+                      rng.integers(0, n, 500)], 1).astype(np.int32)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=f),),
+        (LayerConfig(layer_type="GNN", gnn_type="GRAPH_SAGE",
+                     aggregator="MEAN", input_dim=f, output_dim=c,
+                     bias=True),),
+    ))
+    model = Model(learning_task=NODE_CLASSIFICATION, encoder=enc,
+                  decoder=None, loss_type="CROSS_ENTROPY",
+                  loss_reduction="SUM",
+                  dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+    return PartitionBufferNCTrainer(
+        model, edges, feats, labels, np.arange(64, dtype=np.int32),
+        (NeighborSamplingConfig("UNIFORM", max_neighbors=4),),
+        num_nodes=n, batch_size=32, num_partitions=4, buffer_capacity=2,
+        ordering="SEQUENTIAL", seed=0, mesh=mesh)
+
+
 def main():
     pid, nproc, port = (int(sys.argv[1]), int(sys.argv[2]),
                         int(sys.argv[3]))
@@ -117,6 +147,10 @@ def main():
     trainer_buf = build_buffer_trainer(mesh)
     losses_buf = [trainer_buf.train_epoch()["loss"] for _ in range(3)]
     print("LOSSES_BUF " + json.dumps(losses_buf), flush=True)
+    # out-of-core node classification (partition feature cache + swaps)
+    trainer_ncb = build_nc_buffer_trainer(mesh)
+    losses_ncb = [trainer_ncb.train_epoch()["loss"] for _ in range(3)]
+    print("LOSSES_NCB " + json.dumps(losses_ncb), flush=True)
 
 
 if __name__ == "__main__":

@@ -91,3 +91,11 @@ def test_two_process_training_matches_single_process(tmp_path):
     trainer_buf = build_buffer_trainer(mesh)
     ref_buf = [trainer_buf.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_buf[0], ref_buf, rtol=1e-5)
+
+    # out-of-core NC (partition feature cache) — all four trainers covered
+    from tests.multihost_worker import build_nc_buffer_trainer
+    losses_ncb = parse("LOSSES_NCB")
+    np.testing.assert_allclose(losses_ncb[0], losses_ncb[1], rtol=1e-6)
+    trainer_ncb = build_nc_buffer_trainer(mesh)
+    ref_ncb = [trainer_ncb.train_epoch()["loss"] for _ in range(3)]
+    np.testing.assert_allclose(losses_ncb[0], ref_ncb, rtol=1e-5)
