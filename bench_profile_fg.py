@@ -1,14 +1,13 @@
 """Profile the full-graph NC epoch on the real TPU: trace + op breakdown.
 Run detached: setsid nohup python bench_profile_fg.py > /tmp/prof_fg.log 2>&1 &
 """
-import sys, time
-sys.path.insert(0, "/root/repo")
-import numpy as np, jax
-sys.path.insert(0, "/root/repo")
+import time
+
+import jax
+
 import bench_nc_full as B
 
 trainer = B.build_trainer(True, dtype=None)  # f32 full-graph
-import jax.numpy as jnp
 print("init done", flush=True)
 t0 = time.perf_counter()
 trainer.train_epoch()

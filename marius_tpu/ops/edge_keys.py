@@ -47,10 +47,11 @@ def build_edge_key_set(edges: np.ndarray, corrupt_dst: bool) -> EdgeKeySet:
     rel = e[:, 1].astype(np.int32) if has_rel else np.zeros_like(src)
     anchor, other = (src, dst) if corrupt_dst else (dst, src)
     order = np.lexsort((other, rel, anchor))
+    from marius_tpu.parallel.mesh import put_closure
     return EdgeKeySet(
-        anchor=jnp.asarray(anchor[order]),
-        rel=jnp.asarray(rel[order]),
-        other=jnp.asarray(other[order]),
+        anchor=put_closure(anchor[order]),
+        rel=put_closure(rel[order]),
+        other=put_closure(other[order]),
     )
 
 

@@ -69,6 +69,40 @@ def jnp_issubdtype_prng(dtype) -> bool:
         return False
 
 
+def put_arg(arr, sharding: Optional[NamedSharding] = None):
+    """Placement for per-call jit ARGUMENTS (batch blocks, index vectors):
+    multi-controller passes plain numpy (replicated at the jit boundary — a
+    committed process-local array would not be addressable everywhere);
+    single-controller keeps the early async device transfer."""
+    import jax.numpy as jnp
+    import numpy as _np
+    if jax.process_count() > 1:
+        return _np.asarray(arr)
+    if sharding is not None:
+        return jax.device_put(_np.asarray(arr), sharding)
+    return jnp.asarray(arr)
+
+
+def put_closure(arr):
+    """Placement for arrays CLOSED OVER by jitted code (not passed as
+    arguments): these must be jax.Arrays at trace time — multi-controller
+    makes them global, replicated over ALL devices (no mesh needed)."""
+    import jax.numpy as jnp
+    import numpy as _np
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    m = Mesh(_np.asarray(jax.devices()).reshape(-1), ("_repl",))
+    return put_global(_np.asarray(arr), NamedSharding(m, P()))
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Place every leaf of a pytree as ONE mesh-replicated global array
+    (multi-controller-safe; PRNG key leaves handled). Used by trainers to
+    make params/opt-state/keys global when the mesh spans processes."""
+    repl = replicated(mesh)
+    return jax.tree.map(lambda a: put_global(a, repl), tree)
+
+
 def shard_train_state(state, mesh: Mesh):
     """Place a TrainState on a mesh: embedding table + Adagrad state row-sharded
     over NODE_AXIS (replicated over DATA_AXIS), dense params/opt replicated.

@@ -41,15 +41,9 @@ def _place(arr: np.ndarray, sharding):
 
 
 def _arg(arr, sharding=None):
-    """Placement for per-call jit ARGUMENTS (admit blocks, slot indices):
-    multi-controller passes plain numpy (replicated at the jit boundary —
-    a committed process-local array would not be addressable everywhere);
-    single-controller keeps the early async transfer."""
-    if jax.process_count() > 1:
-        return np.asarray(arr)
-    if sharding is not None:
-        return jax.device_put(np.asarray(arr), sharding)
-    return jnp.asarray(arr)
+    """Per-call jit argument placement — see parallel.mesh.put_arg."""
+    from marius_tpu.parallel.mesh import put_arg
+    return put_arg(arr, sharding)
 
 
 @dataclasses.dataclass

@@ -152,12 +152,9 @@ class PartitionBufferLPTrainer:
         self.opt_state = init_optimizer(model.dense_optimizer, self.params)
         if mesh is not None and jax.process_count() > 1:
             # multi-controller: dense params/opt state must be global arrays
-            from marius_tpu.parallel.mesh import put_global, replicated
-            repl = replicated(mesh)
-            self.params = jax.tree.map(
-                lambda a: put_global(a, repl), self.params)
-            self.opt_state = jax.tree.map(
-                lambda a: put_global(a, repl), self.opt_state)
+            from marius_tpu.parallel.mesh import replicate_tree
+            self.params = replicate_tree(self.params, mesh)
+            self.opt_state = replicate_tree(self.opt_state, mesh)
         self.epoch = 0
 
         # bucket-grouped edges: one stable sort, then per-bucket slices
@@ -438,8 +435,8 @@ class PartitionBufferLPTrainer:
 
         key = jax.random.fold_in(jax.random.key(self.seed + 7), self.epoch)
         if self.mesh is not None and jax.process_count() > 1:
-            from marius_tpu.parallel.mesh import put_global, replicated
-            key = put_global(key, replicated(self.mesh))
+            from marius_tpu.parallel.mesh import replicate_tree
+            key = replicate_tree(key, self.mesh)
         self.buffer.load(states[0])
         pad_rows = max_batches * self.batch_size
         cols = 3 if self.has_rels else 2
@@ -543,6 +540,11 @@ class PartitionBufferLPTrainer:
         self.buffer.resident = None  # force reload on next epoch
         self.params = s.params
         self.opt_state = s.opt_state
+        if self.mesh is not None and jax.process_count() > 1:
+            # restored leaves may be host/local: re-place them globally
+            from marius_tpu.parallel.mesh import replicate_tree
+            self.params = replicate_tree(self.params, self.mesh)
+            self.opt_state = replicate_tree(self.opt_state, self.mesh)
         self.epoch = int(s.epoch)
 
     # GNN-path attributes the manager probes on trainers

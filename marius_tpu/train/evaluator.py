@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from marius_tpu.parallel.mesh import put_arg
 from marius_tpu.data.samplers.negative import NegativeSamplingConfig, sample_negatives
 from marius_tpu.nn.encoder import encoder_forward
 from marius_tpu.nn.model import Model
@@ -80,7 +81,7 @@ class LinkPredictionEvaluator:
                 full_graph, model.encoder, feats)
 
         padded, self.num_edges, self.num_batches = pad_edges(eval_edges, batch_size)
-        self.edges = jnp.asarray(padded)
+        self.edges = put_arg(padded)
         self.has_rels = padded.shape[1] == 3
 
         self.dst_keys = self.src_keys = None
@@ -251,14 +252,14 @@ class LinkPredictionEvaluator:
             return adj, decoder.pos_scores(adj, other_e)
 
         directions = []
-        src_e = jnp.asarray(host[edges[:, 0]])
-        dst_e = jnp.asarray(host[edges[:, -1]])
-        rel_j = None if rels_np is None else jnp.asarray(rels_np)
+        src_e = put_arg(host[edges[:, 0]])
+        dst_e = put_arg(host[edges[:, -1]])
+        rel_j = None if rels_np is None else put_arg(rels_np)
         adj, pos = adjust(src_e, dst_e, rel_j, False)
-        directions.append((adj, pos, jnp.asarray(edges[:, 0]), self.dst_keys))
+        directions.append((adj, pos, put_arg(edges[:, 0]), self.dst_keys))
         if decoder.use_inverse_relations and rels_np is not None:
             adj2, pos2 = adjust(dst_e, src_e, rel_j, True)
-            directions.append((adj2, pos2, jnp.asarray(edges[:, -1]), self.src_keys))
+            directions.append((adj2, pos2, put_arg(edges[:, -1]), self.src_keys))
 
         e = len(edges)
         n_slices = -(-e // edge_slice)
@@ -290,12 +291,12 @@ class LinkPredictionEvaluator:
                 pad = edge_slice - (sl.stop - sl.start)
                 slices.append((
                     sl,
-                    jnp.asarray(np.pad(adj_np[sl], ((0, pad), (0, 0)))),
-                    jnp.asarray(np.pad(pos_np[sl], (0, pad),
+                    put_arg(np.pad(adj_np[sl], ((0, pad), (0, 0)))),
+                    put_arg(np.pad(pos_np[sl], (0, pad),
                                        constant_values=np.inf)),
-                    jnp.asarray(np.pad(anchors_np[sl], (0, pad))),
+                    put_arg(np.pad(anchors_np[sl], (0, pad))),
                     None if rels_np is None else
-                    jnp.asarray(np.pad(rels_np[sl.start:sl.stop], (0, pad))),
+                    put_arg(np.pad(rels_np[sl.start:sl.stop], (0, pad))),
                 ))
             counts = np.zeros(e, np.int64)
             for start in range(0, num_nodes, node_tile):
@@ -304,7 +305,7 @@ class LinkPredictionEvaluator:
                     block = np.concatenate(
                         [block, np.zeros((node_tile - len(block),
                                           block.shape[1]), block.dtype)])
-                tile = jnp.asarray(block)
+                tile = put_arg(block)
                 for sl, a, p, an, r in slices:
                     c = np.asarray(tile_counts(a, p, an, r, tile, start, keys))
                     counts[sl] += c[:sl.stop - sl.start]

@@ -230,12 +230,14 @@ class NodeClassificationTrainer:
         # global jax.Array — place state/graph/features/labels replicated
         # across the mesh (parallel/multihost.py; the ring full-graph mode
         # stays single-controller for now).
-        if (mesh is not None and jax.process_count() > 1
-                and not self._fg_sharded and self.full_graph is None):
+        if mesh is not None and jax.process_count() > 1:
+            assert not self._fg_sharded and self.full_graph is None, \
+                ("full-graph modes are single-controller; use the sampled "
+                 "path (full_graph=None) under a multi-process mesh")
             from marius_tpu.parallel.mesh import (
                 put_global,
+                replicate_tree,
                 replicated,
-                shard_train_state,
             )
             repl = replicated(mesh)
 
@@ -247,7 +249,10 @@ class NodeClassificationTrainer:
             self.labels = _g(self.labels)
             self.train_nodes = _g(self._train_nodes_np)
             self.graph = jax.tree.map(_g, self.graph)
-            self.state = shard_train_state(self.state, mesh)
+            # replicated everywhere — matches _sharded_batch_step's P() spec
+            # (a row-sharded table would be all-gathered on the first step
+            # and force a second epoch compile when its sharding changed)
+            self.state = replicate_tree(self.state, mesh)
 
         # seed-restricted full-graph: built by _fg_ensure_budget on the first
         # train_epoch (the flat-list slot budget is static in the epoch fn)
@@ -540,7 +545,8 @@ class NodeClassificationEvaluator:
         self.hop_caps = tuple(estimate_hop_caps(
             self.batch_size, trainer.nbr_configs, trainer.graph.num_nodes))
         padded, self.num_eval, self.num_batches = _pad_ids(eval_nodes, self.batch_size)
-        self.eval_nodes = jnp.asarray(padded)
+        from marius_tpu.parallel.mesh import put_arg
+        self.eval_nodes = put_arg(padded)
         self.seed = seed
         self._eval_fn = jax.jit(self._build_eval_fn())
 

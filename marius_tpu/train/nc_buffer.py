@@ -116,12 +116,9 @@ class PartitionBufferNCTrainer:
         self.opt_state = init_optimizer(model.dense_optimizer, self.params)
         if mesh is not None and jax.process_count() > 1:
             # multi-controller: dense params/opt state must be global arrays
-            from marius_tpu.parallel.mesh import put_global, replicated
-            repl = replicated(mesh)
-            self.params = jax.tree.map(
-                lambda a: put_global(a, repl), self.params)
-            self.opt_state = jax.tree.map(
-                lambda a: put_global(a, repl), self.opt_state)
+            from marius_tpu.parallel.mesh import replicate_tree
+            self.params = replicate_tree(self.params, mesh)
+            self.opt_state = replicate_tree(self.opt_state, mesh)
         self.epoch = 0
         self.epochs_per_shuffle = max(1, int(epochs_per_shuffle))
         self._state_fn = None
@@ -260,8 +257,8 @@ class PartitionBufferNCTrainer:
 
         key = jax.random.fold_in(jax.random.key(self.seed + 17), self.epoch)
         if self.mesh is not None and jax.process_count() > 1:
-            from marius_tpu.parallel.mesh import put_global, replicated
-            key = put_global(key, replicated(self.mesh))
+            from marius_tpu.parallel.mesh import replicate_tree
+            key = replicate_tree(key, self.mesh)
         losses = []
         pad_rows = max_batches * self.batch_size
         fill = self.cache.buffer_rows
@@ -390,6 +387,11 @@ class PartitionBufferNCTrainer:
     def state(self, s: TrainState) -> None:
         self.params = s.params
         self.opt_state = s.opt_state
+        if self.mesh is not None and jax.process_count() > 1:
+            # restored leaves may be host/local: re-place them globally
+            from marius_tpu.parallel.mesh import replicate_tree
+            self.params = replicate_tree(self.params, self.mesh)
+            self.opt_state = replicate_tree(self.opt_state, self.mesh)
         self.epoch = int(s.epoch)
 
     graph = None

@@ -461,10 +461,12 @@ class LinkPredictionTrainer:
                 rows = padded
             masks = np.arange(ce) < valid
             # device_put dispatches async: chunk k+1's host prep and H2D
-            # overlap chunk k's compute
+            # overlap chunk k's compute. put_arg keeps the chunk numpy under
+            # a multi-controller mesh (replicated at the jit boundary).
+            from marius_tpu.parallel.mesh import put_arg
             self.state, loss = self._chunk_fn(
-                self.state, jax.device_put(jnp.asarray(np.ascontiguousarray(rows))),
-                jnp.asarray(masks))
+                self.state, put_arg(np.ascontiguousarray(rows)),
+                put_arg(masks))
             losses.append(loss)
         self.state = dataclasses.replace(self.state, epoch=self.state.epoch + 1)
         self._host_epoch += 1

@@ -14,7 +14,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
-def build_trainer(mesh, sharding_mode="gspmd"):
+def build_trainer(mesh, sharding_mode="gspmd", edges_backend="DEVICE_MEMORY"):
     from marius_tpu.data.samplers.negative import NegativeSamplingConfig
     from marius_tpu.nn.decoders.edge import EdgeDecoder
     from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
@@ -33,7 +33,31 @@ def build_trainer(mesh, sharding_mode="gspmd"):
     return LinkPredictionTrainer(
         model, num_nodes, num_rels, edges,
         NegativeSamplingConfig(num_chunks=4, negatives_per_positive=8),
-        batch_size=40, seed=0, mesh=mesh, sharding_mode=sharding_mode)
+        batch_size=40, seed=0, mesh=mesh, sharding_mode=sharding_mode,
+        edges_backend=edges_backend)
+
+
+def evaluate_lp(trainer):
+    """Filtered MRR of the trained state — exercises the evaluator stack
+    (streamed filtered ranks, edge key sets) under the trainer's placement."""
+    from marius_tpu.train.evaluator import LinkPredictionEvaluator
+
+    rng = np.random.default_rng(0)
+    edges = np.stack([rng.integers(0, 64, 400),
+                      rng.integers(0, 4, 400),
+                      rng.integers(0, 64, 400)], 1).astype(np.int32)
+    ev = LinkPredictionEvaluator(
+        trainer.model, 64, 4, edges[:100], all_edges=edges,
+        batch_size=50, filtered=True)
+    return float(ev.evaluate(trainer.state)["mrr"])
+
+
+def evaluate_nc(trainer):
+    from marius_tpu.train.nc import NodeClassificationEvaluator
+
+    ev = NodeClassificationEvaluator(trainer,
+                                     np.arange(64, 80, dtype=np.int32))
+    return float(ev.evaluate(trainer.state)["accuracy"])
 
 
 def build_buffer_trainer(mesh):
@@ -134,6 +158,12 @@ def main():
     trainer = build_trainer(mesh)
     losses = [trainer.train_epoch()["loss"] for _ in range(3)]
     print("LOSSES " + json.dumps(losses), flush=True)
+    # filtered evaluation against the global trained state
+    print("MRR " + json.dumps(evaluate_lp(trainer)), flush=True)
+    # host-streamed edge tier under the same multi-process mesh
+    trainer_h = build_trainer(mesh, edges_backend="HOST_MEMORY")
+    losses_h = [trainer_h.train_epoch()["loss"] for _ in range(2)]
+    print("LOSSES_HOST " + json.dumps(losses_h), flush=True)
     # the explicit shard_map collective step over the same global mesh
     trainer_x = build_trainer(mesh, sharding_mode="explicit")
     losses_x = [trainer_x.train_epoch()["loss"] for _ in range(3)]
@@ -142,6 +172,7 @@ def main():
     trainer_nc = build_nc_trainer(mesh)
     losses_nc = [trainer_nc.train_epoch()["loss"] for _ in range(3)]
     print("LOSSES_NC " + json.dumps(losses_nc), flush=True)
+    print("NC_ACC " + json.dumps(evaluate_nc(trainer_nc)), flush=True)
     # out-of-core buffer training: replicated HBM working set, host-RAM
     # table, data-sharded batches, swaps/evictions across the ring of states
     trainer_buf = build_buffer_trainer(mesh)

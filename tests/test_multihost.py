@@ -42,9 +42,16 @@ def test_two_process_training_matches_single_process(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         cwd=str(tmp_path)) for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=420)
-        outs.append(out.decode())
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode())
+    finally:
+        # one worker dying leaves its peer blocked in a collective — never
+        # leak the pair past the test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
 
@@ -71,6 +78,17 @@ def test_two_process_training_matches_single_process(tmp_path):
     ref = [trainer.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
     assert ref[-1] < ref[0]
+
+    # filtered evaluation ran multi-controller and matches in-process
+    from tests.multihost_worker import evaluate_lp
+    mrr = parse("MRR")
+    np.testing.assert_allclose(mrr[0], mrr[1], rtol=1e-6)
+    np.testing.assert_allclose(mrr[0], evaluate_lp(trainer), rtol=1e-5)
+
+    # host-streamed edge tier under the multi-process mesh
+    losses_h = parse("LOSSES_HOST")
+    np.testing.assert_allclose(losses_h[0], losses_h[1], rtol=1e-6)
+    assert all(np.isfinite(losses_h[0]))
     trainer_x = build_trainer(mesh, sharding_mode="explicit")
     ref_x = [trainer_x.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_x[0], ref_x, rtol=1e-5)
@@ -82,6 +100,10 @@ def test_two_process_training_matches_single_process(tmp_path):
     trainer_nc = build_nc_trainer(mesh)
     ref_nc = [trainer_nc.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_nc[0], ref_nc, rtol=1e-5)
+    from tests.multihost_worker import evaluate_nc
+    acc = parse("NC_ACC")
+    np.testing.assert_allclose(acc[0], acc[1], rtol=1e-6)
+    np.testing.assert_allclose(acc[0], evaluate_nc(trainer_nc), atol=1e-6)
 
     # out-of-core buffer training over the same 2-process mesh (replicated
     # working set, data-sharded batches, host-RAM table + swaps)
