@@ -9,11 +9,31 @@ import json
 import sys
 
 
+def _maybe_init_multihost():
+    """Join the jax.distributed coordination service when the multi-host env
+    vars are set (the same script runs unchanged on every host):
+
+        MARIUS_COORDINATOR=host0:1234 MARIUS_NUM_PROCESSES=4 \\
+        MARIUS_PROCESS_ID=<i> marius_train config.yaml
+
+    Must run before any other JAX use; after it, jax.devices() is the GLOBAL
+    device list and `training.mesh` spans all hosts."""
+    import os
+    coord = os.environ.get("MARIUS_COORDINATOR")
+    if not coord:
+        return
+    from marius_tpu.parallel import multihost
+    multihost.initialize(
+        coord, num_processes=int(os.environ["MARIUS_NUM_PROCESSES"]),
+        process_id=int(os.environ["MARIUS_PROCESS_ID"]))
+
+
 def marius_train(argv=None):
     p = argparse.ArgumentParser("marius_train", description="Config-driven training")
     p.add_argument("config", help="path to YAML config")
     p.add_argument("--model_dir", default=None)
     args = p.parse_args(argv)
+    _maybe_init_multihost()
     from marius_tpu.manager import marius_train as run
     result = run(args.config, model_dir=args.model_dir)
     if "test" in result:
@@ -27,6 +47,7 @@ def marius_eval(argv=None):
     p.add_argument("config", help="path to YAML config")
     p.add_argument("--model_dir", default=None)
     args = p.parse_args(argv)
+    _maybe_init_multihost()
     from marius_tpu.manager import marius_eval as run
     result = run(args.config, model_dir=args.model_dir)
     for split in ("test", "valid"):

@@ -29,6 +29,75 @@ def _free_port():
 
 
 @needs8
+def test_cli_env_multihost(tmp_path):
+    """MARIUS_COORDINATOR env vars make the stock `marius_train` CLI run
+    multi-controller: two processes train the same YAML over a global mesh
+    and report identical test metrics."""
+    from marius_tpu.tools.preprocess.generate import generate_random_dataset_lp
+
+    ds = tmp_path / "ds_cli_mh"
+    generate_random_dataset_lp(str(ds), num_nodes=60, num_edges=600,
+                               num_relations=4)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+model:
+  learning_task: LINK_PREDICTION
+  encoder:
+    layers: [[{{type: EMBEDDING, output_dim: 16}}]]
+  decoder: {{type: DISTMULT}}
+  loss: {{type: SOFTMAX_CE, options: {{reduction: SUM}}}}
+storage:
+  dataset: {{dataset_dir: {ds}/}}
+  save_model: false
+training:
+  batch_size: 40
+  num_epochs: 2
+  negative_sampling: {{num_chunks: 4, negatives_per_positive: 8}}
+  mesh: {{data: 4, node: 2}}
+evaluation:
+  batch_size: 40
+  negative_sampling: {{filtered: true}}
+""")
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MARIUS_COORDINATOR"] = f"localhost:{port}"
+    env["MARIUS_NUM_PROCESSES"] = "2"
+    env.pop("PYTEST_CURRENT_TEST", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(WORKER))
+
+    procs = []
+    for i in range(2):
+        e = dict(env)
+        e["MARIUS_PROCESS_ID"] = str(i)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu');"
+             "from marius_tpu.tools.cli import marius_train;"
+             f"marius_train([{str(str(cfg))!r}])"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=e,
+            cwd=str(tmp_path)))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"cli worker {i} failed:\n{out[-4000:]}"
+    metrics = [json.loads([l for l in out.splitlines()
+                           if l.startswith("{")][-1]) for out in outs]
+    for m in metrics:
+        m.pop("eval_time_s", None)   # wall-clock differs per process
+    assert metrics[0] == metrics[1]
+    assert 0.0 < metrics[0]["mrr"] <= 1.0
+
+
+@needs8
 def test_two_process_training_matches_single_process(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
