@@ -129,12 +129,33 @@ def _build_from_pairs(a: np.ndarray, o: np.ndarray, num_nodes: int,
 
 def shard_rows(x: np.ndarray, graph: ShardedFullGraph, mesh, axis: str):
     """Pad a (N, d) host array to (S*n_loc, d) and place it row-sharded over
-    ``axis`` (padding rows zero)."""
+    ``axis`` (padding rows zero; process-spanning meshes supported)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from marius_tpu.parallel.mesh import put_global
     n, d = x.shape
     pad = np.zeros((graph.padded_nodes, d), x.dtype)
     pad[:n] = x
-    return jax.device_put(pad, NamedSharding(mesh, P(axis, None)))
+    return put_global(pad, NamedSharding(mesh, P(axis, None)))
+
+
+def place_on_mesh(graph, mesh, axis: str):
+    """Re-place a ring structure's arrays for a mesh that may span
+    PROCESSES: leading-S arrays shard over ``axis``, 1-D arrays replicate.
+    Works for ShardedFullGraph and ShardedRelGraph alike (any pytree of
+    arrays whose sharded dim is the leading one). Single-process this is a
+    no-op (shard_map re-shards on dispatch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from marius_tpu.parallel.mesh import put_global
+    if jax.process_count() == 1:
+        return graph
+
+    def place(a):
+        spec = (P(axis, *([None] * (a.ndim - 1))) if a.ndim > 1 else P())
+        return put_global(np.asarray(a), NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, graph)
 
 
 def make_nbr_sum_sharded(graph: ShardedFullGraph, mesh, axis: str):

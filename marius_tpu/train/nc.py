@@ -103,6 +103,10 @@ class NodeClassificationTrainer:
                 assert features is not None and not model.has_embeddings, \
                     "sharded full-graph mode needs feature inputs " \
                     "(sharded embedding tables: use the sampled path)"
+                assert jax.process_count() == 1, \
+                    ("the ring full-graph mode is single-controller (its "
+                     "sharded structures are jit closures); use the sampled "
+                     "path or a single process")
                 self._fg_sharded = True
                 self._fg_axis = axes[0][0]
         local_batch = batch_size
@@ -139,10 +143,11 @@ class NodeClassificationTrainer:
             from marius_tpu.nn.full_graph_encoder import (
                 prepare_sharded_full_graph,
             )
+            from marius_tpu.data.full_graph_sharded import place_on_mesh
             s = mesh.shape[self._fg_axis]
             offsets, csr_nbrs = host_csr_from_adjacency(full_graph)
-            self._fg_sg = build_sharded_from_csr(
-                offsets, csr_nbrs, num_nodes, s)
+            self._fg_sg = place_on_mesh(build_sharded_from_csr(
+                offsets, csr_nbrs, num_nodes, s), mesh, self._fg_axis)
             n_pad = self._fg_sg.padded_nodes
             self._fg_x = shard_rows(
                 np.asarray(np.asarray(features, np.float32), dtype),
@@ -166,8 +171,9 @@ class NodeClassificationTrainer:
                 assert full_graph.rel is not None, \
                     ("sharded RGCN needs the relational companion: build "
                      "the adjacency with with_relations=True")
-                rel_sharded = build_sharded_rel_graph(
-                    edges_from_rel_graph(full_graph.rel), num_nodes, s)
+                rel_sharded = place_on_mesh(build_sharded_rel_graph(
+                    edges_from_rel_graph(full_graph.rel), num_nodes, s),
+                    mesh, self._fg_axis)
             self._fg_view, self._fg_ops = prepare_sharded_full_graph(
                 self._fg_sg, model.encoder, in_deg, out_deg, mesh,
                 self._fg_axis, features=self._fg_x, rel_sharded=rel_sharded)
@@ -231,9 +237,8 @@ class NodeClassificationTrainer:
         # across the mesh (parallel/multihost.py; the ring full-graph mode
         # stays single-controller for now).
         if mesh is not None and jax.process_count() > 1:
-            assert not self._fg_sharded and self.full_graph is None, \
-                ("full-graph modes are single-controller; use the sampled "
-                 "path (full_graph=None) under a multi-process mesh")
+            # ring full-graph structures were placed globally above
+            # (place_on_mesh); everything else replicates across the mesh
             from marius_tpu.parallel.mesh import (
                 put_global,
                 replicate_tree,
@@ -248,7 +253,8 @@ class NodeClassificationTrainer:
                 self.features = put_global(self.features, repl)
             self.labels = _g(self.labels)
             self.train_nodes = _g(self._train_nodes_np)
-            self.graph = jax.tree.map(_g, self.graph)
+            if self.graph is not None:
+                self.graph = jax.tree.map(_g, self.graph)
             # replicated everywhere — matches _sharded_batch_step's P() spec
             # (a row-sharded table would be all-gathered on the first step
             # and force a second epoch compile when its sharding changed)

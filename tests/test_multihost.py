@@ -190,3 +190,4 @@ def test_two_process_training_matches_single_process(tmp_path):
     trainer_ncb = build_nc_buffer_trainer(mesh)
     ref_ncb = [trainer_ncb.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_ncb[0], ref_ncb, rtol=1e-5)
+
