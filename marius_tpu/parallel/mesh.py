@@ -83,6 +83,9 @@ def put_arg(arr, sharding: Optional[NamedSharding] = None):
     return jnp.asarray(arr)
 
 
+_ALL_DEVICE_REPL = None
+
+
 def put_closure(arr):
     """Placement for arrays CLOSED OVER by jitted code (not passed as
     arguments): these must be jax.Arrays at trace time — multi-controller
@@ -91,8 +94,11 @@ def put_closure(arr):
     import numpy as _np
     if jax.process_count() == 1:
         return jnp.asarray(arr)
-    m = Mesh(_np.asarray(jax.devices()).reshape(-1), ("_repl",))
-    return put_global(_np.asarray(arr), NamedSharding(m, P()))
+    global _ALL_DEVICE_REPL
+    if _ALL_DEVICE_REPL is None:
+        m = Mesh(_np.asarray(jax.devices()).reshape(-1), ("_repl",))
+        _ALL_DEVICE_REPL = NamedSharding(m, P())
+    return put_global(_np.asarray(arr), _ALL_DEVICE_REPL)
 
 
 def replicate_tree(tree, mesh: Mesh):

@@ -46,9 +46,9 @@ from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
 from marius_tpu.ops.pallas import gather_rows_auto
 from marius_tpu.ops.unique import unique_padded
 from marius_tpu.parallel.embedding_table import ADAGRAD_EPS, EmbeddingTable
+from marius_tpu.parallel.mesh import put_arg as _arg
 from marius_tpu.storage.partition_buffer import (
     PartitionBuffer,
-    _arg,
     sparse_adagrad_update_buffer,
 )
 from marius_tpu.tools.preprocess.partitioner import partition_edges

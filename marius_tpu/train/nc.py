@@ -138,12 +138,12 @@ class NodeClassificationTrainer:
             from marius_tpu.data.full_graph import host_csr_from_adjacency
             from marius_tpu.data.full_graph_sharded import (
                 build_sharded_from_csr,
+                place_on_mesh,
                 shard_rows,
             )
             from marius_tpu.nn.full_graph_encoder import (
                 prepare_sharded_full_graph,
             )
-            from marius_tpu.data.full_graph_sharded import place_on_mesh
             s = mesh.shape[self._fg_axis]
             offsets, csr_nbrs = host_csr_from_adjacency(full_graph)
             self._fg_sg = place_on_mesh(build_sharded_from_csr(

@@ -35,7 +35,8 @@ from marius_tpu.data.samplers.neighbor import (
 from marius_tpu.nn.encoder import encoder_forward
 from marius_tpu.nn.model import NODE_CLASSIFICATION, Model, init_model_params, nc_batch_loss
 from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
-from marius_tpu.storage.partition_buffer import ReadOnlyPartitionCache, _arg
+from marius_tpu.parallel.mesh import put_arg as _arg
+from marius_tpu.storage.partition_buffer import ReadOnlyPartitionCache
 from marius_tpu.tools.preprocess.partitioner import partition_edges
 from marius_tpu.train.trainer import TrainState
 

@@ -451,6 +451,8 @@ class LinkPredictionTrainer:
                 rows = np.asarray(self.edges_host[ci * ce:(ci + 1) * ce], np.int32)
                 return rows[rng.permutation(len(rows))]
 
+        from marius_tpu.parallel.mesh import put_arg
+
         losses = []
         for k in range(nchunks):
             rows = get_chunk(k)
@@ -463,7 +465,6 @@ class LinkPredictionTrainer:
             # device_put dispatches async: chunk k+1's host prep and H2D
             # overlap chunk k's compute. put_arg keeps the chunk numpy under
             # a multi-controller mesh (replicated at the jit boundary).
-            from marius_tpu.parallel.mesh import put_arg
             self.state, loss = self._chunk_fn(
                 self.state, put_arg(np.ascontiguousarray(rows)),
                 put_arg(masks))
