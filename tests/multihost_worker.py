@@ -178,6 +178,19 @@ def main():
     trainer_buf = build_buffer_trainer(mesh)
     losses_buf = [trainer_buf.train_epoch()["loss"] for _ in range(3)]
     print("LOSSES_BUF " + json.dumps(losses_buf), flush=True)
+    # checkpoint-style state round-trip: the setter must re-place restored
+    # host leaves as global arrays before the next multi-process epoch
+    import jax.numpy as jnp
+
+    def _to_host(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                  jax.dtypes.prng_key):
+            return a
+        return np.asarray(a)
+
+    trainer_buf.state = jax.tree.map(_to_host, trainer_buf.state)
+    extra = trainer_buf.train_epoch()["loss"]
+    print("BUF_RESUME " + json.dumps(float(extra)), flush=True)
     # out-of-core node classification (partition feature cache + swaps)
     trainer_ncb = build_nc_buffer_trainer(mesh)
     losses_ncb = [trainer_ncb.train_epoch()["loss"] for _ in range(3)]

@@ -182,6 +182,9 @@ def test_two_process_training_matches_single_process(tmp_path):
     trainer_buf = build_buffer_trainer(mesh)
     ref_buf = [trainer_buf.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_buf[0], ref_buf, rtol=1e-5)
+    resume = parse("BUF_RESUME")
+    np.testing.assert_allclose(resume[0], resume[1], rtol=1e-6)
+    assert np.isfinite(resume[0])
 
     # out-of-core NC (partition feature cache) — all four trainers covered
     from tests.multihost_worker import build_nc_buffer_trainer
