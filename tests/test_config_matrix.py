@@ -21,9 +21,21 @@ from tests.test_manager import GS_ENCODER, LP_BASE, _lp_config
 # fragments
 # ---------------------------------------------------------------------------
 
+RGCN_ENCODER = {
+    "layers": [
+        [{"type": "EMBEDDING", "output_dim": 16}],
+        # num_relations flows from the dataset stats, as in the reference
+        [{"type": "GNN", "input_dim": 16, "output_dim": 16,
+          "options": {"type": "RGCN"}}],
+    ],
+    "train_neighbor_sampling": [
+        {"type": "UNIFORM", "options": {"max_neighbors": 4}}],
+}
+
 MODEL_FRAGMENTS = {
     "distmult": {},
     "gs_1_layer": {"model.encoder": GS_ENCODER},
+    "rgcn_1_layer": {"model.encoder": RGCN_ENCODER},
 }
 
 STORAGE_FRAGMENTS = {
@@ -70,6 +82,8 @@ MATRIX = [
     ("gs_1_layer", "flat_edges", "sync", "filtered"),     # disk edges x GNN
     ("gs_1_layer", "device", "async", "unfiltered"),      # GNN x async
     ("distmult", "flat_edges", "async", "unfiltered"),    # disk x async
+    ("rgcn_1_layer", "device", "sync", "filtered"),       # RGCN LP via config
+    ("rgcn_1_layer", "buffer_comet", "sync", "unfiltered"),  # RGCN x buffer
 ]
 
 
