@@ -551,7 +551,12 @@ def full_graph_encoder_forward(
                 if seed_stage:
                     k_d = (None if dropout_key is None
                            else jax.random.fold_in(dropout_key, i * 101 + j))
-                    c_seed = (None if const is None
+                    # "rgcn_blocks" consts cache the FULL-graph slot gather;
+                    # the seed stage aggregates only the batch's own
+                    # out-edges, so there is nothing to restrict — skip
+                    rgcn_const = (isinstance(const, tuple) and len(const)
+                                  and const[0] == "rgcn_blocks")
+                    c_seed = (None if const is None or rgcn_const
                               else _resolve_const(const, bias0, idx=seeds))
                     if g == "GRAPH_SAGE":
                         stage_outputs.append(_seed_sage(

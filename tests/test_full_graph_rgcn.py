@@ -262,9 +262,12 @@ def test_sharded_rgcn_trainer_matches_single_device():
                - ev_1.evaluate(tr_1.state)["accuracy"]) < 1e-6
 
 
-def test_full_graph_rgcn_seed_restrict_matches_all_n():
+@pytest.mark.parametrize("two_stage", [False, True])
+def test_full_graph_rgcn_seed_restrict_matches_all_n(two_stage):
     """The seed-restricted RGCN final stage (aggregate-per-(seed, relation)
-    then one batched einsum) is the same math as the all-N final stage."""
+    then one batched einsum) is the same math as the all-N final stage.
+    two_stage=True makes the FIRST GNN stage also the FINAL one, so the
+    cached constant-input blocks coexist with seed restriction."""
     from marius_tpu.data.graph import build_device_graph
     from marius_tpu.nn.encoder import EncoderConfig
     from marius_tpu.nn.layers import LayerConfig
@@ -279,14 +282,22 @@ def test_full_graph_rgcn_seed_restrict_matches_all_n():
     labels = rng.integers(0, c, n).astype(np.int32)
     train_nodes = rng.permutation(n).astype(np.int32)[:70]
 
-    enc = EncoderConfig(stages=(
-        (LayerConfig(layer_type="FEATURE", output_dim=f),),
-        (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=f,
-                     output_dim=12, bias=True, activation="RELU",
-                     num_relations=r),),
-        (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=12,
-                     output_dim=c, num_relations=r),),
-    ))
+    if two_stage:
+        stages = (
+            (LayerConfig(layer_type="FEATURE", output_dim=f),),
+            (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=f,
+                         output_dim=c, bias=True, num_relations=r),),
+        )
+    else:
+        stages = (
+            (LayerConfig(layer_type="FEATURE", output_dim=f),),
+            (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=f,
+                         output_dim=12, bias=True, activation="RELU",
+                         num_relations=r),),
+            (LayerConfig(layer_type="GNN", gnn_type="RGCN", input_dim=12,
+                         output_dim=c, num_relations=r),),
+        )
+    enc = EncoderConfig(stages=stages)
     model = Model(NODE_CLASSIFICATION, enc, None, loss_type="CROSS_ENTROPY",
                   loss_reduction="SUM")
     graph = build_device_graph(edges, n, num_relations=r)

@@ -233,6 +233,43 @@ def test_manager_auto_full_graph(tmp_path):
     assert 0.0 <= result["test"]["accuracy"] <= 1.0
 
 
+def test_manager_rgcn_full_graph(tmp_path):
+    """ALL-everywhere RGCN config: marius_init builds the adjacency WITH its
+    relational companion (with_relations wiring) and trains through the
+    relation-bucketed full-graph path."""
+    from marius_tpu.config.schema import load_config
+    from marius_tpu.manager import marius_train
+    from marius_tpu.tools.preprocess import generate_random_dataset_nc
+
+    ds_dir = str(tmp_path / "ds_nc_rgcn_fg")
+    generate_random_dataset_nc(ds_dir, num_nodes=60, num_edges=600,
+                               num_classes=4, feature_dim=8)
+    raw = {
+        "model": {
+            "learning_task": "NODE_CLASSIFICATION",
+            "encoder": {
+                "layers": [
+                    [{"type": "FEATURE", "output_dim": 8}],
+                    [{"type": "GNN", "input_dim": 8, "output_dim": 4,
+                      "options": {"type": "RGCN"}}],
+                ],
+                "train_neighbor_sampling": [{"type": "ALL"}],
+                "full_graph": "ON",
+            },
+            "loss": {"type": "CROSS_ENTROPY", "options": {"reduction": "SUM"}},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.01}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds_dir}, "save_model": False},
+        "training": {"batch_size": 30, "num_epochs": 2},
+        "evaluation": {"batch_size": 30},
+    }
+    result = marius_train(load_config(raw))
+    tr = result["runtime"].trainer
+    assert tr.full_graph is not None and tr.full_graph.rel is not None
+    assert len(result["epochs"]) == 2
+    assert 0.0 <= result["test"]["accuracy"] <= 1.0
+
+
 def test_nc_eval_batch_size_differs_from_train():
     """Regression: evaluator hop caps must follow ITS batch size, not the
     trainer's (undersized caps silently truncate hop sets)."""
