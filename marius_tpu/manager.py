@@ -516,12 +516,21 @@ def encode_and_export(rt: MariusRuntime, path: Optional[str] = None) -> np.ndarr
     tr = rt.trainer
     state = tr.state
     table_values = state.table.values if state.table is not None else None
+    # full-graph trainers keep their nbr_configs UNRESOLVED (ALL caps are
+    # never sized — the full-graph path needs none); export must ride the
+    # same exact-ALL path, not the sampled fallback, whose default cap
+    # would silently truncate hub neighborhoods. Ring-sharded trainers
+    # re-prepare single-device ops from the plain adjacency.
+    full_graph = getattr(tr, "full_graph", None)
+    fg_ops = (None if getattr(tr, "_fg_sharded", False)
+              else getattr(tr, "_fg_ops", None))
     encoded = np.asarray(encode_all_nodes(
         rt.config.model, state.params, table_values,
         graph=getattr(tr, "graph", None),
         nbr_configs=getattr(tr, "nbr_configs", ()),
         features=getattr(tr, "features", None),
-        batch_size=rt.config.evaluation.batch_size))
+        batch_size=rt.config.evaluation.batch_size,
+        full_graph=full_graph, fg_ops=fg_ops))
     out = path or (os.path.join(rt.config.storage.model_dir, "encoded_nodes.bin")
                    if rt.config.storage.model_dir else None)
     if out:

@@ -270,6 +270,49 @@ def test_manager_rgcn_full_graph(tmp_path):
     assert 0.0 <= result["test"]["accuracy"] <= 1.0
 
 
+def test_encode_and_export_full_graph_exact(tmp_path):
+    """encode_and_export on a full-graph trainer must ride the exact-ALL
+    path: the trainer's nbr_configs stay UNRESOLVED in full-graph mode, so
+    the sampled fallback would silently truncate hubs at the default cap."""
+    import numpy as np
+
+    from marius_tpu.config.schema import load_config
+    from marius_tpu.manager import encode_and_export, marius_init
+    from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
+    from marius_tpu.tools.preprocess import generate_random_dataset_nc
+
+    ds_dir = str(tmp_path / "ds_nc_exp")
+    generate_random_dataset_nc(ds_dir, num_nodes=60, num_edges=1200,
+                               num_classes=4, feature_dim=8)
+    raw = {
+        "model": {
+            "learning_task": "NODE_CLASSIFICATION",
+            "encoder": {
+                "layers": [
+                    [{"type": "FEATURE", "output_dim": 8}],
+                    [{"type": "GNN", "input_dim": 8, "output_dim": 4,
+                      "options": {"type": "GRAPH_SAGE", "aggregator": "MEAN"}}],
+                ],
+                "train_neighbor_sampling": [{"type": "ALL"}],
+                "full_graph": "ON",
+            },
+            "loss": {"type": "CROSS_ENTROPY", "options": {"reduction": "SUM"}},
+            "dense_optimizer": {"type": "ADAM", "options": {"learning_rate": 0.01}},
+        },
+        "storage": {"dataset": {"dataset_dir": ds_dir}, "save_model": False},
+        "training": {"batch_size": 30, "num_epochs": 1},
+        "evaluation": {"batch_size": 30},
+    }
+    rt = marius_init(load_config(raw))
+    rt.trainer.train_epoch()
+    enc = encode_and_export(rt, path=None)
+    tr = rt.trainer
+    exact = np.asarray(full_graph_encoder_forward(
+        tr.model.encoder, tr.state.params["encoder"], None,
+        tr.features[:-1], tr.full_graph, ops=tr._fg_ops))
+    np.testing.assert_allclose(enc, exact, rtol=1e-6, atol=1e-6)
+
+
 def test_nc_eval_batch_size_differs_from_train():
     """Regression: evaluator hop caps must follow ITS batch size, not the
     trainer's (undersized caps silently truncate hop sets)."""
