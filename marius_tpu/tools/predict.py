@@ -37,6 +37,14 @@ def run_predict(
         if input_file is not None:
             edges = _load_input_edges(input_file, cfg.storage.dataset.dataset_dir)
             tr = rt.trainer
+            # the raw config's ALL caps are unresolved; size them to the
+            # graph like marius_init does, or hubs get silently truncated
+            nbr = cfg.eval_neighbor_sampling
+            if nbr and getattr(tr, "graph", None) is not None:
+                from marius_tpu.data.samplers.neighbor import resolve_all_caps
+                nbr = resolve_all_caps(
+                    nbr, tr.graph.in_offsets, tr.graph.out_offsets,
+                    cap_limit=cfg.all_cap_limit)
             evaluator = LinkPredictionEvaluator(
                 cfg.model, cfg.storage.dataset.num_nodes,
                 max(cfg.storage.dataset.num_relations, 1), edges,
@@ -47,7 +55,7 @@ def run_predict(
                 batch_size=cfg.evaluation.batch_size,
                 filtered=cfg.evaluation.negative_sampling.filtered,
                 neg_config=cfg.evaluation.negative_sampling,
-                graph=tr.graph, nbr_configs=cfg.eval_neighbor_sampling,
+                graph=tr.graph, nbr_configs=nbr,
                 features=tr.features)
         else:
             evaluator = rt.test_evaluator if split == "test" else rt.valid_evaluator
