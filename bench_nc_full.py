@@ -95,7 +95,10 @@ def build_trainer(full_graph_mode: bool, dtype=None):
     graph = build_device_graph(edges, NUM_NODES)
     kw = {} if dtype is None else {"dtype": dtype}
     if full_graph_mode:
-        adj = build_full_graph_adjacency(edges, NUM_NODES)
+        import os
+        adj = build_full_graph_adjacency(
+            edges, NUM_NODES,
+            locality_reorder=os.environ.get("FG_LOCALITY") == "1")
         print(f"full-graph: {adj.total_slots} padded slots, "
               f"{len(adj.nbrs)} buckets, "
               f"max_deg={int(np.asarray(graph.degrees).max())}", flush=True)

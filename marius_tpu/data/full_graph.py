@@ -71,6 +71,14 @@ class FullGraphAdjacency:
     # the encoder has RGCN layers (build_full_graph_adjacency
     # with_relations=True); None otherwise.
     rel: Optional[object] = None
+    # Locality relabeling (build_full_graph_adjacency locality_reorder=True):
+    # neighbor slots index a reverse-Cuthill-McKee-PERMUTED copy of x instead
+    # of x itself, so the big bucketed gathers touch HBM-adjacent rows
+    # (power-law graphs scatter original ids arbitrarily). loc_perm[p] = the
+    # ORIGINAL id at locality position p. Internal to the neighbor-sum path:
+    # inputs/outputs stay in original order (make_nbr_sums permutes via a
+    # gather-only custom-vjp pair). Plain SAGE/GCN aggregation only.
+    loc_perm: Optional[Array] = None
 
     @property
     def total_slots(self) -> int:
@@ -113,11 +121,14 @@ def _greedy_buckets(deg_sorted: np.ndarray, waste: float = 1.15,
 def build_full_graph_adjacency(
         edges: np.ndarray, num_nodes: int,
         max_degree_limit: Optional[int] = None,
-        with_relations: bool = False) -> Optional[FullGraphAdjacency]:
+        with_relations: bool = False,
+        locality_reorder: bool = False) -> Optional[FullGraphAdjacency]:
     """Build the bucketed symmetric adjacency. Bucketing bounds padding
     waste, so arbitrary hub degrees are fine; ``max_degree_limit`` is kept
     for API compatibility and ignored. ``with_relations`` additionally
-    builds the directional per-relation companion RGCN stages need."""
+    builds the directional per-relation companion RGCN stages need.
+    ``locality_reorder`` relabels the GATHER SOURCE by reverse Cuthill-McKee
+    so neighbor gathers touch HBM-adjacent rows (see loc_perm)."""
     del max_degree_limit
     e = np.asarray(edges)
     if len(e) == 0 or num_nodes == 0:
@@ -130,6 +141,20 @@ def build_full_graph_adjacency(
     order = np.argsort(anchor, kind="stable")
     nbrs_sorted = other[order]
     offsets = np.searchsorted(anchor[order], np.arange(num_nodes + 1))
+
+    loc_perm = None
+    if locality_reorder:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        m = sp.csr_matrix(
+            (np.ones(len(anchor), np.int8), (anchor, other.astype(np.int64))),
+            shape=(num_nodes, num_nodes))
+        loc_perm = np.asarray(
+            reverse_cuthill_mckee(m, symmetric_mode=True), np.int64)
+        loc_inv = np.empty(num_nodes + 1, np.int32)
+        loc_inv[loc_perm] = np.arange(num_nodes, dtype=np.int32)
+        loc_inv[num_nodes] = num_nodes          # sentinel stays sentinel
+        nbrs_sorted = loc_inv[nbrs_sorted]      # slot ids -> loc positions
     in_deg = np.bincount(dst, minlength=num_nodes).astype(np.int32)
     out_deg = np.bincount(src, minlength=num_nodes).astype(np.int32)
     deg = (offsets[1:] - offsets[:-1]).astype(np.int64)
@@ -154,13 +179,17 @@ def build_full_graph_adjacency(
 
     rel = None
     if with_relations:
+        assert loc_perm is None, \
+            "locality_reorder supports the plain SAGE/GCN neighbor-sum path"
         from marius_tpu.data.full_graph_rel import build_rel_full_graph
         rel = build_rel_full_graph(e, num_nodes)
 
     return FullGraphAdjacency(
         nbrs=tuple(buckets), inv_pos=jnp.asarray(inv_pos),
         in_deg=jnp.asarray(in_deg), out_deg=jnp.asarray(out_deg),
-        num_nodes=int(num_nodes), rel=rel)
+        num_nodes=int(num_nodes), rel=rel,
+        loc_perm=None if loc_perm is None
+        else jnp.asarray(loc_perm.astype(np.int32)))
 
 
 def host_csr_from_adjacency(adj: FullGraphAdjacency):
@@ -182,6 +211,12 @@ def host_csr_from_adjacency(adj: FullGraphAdjacency):
         cols = np.arange(int(d.sum())) - np.repeat(np.cumsum(d) - d, d)
         nbrs[np.repeat(offsets[nodes], d) + cols] = nb_[rows, cols]
         row0 += nb_.shape[0]
+    if adj.loc_perm is not None:
+        # bucket slots hold LOCALITY positions; the CSR contract is original
+        # ids (seed flat lists gather from original-order x)
+        perm_ext = np.concatenate([np.asarray(adj.loc_perm, np.int32),
+                                   np.asarray([adj.num_nodes], np.int32)])
+        nbrs = perm_ext[nbrs]
     return offsets, nbrs
 
 
@@ -236,8 +271,31 @@ def make_nbr_sums(adj: FullGraphAdjacency):
     (ops/pallas/nbr_sum.py) when it is the measured winner."""
     from marius_tpu.ops.pallas import gather_sum_auto
 
+    loc_perm = adj.loc_perm
+    loc_inv = None
+    if loc_perm is not None:
+        inv = np.empty(adj.num_nodes, np.int32)
+        inv[np.asarray(loc_perm)] = np.arange(adj.num_nodes, dtype=np.int32)
+        loc_inv = jnp.asarray(inv)
+
+    def _to_locality(x):
+        """Permutation gather with a gather-only vjp (a scatter would undo
+        the win). The COMPOSITE operator stays symmetric, so nbr_sum's own
+        custom vjp below is still just the same forward."""
+        if loc_perm is None:
+            return x
+
+        @jax.custom_vjp
+        def f(v):
+            return v[loc_perm]
+
+        f.defvjp(lambda v: (v[loc_perm], None), lambda _, u: (u[loc_inv],))
+        return f(x)
+
     def _bucketed_sum(x):
-        x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
+        x_src = _to_locality(x)
+        x_pad = jnp.concatenate(
+            [x_src, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
         parts = [gather_sum_auto(x_pad, nbr) for nbr in adj.nbrs]
         y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return y_sorted[adj.inv_pos]  # back to original node order (a gather)
@@ -264,6 +322,8 @@ def build_inverse_map(adj: FullGraphAdjacency) -> FullGraphAdjacency:
     Host-side, one stable argsort over the slots."""
     if adj.inv_map is not None:
         return adj
+    assert adj.loc_perm is None, \
+        "locality_reorder supports the plain SAGE/GCN neighbor-sum path"
     flat = np.concatenate([np.asarray(b).reshape(-1) for b in adj.nbrs])
     total = flat.shape[0]
     order = np.argsort(flat, kind="stable").astype(np.int64)

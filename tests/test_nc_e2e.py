@@ -159,6 +159,48 @@ def test_full_graph_matches_sampled_all():
     assert (pl_s == pl_f).mean() > 0.99
 
 
+def test_full_graph_locality_reorder_matches():
+    """RCM locality relabeling is internal to the gather source: same
+    losses, same predictions as the unreordered adjacency; the seed flat
+    CSR still emits ORIGINAL ids."""
+    from marius_tpu.data.full_graph import (
+        build_full_graph_adjacency,
+        host_csr_from_adjacency,
+    )
+
+    edges, feats, labels = community_graph()
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(NUM_NODES)
+    train_nodes, test_nodes = perm[:300], perm[300:]
+    graph = build_device_graph(edges, NUM_NODES)
+
+    adj_p = build_full_graph_adjacency(edges, NUM_NODES)
+    adj_l = build_full_graph_adjacency(edges, NUM_NODES,
+                                       locality_reorder=True)
+    assert adj_l.loc_perm is not None
+
+    # the CSR views agree exactly (original ids, per-node multisets)
+    off_p, nb_p = host_csr_from_adjacency(adj_p)
+    off_l, nb_l = host_csr_from_adjacency(adj_l)
+    np.testing.assert_array_equal(off_p, off_l)
+    for i in range(NUM_NODES):
+        np.testing.assert_array_equal(np.sort(nb_p[off_p[i]:off_p[i + 1]]),
+                                      np.sort(nb_l[off_l[i]:off_l[i + 1]]))
+
+    losses = {}
+    accs = {}
+    for name, adj in (("plain", adj_p), ("locality", adj_l)):
+        tr = NodeClassificationTrainer(
+            _gs_model(), graph, feats, labels, train_nodes, [],
+            batch_size=100, seed=0, full_graph=adj)
+        losses[name] = [s["loss"] for s in tr.train(3)]
+        ev = NodeClassificationEvaluator(tr, test_nodes)
+        accs[name] = ev.evaluate(tr.state)["accuracy"]
+    np.testing.assert_allclose(losses["plain"], losses["locality"],
+                               rtol=2e-5)
+    assert abs(accs["plain"] - accs["locality"]) < 1e-6
+
+
 def test_full_graph_gcn_with_embeddings():
     """Full-graph mode with a GCN stage and a learnable embedding table:
     trains, matches the sampled-ALL trajectory (dense-accum Adagrad twin)."""
