@@ -41,6 +41,18 @@ from marius_tpu.ops.segment import masked_softmax
 
 Array = jax.Array
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AffineConst:
+    """A precomputed first-stage aggregation that still depends on the live
+    stage-0 FEATURE bias: resolve as base + count*bias (_const_first_agg).
+    A pytree (no string tags) so const entries can ride jit ARGUMENTS in
+    multi-controller mode."""
+
+    base: Array
+    count: Array
+
+
 SUPPORTED_GNN = {"GRAPH_SAGE", "GCN", "GAT", "RGCN"}
 # layer types the seed-restricted FINAL stage covers
 SEED_GNN = {"GRAPH_SAGE", "GCN", "GAT", "RGCN"}
@@ -140,7 +152,8 @@ def supports_sharded_full_graph(config: EncoderConfig) -> bool:
 
 def prepare_sharded_full_graph(sharded_graph, config: EncoderConfig,
                                in_deg, out_deg, mesh, axis: str,
-                               features=None, rel_sharded=None):
+                               features=None, rel_sharded=None,
+                               const_agg=None):
     """(adj_view, ops) for full_graph_encoder_forward over a node-sharded
     mesh: nbr_sum is the collective-permute ring
     (data/full_graph_sharded.py); degree vectors are (S*n_loc,) padded +
@@ -166,8 +179,11 @@ def prepare_sharded_full_graph(sharded_graph, config: EncoderConfig,
             ("sharded RGCN needs a ShardedRelGraph: build with "
              "build_sharded_rel_graph")
         ops["rel_sum"] = make_rel_sum_sharded(rel_sharded, mesh, axis)
-    ops["const_agg"] = _const_first_agg(adj, config, features,
-                                        ops["nbr_sum"], ops)
+    # const_agg: pass precomputed entries through (multi-controller traces
+    # the ops inside jit and must not re-run the eager aggregation there)
+    ops["const_agg"] = (const_agg if const_agg is not None
+                        else _const_first_agg(adj, config, features,
+                                              ops["nbr_sum"], ops))
     return adj, ops
 
 
@@ -186,7 +202,7 @@ def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum,
     precomputable because aggregation is LINEAR in the bias:
     nbr_sum(x + b) = nbr_sum(x) + count·b, where count is each node's real
     (non-padding) slot tally. Such entries are stored as
-    ('affine', base, count) and combined with the live bias param at run
+    AffineConst(base, count) and combined with the live bias param at run
     time by _resolve_const — the heavy gather never re-runs."""
     if features is None or len(config.stages) < 2:
         return {}
@@ -208,12 +224,12 @@ def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum,
         g = layer.gnn_type.upper()
         if g == "GRAPH_SAGE":
             base = nbr_sum(current0)
-            const[(1, j)] = ("affine", base, num_nbrs) if bias0 else base
+            const[(1, j)] = (AffineConst(base, num_nbrs) if bias0 else base)
         elif g == "GCN":
             base = nbr_sum(current0 * inv_sqrt[:, None])
             if bias0:
                 count = nbr_sum(inv_sqrt[:, None])[:, 0]
-                const[(1, j)] = ("affine", base, count)
+                const[(1, j)] = AffineConst(base, count)
             else:
                 const[(1, j)] = base
         elif g == "RGCN" and not bias0:
@@ -233,12 +249,12 @@ def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum,
 
 
 def _resolve_const(const, bias0, idx=None):
-    """Materialize a const_agg entry; affine entries fold in the live
+    """Materialize a const_agg entry; AffineConst entries fold in the live
     first-stage FEATURE bias (see _const_first_agg). ``idx`` restricts the
     result to the given rows without forming the full-N combination."""
-    if isinstance(const, tuple):
-        _, base, count = const
+    if isinstance(const, AffineConst):
         assert bias0 is not None, "affine const_agg needs the stage-0 bias"
+        base, count = const.base, const.count
         if idx is not None:
             base, count = base[idx], count[idx]
         return base + count[:, None] * bias0

@@ -82,6 +82,9 @@ class NodeClassificationTrainer:
         self.full_graph = full_graph
         self._fg_ops = None
         self._fg_sharded = False
+        self._fg_struct = None   # multi-controller ring: structures passed
+                                 # as jit ARGUMENTS (closures over sharded
+                                 # global arrays are banned by JAX)
         if full_graph is not None:
             from marius_tpu.nn.full_graph_encoder import supports_full_graph
             assert supports_full_graph(model.encoder), \
@@ -103,10 +106,6 @@ class NodeClassificationTrainer:
                 assert features is not None and not model.has_embeddings, \
                     "sharded full-graph mode needs feature inputs " \
                     "(sharded embedding tables: use the sampled path)"
-                assert jax.process_count() == 1, \
-                    ("the ring full-graph mode is single-controller (its "
-                     "sharded structures are jit closures); use the sampled "
-                     "path or a single process")
                 self._fg_sharded = True
                 self._fg_axis = axes[0][0]
         local_batch = batch_size
@@ -177,6 +176,15 @@ class NodeClassificationTrainer:
             self._fg_view, self._fg_ops = prepare_sharded_full_graph(
                 self._fg_sg, model.encoder, in_deg, out_deg, mesh,
                 self._fg_axis, features=self._fg_x, rel_sharded=rel_sharded)
+            if jax.process_count() > 1:
+                # compute happens inside jit; every array the ring touches
+                # rides this pytree as an argument (the eager const entries
+                # included, so the big aggregation never re-runs)
+                self._fg_struct = {
+                    "sg": self._fg_sg, "rel": rel_sharded, "x": self._fg_x,
+                    "ind": in_deg, "outd": out_deg,
+                    "const": self._fg_ops["const_agg"],
+                }
             assert fg_seed_restrict is not True, \
                 "seed_restrict is a single-device optimization"
         elif full_graph is not None:
@@ -288,11 +296,13 @@ class NodeClassificationTrainer:
         return self._sharded_batch_step(state, seeds, mask_b)
 
     def _batch_step_full_graph(self, state: TrainState, seeds: Array,
-                               mask_b: Array, flat=None):
+                               mask_b: Array, flat=None, fg=None):
         """Exact-ALL batch step: all layers over ALL nodes, slice the seed
         rows. Identical math to unbounded ALL sampling, none of the per-batch
         frontier machinery. With ``flat`` = (flat_nbr, flat_seg) the final
-        stage runs seed-restricted (see full_graph_encoder_forward)."""
+        stage runs seed-restricted (see full_graph_encoder_forward). ``fg``
+        (multi-controller ring): the structure pytree passed as a jit
+        argument; ops are rebuilt at trace time from it."""
         from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
 
         model = self.model
@@ -300,8 +310,19 @@ class NodeClassificationTrainer:
         n = self.graph.num_nodes
         seeds_c = jnp.minimum(seeds, n - 1)
         labels_b = self.labels[jnp.minimum(seeds, n)]
+        ops = self._fg_ops
         if self._fg_sharded:
-            feats, adj = self._fg_x, self._fg_view
+            if fg is not None:
+                from marius_tpu.nn.full_graph_encoder import (
+                    prepare_sharded_full_graph,
+                )
+                adj, ops = prepare_sharded_full_graph(
+                    fg["sg"], model.encoder, fg["ind"], fg["outd"],
+                    self.mesh, self._fg_axis, features=fg["x"],
+                    rel_sharded=fg["rel"], const_agg=fg["const"])
+                feats = fg["x"]
+            else:
+                feats, adj = self._fg_x, self._fg_view
         else:
             feats = None if self.features is None else self.features[:-1]
             adj = self.full_graph
@@ -313,7 +334,7 @@ class NodeClassificationTrainer:
         def loss_fn(emb, dense_params):
             out = full_graph_encoder_forward(
                 model.encoder, dense_params["encoder"], emb, feats,
-                adj, ops=self._fg_ops, train=True, dropout_key=k_d,
+                adj, ops=ops, train=True, dropout_key=k_d,
                 seed_restrict=sr)
             logits = out if sr is not None else out[seeds_c]
             return nc_batch_loss(model, logits, labels_b, mask_b)
@@ -470,6 +491,26 @@ class NodeClassificationTrainer:
 
             return epoch_fn_fg
 
+        if self._fg_struct is not None:
+            def epoch_fn_mp(state: TrainState, train_nodes: Array, fg):
+                k_perm = jax.random.fold_in(jax.random.key(54321),
+                                            state.epoch // self.epochs_per_shuffle)
+                perm = jax.random.permutation(k_perm, nb * b)
+                shuffled = jnp.take(train_nodes, perm)
+                masks = perm < num_train
+
+                def body(carry, xs):
+                    return self._batch_step_full_graph(
+                        carry, xs[0], xs[1], fg=fg)
+
+                state, losses = jax.lax.scan(
+                    body, state,
+                    (shuffled.reshape(nb, b), masks.reshape(nb, b)))
+                return (dataclasses.replace(state, epoch=state.epoch + 1),
+                        jnp.sum(losses))
+
+            return epoch_fn_mp
+
         def epoch_fn(state: TrainState, train_nodes: Array):
             k_perm = jax.random.fold_in(jax.random.key(54321),
                                             state.epoch // self.epochs_per_shuffle)
@@ -529,7 +570,11 @@ class NodeClassificationTrainer:
             # already synced
             epoch = int(jax.device_get(self.state.epoch))
             self._fg_ensure_budget(epoch)
-        self.state, total_loss = self._epoch_fn(self.state, self.train_nodes)
+        if self._fg_struct is not None:
+            self.state, total_loss = self._epoch_fn(
+                self.state, self.train_nodes, self._fg_struct)
+        else:
+            self.state, total_loss = self._epoch_fn(self.state, self.train_nodes)
         total_loss = float(total_loss)
         dt = time.perf_counter() - t0
         return {"loss": total_loss, "epoch_time_s": dt,
@@ -556,18 +601,30 @@ class NodeClassificationEvaluator:
         self.seed = seed
         self._eval_fn = jax.jit(self._build_eval_fn())
 
-    def _full_graph_logits(self, table_values, params, nodes):
-        """One full-graph pass; logits for the requested node ids."""
+    def _full_graph_logits(self, table_values, params, nodes, fg=None):
+        """One full-graph pass; logits for the requested node ids. ``fg``:
+        multi-controller ring structures passed as jit arguments."""
         tr = self.trainer
         from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
+        ops = tr._fg_ops
         if tr._fg_sharded:
-            feats, adj = tr._fg_x, tr._fg_view
+            if fg is not None:
+                from marius_tpu.nn.full_graph_encoder import (
+                    prepare_sharded_full_graph,
+                )
+                adj, ops = prepare_sharded_full_graph(
+                    fg["sg"], tr.model.encoder, fg["ind"], fg["outd"],
+                    tr.mesh, tr._fg_axis, features=fg["x"],
+                    rel_sharded=fg["rel"], const_agg=fg["const"])
+                feats = fg["x"]
+            else:
+                feats, adj = tr._fg_x, tr._fg_view
         else:
             feats = None if tr.features is None else tr.features[:-1]
             adj = tr.full_graph
         logits_all = full_graph_encoder_forward(
             tr.model.encoder, params["encoder"], table_values, feats,
-            adj, ops=tr._fg_ops)
+            adj, ops=ops)
         return logits_all[jnp.minimum(nodes, tr.graph.num_nodes - 1)]
 
     def _build_eval_fn(self):
@@ -576,6 +633,17 @@ class NodeClassificationEvaluator:
         nb_, b = self.num_batches, self.batch_size
 
         if tr.full_graph is not None:
+            if getattr(tr, "_fg_struct", None) is not None:
+                def eval_fn_fg_mp(table_values, params, eval_nodes, fg):
+                    logits = self._full_graph_logits(
+                        table_values, params, eval_nodes, fg=fg)
+                    labels = tr.labels[
+                        jnp.minimum(eval_nodes, tr.graph.num_nodes)]
+                    mask = jnp.arange(nb_ * b) < self.num_eval
+                    return categorical_accuracy_statistics(
+                        logits, labels, mask)
+                return eval_fn_fg_mp
+
             def eval_fn_fg(table_values, params, eval_nodes):
                 logits = self._full_graph_logits(table_values, params, eval_nodes)
                 labels = tr.labels[jnp.minimum(eval_nodes, tr.graph.num_nodes)]
@@ -611,7 +679,10 @@ class NodeClassificationEvaluator:
 
     def evaluate(self, state: TrainState) -> Dict[str, float]:
         table_values = state.table.values if state.table is not None else None
-        stats = jax.device_get(self._eval_fn(table_values, state.params, self.eval_nodes))
+        extra = (() if getattr(self.trainer, "_fg_struct", None) is None
+                 else (self.trainer._fg_struct,))
+        stats = jax.device_get(self._eval_fn(
+            table_values, state.params, self.eval_nodes, *extra))
         reporter = NodeClassificationReporter()
         reporter.add_statistics(stats)
         res = reporter.results()
@@ -627,13 +698,17 @@ class NodeClassificationEvaluator:
 
         if tr.full_graph is not None:
             @jax.jit
-            def labels_fn_fg(table_values, params, eval_nodes):
-                logits = self._full_graph_logits(table_values, params, eval_nodes)
+            def labels_fn_fg(table_values, params, eval_nodes, *extra):
+                logits = self._full_graph_logits(
+                    table_values, params, eval_nodes,
+                    fg=extra[0] if extra else None)
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             table_values = state.table.values if state.table is not None else None
+            extra = (() if getattr(tr, "_fg_struct", None) is None
+                     else (tr._fg_struct,))
             preds = np.asarray(labels_fn_fg(table_values, state.params,
-                                            self.eval_nodes))
+                                            self.eval_nodes, *extra))
             return preds[:self.num_eval]
 
         @jax.jit

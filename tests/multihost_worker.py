@@ -114,6 +114,40 @@ def build_nc_trainer(mesh):
         batch_size=32, seed=0, mesh=mesh)
 
 
+def build_ring_trainer(ring_mesh):
+    """Node-sharded exact-ALL full-graph NC over the collective-permute
+    ring — multi-controller: structures placed globally (place_on_mesh) and
+    passed to the epoch jit as arguments (trainer._fg_struct)."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.nn.optimizers import OptimizerConfig
+    from marius_tpu.train.nc import NodeClassificationTrainer
+
+    n, f, c = 80, 8, 4
+    rng = np.random.default_rng(1)
+    edges = np.stack([rng.integers(0, n, 500),
+                      rng.integers(0, n, 500)], 1).astype(np.int32)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=f),),
+        (LayerConfig(layer_type="GNN", gnn_type="GRAPH_SAGE",
+                     aggregator="MEAN", input_dim=f, output_dim=c,
+                     bias=True),),
+    ))
+    model = Model(learning_task=NODE_CLASSIFICATION, encoder=enc,
+                  decoder=None, loss_type="CROSS_ENTROPY",
+                  loss_reduction="SUM",
+                  dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+    adj = build_full_graph_adjacency(edges, n)
+    return NodeClassificationTrainer(
+        model, build_device_graph(edges, n), feats, labels,
+        np.arange(64, dtype=np.int32), (), batch_size=16, seed=0,
+        full_graph=adj, mesh=ring_mesh)
+
+
 def build_nc_buffer_trainer(mesh):
     from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
     from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
@@ -195,6 +229,13 @@ def main():
     trainer_ncb = build_nc_buffer_trainer(mesh)
     losses_ncb = [trainer_ncb.train_epoch()["loss"] for _ in range(3)]
     print("LOSSES_NCB " + json.dumps(losses_ncb), flush=True)
+    # ring-sharded exact-ALL full-graph NC over a 1x8 mesh spanning both
+    # processes, evaluated against the global state
+    ring_mesh = make_mesh(num_data=1, num_node=8)
+    trainer_ring = build_ring_trainer(ring_mesh)
+    losses_ring = [trainer_ring.train_epoch()["loss"] for _ in range(3)]
+    print("LOSSES_RING " + json.dumps(losses_ring), flush=True)
+    print("RING_ACC " + json.dumps(evaluate_nc(trainer_ring)), flush=True)
 
 
 if __name__ == "__main__":

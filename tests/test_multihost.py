@@ -194,3 +194,16 @@ def test_two_process_training_matches_single_process(tmp_path):
     ref_ncb = [trainer_ncb.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_ncb[0], ref_ncb, rtol=1e-5)
 
+    # ring-sharded exact-ALL full-graph NC across processes
+    from tests.multihost_worker import build_ring_trainer
+    losses_ring = parse("LOSSES_RING")
+    np.testing.assert_allclose(losses_ring[0], losses_ring[1], rtol=1e-6)
+    ring_mesh = make_mesh(num_data=1, num_node=8, devices=jax.devices()[:8])
+    trainer_ring = build_ring_trainer(ring_mesh)
+    ref_ring = [trainer_ring.train_epoch()["loss"] for _ in range(3)]
+    np.testing.assert_allclose(losses_ring[0], ref_ring, rtol=1e-4)
+    acc_ring = parse("RING_ACC")
+    np.testing.assert_allclose(acc_ring[0], acc_ring[1], rtol=1e-6)
+    np.testing.assert_allclose(acc_ring[0], evaluate_nc(trainer_ring),
+                               atol=1e-6)
+

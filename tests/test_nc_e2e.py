@@ -560,8 +560,8 @@ def test_full_graph_const_agg_with_feature_bias():
     # the const path must be ACTIVE despite the bias, as an affine entry
     const = full._fg_ops["const_agg"]
     assert const, "bias FEATURE stage must not disable const_agg"
-    assert all(isinstance(v, tuple) and v[0] == "affine"
-               for v in const.values())
+    from marius_tpu.nn.full_graph_encoder import AffineConst
+    assert all(isinstance(v, AffineConst) for v in const.values())
 
     bias_before = np.asarray(full.state.params["encoder"][0][0]["bias"]).copy()
     s_stats = sampled.train(3)
