@@ -46,6 +46,17 @@ def _arg(arr, sharding=None):
     return put_arg(arr, sharding)
 
 
+def _to_host(arr) -> np.ndarray:
+    """Device -> host read that also works for arrays whose shards live on
+    OTHER processes (node-sharded buffer under a multi-controller mesh):
+    falls back to an allgather collective. All processes call this at the
+    same points (swaps are deterministic), so the collective lines up."""
+    if getattr(arr, "is_fully_addressable", True) or arr.is_fully_replicated:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 @dataclasses.dataclass
 class PartitionBuffer:
     num_nodes: int
@@ -156,8 +167,8 @@ class PartitionBuffer:
         state's compute, so np.asarray is (usually) a no-wait read."""
         while self.pending_writebacks:
             parts, vals_d, stats_d = self.pending_writebacks.pop(0)
-            vals = np.asarray(vals_d)
-            stats = np.asarray(stats_d)
+            vals = _to_host(vals_d)
+            stats = _to_host(stats_d)
             for k, p in enumerate(parts):
                 rows = self.part_rows(p)
                 self.host_values[rows] = vals[k * self.psize:(k + 1) * self.psize]
@@ -220,8 +231,8 @@ class PartitionBuffer:
         self._drain_writebacks()
         if self.resident is None:
             return
-        vals = np.asarray(self.device_values)
-        stats = np.asarray(self.device_state)
+        vals = _to_host(self.device_values)
+        stats = _to_host(self.device_state)
         for slot, p in enumerate(self.resident):
             if p < 0:
                 continue

@@ -135,15 +135,15 @@ class PartitionBufferLPTrainer:
         if mesh is not None:
             # row-shard the HBM working set over the node axis (replicate if
             # the buffer doesn't split evenly); batches shard over data inside
-            # the compiled state function. Multi-controller meshes keep the
-            # buffer REPLICATED: eviction reads the device slice back to host
-            # numpy, which needs every row addressable from this process.
+            # the compiled state function. Under a multi-controller mesh,
+            # evictions of node-sharded rows allgather the evicted block
+            # (partition_buffer._to_host) so every host's RAM table stays
+            # identical.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from marius_tpu.parallel.mesh import NODE_AXIS
             n_node = mesh.shape[NODE_AXIS]
-            if (self.buffer.buffer_rows % n_node == 0
-                    and jax.process_count() == 1):
+            if self.buffer.buffer_rows % n_node == 0:
                 self.buffer.sharding = NamedSharding(mesh, P(NODE_AXIS, None))
             else:
                 self.buffer.sharding = NamedSharding(mesh, P())
