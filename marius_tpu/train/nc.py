@@ -242,8 +242,8 @@ class NodeClassificationTrainer:
         # Multi-controller (multi-host) data parallelism: when the mesh spans
         # processes, every array the compiled epoch touches must be ONE
         # global jax.Array — place state/graph/features/labels replicated
-        # across the mesh (parallel/multihost.py; the ring full-graph mode
-        # stays single-controller for now).
+        # across the mesh (parallel/multihost.py; the ring full-graph mode's
+        # sharded structures instead ride the jit as arguments, _fg_struct).
         if mesh is not None and jax.process_count() > 1:
             # ring full-graph structures were placed globally above
             # (place_on_mesh); everything else replicates across the mesh
@@ -288,12 +288,31 @@ class NodeClassificationTrainer:
             emb = gather_rows(table_values, outer_uniq)
         return nb, feats, emb, outer_uniq
 
-    def _batch_step(self, state: TrainState, seeds: Array, mask_b: Array):
+    def _batch_step(self, state: TrainState, seeds: Array, mask_b: Array,
+                    fg=None):
         if self.full_graph is not None:
-            return self._batch_step_full_graph(state, seeds, mask_b)
+            return self._batch_step_full_graph(state, seeds, mask_b, fg=fg)
         if self.mesh is None:
             return self._batch_step_local(state, seeds, mask_b, None)
         return self._sharded_batch_step(state, seeds, mask_b)
+
+    def _fg_prepare(self, fg):
+        """(feats, adj, ops) for one full-graph forward. ``fg`` (the
+        multi-controller structure pytree, _fg_struct) rebuilds the ring ops
+        at trace time from jit ARGUMENTS; None uses the eager closures."""
+        if self._fg_sharded:
+            if fg is not None:
+                from marius_tpu.nn.full_graph_encoder import (
+                    prepare_sharded_full_graph,
+                )
+                adj, ops = prepare_sharded_full_graph(
+                    fg["sg"], self.model.encoder, fg["ind"], fg["outd"],
+                    self.mesh, self._fg_axis, features=fg["x"],
+                    rel_sharded=fg["rel"], const_agg=fg["const"])
+                return fg["x"], adj, ops
+            return self._fg_x, self._fg_view, self._fg_ops
+        feats = None if self.features is None else self.features[:-1]
+        return feats, self.full_graph, self._fg_ops
 
     def _batch_step_full_graph(self, state: TrainState, seeds: Array,
                                mask_b: Array, flat=None, fg=None):
@@ -310,22 +329,7 @@ class NodeClassificationTrainer:
         n = self.graph.num_nodes
         seeds_c = jnp.minimum(seeds, n - 1)
         labels_b = self.labels[jnp.minimum(seeds, n)]
-        ops = self._fg_ops
-        if self._fg_sharded:
-            if fg is not None:
-                from marius_tpu.nn.full_graph_encoder import (
-                    prepare_sharded_full_graph,
-                )
-                adj, ops = prepare_sharded_full_graph(
-                    fg["sg"], model.encoder, fg["ind"], fg["outd"],
-                    self.mesh, self._fg_axis, features=fg["x"],
-                    rel_sharded=fg["rel"], const_agg=fg["const"])
-                feats = fg["x"]
-            else:
-                feats, adj = self._fg_x, self._fg_view
-        else:
-            feats = None if self.features is None else self.features[:-1]
-            adj = self.full_graph
+        feats, adj, ops = self._fg_prepare(fg)
         table_values = state.table.values if state.table is not None else None
         # flat = (flat_nbr, flat_seg[, rel_flat]); the encoder reads the
         # optional relational lists as seed_restrict[3]
@@ -469,7 +473,7 @@ class NodeClassificationTrainer:
             csr_dev = self._fg_csr_dev
             rel_csr_dev = self._fg_rel_csr_dev
 
-            def epoch_fn_fg(state: TrainState, train_nodes: Array):
+            def epoch_fn_fg(state: TrainState, train_nodes: Array, fg=None):
                 k_perm = jax.random.fold_in(jax.random.key(54321),
                                             state.epoch // self.epochs_per_shuffle)
                 perm = jax.random.permutation(k_perm, nb * b)
@@ -491,27 +495,7 @@ class NodeClassificationTrainer:
 
             return epoch_fn_fg
 
-        if self._fg_struct is not None:
-            def epoch_fn_mp(state: TrainState, train_nodes: Array, fg):
-                k_perm = jax.random.fold_in(jax.random.key(54321),
-                                            state.epoch // self.epochs_per_shuffle)
-                perm = jax.random.permutation(k_perm, nb * b)
-                shuffled = jnp.take(train_nodes, perm)
-                masks = perm < num_train
-
-                def body(carry, xs):
-                    return self._batch_step_full_graph(
-                        carry, xs[0], xs[1], fg=fg)
-
-                state, losses = jax.lax.scan(
-                    body, state,
-                    (shuffled.reshape(nb, b), masks.reshape(nb, b)))
-                return (dataclasses.replace(state, epoch=state.epoch + 1),
-                        jnp.sum(losses))
-
-            return epoch_fn_mp
-
-        def epoch_fn(state: TrainState, train_nodes: Array):
+        def epoch_fn(state: TrainState, train_nodes: Array, fg=None):
             k_perm = jax.random.fold_in(jax.random.key(54321),
                                             state.epoch // self.epochs_per_shuffle)
             perm = jax.random.permutation(k_perm, nb * b)
@@ -519,7 +503,7 @@ class NodeClassificationTrainer:
             masks = perm < num_train
 
             def body(carry, xs):
-                return self._batch_step(carry, xs[0], xs[1])
+                return self._batch_step(carry, xs[0], xs[1], fg)
 
             state, losses = jax.lax.scan(
                 body, state, (shuffled.reshape(nb, b), masks.reshape(nb, b)))
@@ -570,11 +554,8 @@ class NodeClassificationTrainer:
             # already synced
             epoch = int(jax.device_get(self.state.epoch))
             self._fg_ensure_budget(epoch)
-        if self._fg_struct is not None:
-            self.state, total_loss = self._epoch_fn(
-                self.state, self.train_nodes, self._fg_struct)
-        else:
-            self.state, total_loss = self._epoch_fn(self.state, self.train_nodes)
+        self.state, total_loss = self._epoch_fn(
+            self.state, self.train_nodes, self._fg_struct)
         total_loss = float(total_loss)
         dt = time.perf_counter() - t0
         return {"loss": total_loss, "epoch_time_s": dt,
@@ -606,22 +587,7 @@ class NodeClassificationEvaluator:
         multi-controller ring structures passed as jit arguments."""
         tr = self.trainer
         from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
-        ops = tr._fg_ops
-        if tr._fg_sharded:
-            if fg is not None:
-                from marius_tpu.nn.full_graph_encoder import (
-                    prepare_sharded_full_graph,
-                )
-                adj, ops = prepare_sharded_full_graph(
-                    fg["sg"], tr.model.encoder, fg["ind"], fg["outd"],
-                    tr.mesh, tr._fg_axis, features=fg["x"],
-                    rel_sharded=fg["rel"], const_agg=fg["const"])
-                feats = fg["x"]
-            else:
-                feats, adj = tr._fg_x, tr._fg_view
-        else:
-            feats = None if tr.features is None else tr.features[:-1]
-            adj = tr.full_graph
+        feats, adj, ops = tr._fg_prepare(fg)
         logits_all = full_graph_encoder_forward(
             tr.model.encoder, params["encoder"], table_values, feats,
             adj, ops=ops)
@@ -633,25 +599,15 @@ class NodeClassificationEvaluator:
         nb_, b = self.num_batches, self.batch_size
 
         if tr.full_graph is not None:
-            if getattr(tr, "_fg_struct", None) is not None:
-                def eval_fn_fg_mp(table_values, params, eval_nodes, fg):
-                    logits = self._full_graph_logits(
-                        table_values, params, eval_nodes, fg=fg)
-                    labels = tr.labels[
-                        jnp.minimum(eval_nodes, tr.graph.num_nodes)]
-                    mask = jnp.arange(nb_ * b) < self.num_eval
-                    return categorical_accuracy_statistics(
-                        logits, labels, mask)
-                return eval_fn_fg_mp
-
-            def eval_fn_fg(table_values, params, eval_nodes):
-                logits = self._full_graph_logits(table_values, params, eval_nodes)
+            def eval_fn_fg(table_values, params, eval_nodes, fg=None):
+                logits = self._full_graph_logits(table_values, params,
+                                                 eval_nodes, fg=fg)
                 labels = tr.labels[jnp.minimum(eval_nodes, tr.graph.num_nodes)]
                 mask = jnp.arange(nb_ * b) < self.num_eval
                 return categorical_accuracy_statistics(logits, labels, mask)
             return eval_fn_fg
 
-        def eval_fn(table_values, params, eval_nodes):
+        def eval_fn(table_values, params, eval_nodes, fg=None):
             def body(acc, xs):
                 seeds, mask_b, idx = xs
                 k = jax.random.fold_in(jax.random.key(self.seed), idx)
@@ -679,10 +635,9 @@ class NodeClassificationEvaluator:
 
     def evaluate(self, state: TrainState) -> Dict[str, float]:
         table_values = state.table.values if state.table is not None else None
-        extra = (() if getattr(self.trainer, "_fg_struct", None) is None
-                 else (self.trainer._fg_struct,))
         stats = jax.device_get(self._eval_fn(
-            table_values, state.params, self.eval_nodes, *extra))
+            table_values, state.params, self.eval_nodes,
+            getattr(self.trainer, "_fg_struct", None)))
         reporter = NodeClassificationReporter()
         reporter.add_statistics(stats)
         res = reporter.results()
@@ -698,17 +653,15 @@ class NodeClassificationEvaluator:
 
         if tr.full_graph is not None:
             @jax.jit
-            def labels_fn_fg(table_values, params, eval_nodes, *extra):
+            def labels_fn_fg(table_values, params, eval_nodes, fg=None):
                 logits = self._full_graph_logits(
-                    table_values, params, eval_nodes,
-                    fg=extra[0] if extra else None)
+                    table_values, params, eval_nodes, fg=fg)
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             table_values = state.table.values if state.table is not None else None
-            extra = (() if getattr(tr, "_fg_struct", None) is None
-                     else (tr._fg_struct,))
-            preds = np.asarray(labels_fn_fg(table_values, state.params,
-                                            self.eval_nodes, *extra))
+            preds = np.asarray(labels_fn_fg(
+                table_values, state.params, self.eval_nodes,
+                getattr(tr, "_fg_struct", None)))
             return preds[:self.num_eval]
 
         @jax.jit
