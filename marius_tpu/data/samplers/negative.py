@@ -44,6 +44,9 @@ def sample_negatives(
     edges: Array,        # (B, 2|3) int32 — batch edges (padded rows allowed)
     num_nodes: int,
     inverse: bool,       # True -> corrupt src (sample from src column), else dst
+    valid_rows=None,     # int scalar: only sample in-batch rows < valid_rows
+                         # (the reference's ragged final batch has no padded
+                         # rows to over-draw, negative.cpp batch_sample :7-19)
 ) -> NegativeSample:
     """Draw one direction's negatives for a batch.
 
@@ -62,7 +65,7 @@ def sample_negatives(
     if num_batch == 0:
         return NegativeSample(uni, None)
 
-    b = edges.shape[0]
+    b = edges.shape[0] if valid_rows is None else valid_rows
     rows = jax.random.randint(k_deg, (c, num_batch), 0, b, dtype=jnp.int32)
     col = 0 if inverse else edges.shape[1] - 1
     deg = edges[:, col][rows]

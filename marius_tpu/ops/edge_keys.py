@@ -70,6 +70,8 @@ def isin_triples(keys: EdgeKeySet, anchor: Array, rel: Optional[Array], other: A
     qa, qr, qo = qa.reshape(-1), qr.reshape(-1), qo.reshape(-1)
 
     n = keys.anchor.shape[0]
+    assert n < np.iinfo(np.int32).max, \
+        "edge key set exceeds int32 rows; shard the filter edge set"
     steps = max(1, math.ceil(math.log2(max(n, 2))) + 1)
     lo = jnp.zeros_like(qa)
     hi = jnp.full_like(qa, n)
@@ -78,7 +80,10 @@ def isin_triples(keys: EdgeKeySet, anchor: Array, rel: Optional[Array], other: A
 
     def body(_, carry):
         lo, hi = carry
-        mid = (lo + hi) // 2
+        # overflow-safe midpoint: hi - lo <= n stays in int32 even when
+        # lo + hi would wrap (E > 2^30 — exactly the scale this module
+        # targets; a wrapped mid silently corrupts every membership answer)
+        mid = lo + (hi - lo) // 2
         midc = jnp.minimum(mid, n - 1)
         # scalar gathers serialize on TPU; take_1d vectorizes them — the
         # binary search does ~log2(E) rounds of three gathers over every
@@ -89,7 +94,6 @@ def isin_triples(keys: EdgeKeySet, anchor: Array, rel: Optional[Array], other: A
 
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     pos = jnp.minimum(lo, n - 1)
-    from marius_tpu.ops.gather1d import take_1d
     found = ((lo < n) & (take_1d(keys.anchor, pos) == qa)
              & (take_1d(keys.rel, pos) == qr) & (take_1d(keys.other, pos) == qo))
     return found.reshape(shape)

@@ -22,10 +22,8 @@ import numpy as np
 
 from marius_tpu.parallel.mesh import put_arg
 from marius_tpu.data.samplers.negative import NegativeSamplingConfig, sample_negatives
-from marius_tpu.nn.encoder import encoder_forward
 from marius_tpu.nn.model import Model
 from marius_tpu.ops.edge_keys import (
-    EdgeKeySet,
     build_edge_key_set,
     filter_mask_sampled,
     isin_triples,
@@ -35,6 +33,11 @@ from marius_tpu.reporting.reporters import LinkPredictionReporter
 from marius_tpu.train.trainer import TrainState, pad_edges
 
 Array = jax.Array
+
+
+def _pow2_ceil(x: int) -> int:
+    """Smallest power of two >= x (>= 1)."""
+    return 1 << max(0, (x - 1)).bit_length()
 
 HITS_KS = (1, 3, 5, 10, 50, 100)
 
@@ -80,6 +83,10 @@ class LinkPredictionEvaluator:
             self.full_graph, self._fg_ops = prepare_full_graph(
                 full_graph, model.encoder, feats)
 
+        if not filtered:
+            assert batch_size % self.neg_config.num_chunks == 0, \
+                (f"evaluation batch_size {batch_size} must be divisible by "
+                 f"num_chunks {self.neg_config.num_chunks}")
         padded, self.num_edges, self.num_batches = pad_edges(eval_edges, batch_size)
         self.edges = put_arg(padded)
         self.has_rels = padded.shape[1] == 3
@@ -95,7 +102,7 @@ class LinkPredictionEvaluator:
         # filtered mode streams all-node scoring over fixed node chunks so
         # device memory stays (B, chunk) regardless of graph size (the (B, N)
         # score matrix at 1M nodes would be 4GB/batch)
-        self.node_chunk = min(1 << max(0, (num_nodes - 1)).bit_length(), 8192)
+        self.node_chunk = min(_pow2_ceil(num_nodes), 8192)
 
         self._eval_fn = jax.jit(self._build_eval_fn())
 
@@ -151,14 +158,16 @@ class LinkPredictionEvaluator:
             directions.append((ranks, pos))
         else:
             k = jax.random.fold_in(jax.random.key(self.seed), idx)
+            # the final batch is zero-padded; cap in-batch (degree-fraction)
+            # sampling at the real row count or node 0 gets over-drawn
+            valid_rows = jnp.clip(
+                self.num_edges - idx * edges_b.shape[0], 1, edges_b.shape[0])
             neg_ids = sample_negatives(
-                jax.random.fold_in(k, 0), cfg, edges_b, num_nodes, inverse=False).ids
+                jax.random.fold_in(k, 0), cfg, edges_b, num_nodes,
+                inverse=False, valid_rows=valid_rows).ids
             neg_e = encoded[neg_ids.reshape(-1)].reshape(
                 cfg.num_chunks, cfg.negatives_per_positive, -1)
             neg = decoder.neg_scores(adj_src, neg_e, cfg.num_chunks)
-            if self.dst_keys is not None:
-                fmask = filter_mask_sampled(self.dst_keys, src, rel, neg_ids)
-                neg = jnp.where(fmask, -1e9, neg)
             directions.append((compute_ranks(pos, neg), pos))
 
         if decoder.use_inverse_relations and rel is not None:
@@ -171,14 +180,15 @@ class LinkPredictionEvaluator:
                 directions.append((inv_ranks, inv_pos))
             else:
                 k = jax.random.fold_in(jax.random.key(self.seed), idx)
+                valid_rows = jnp.clip(
+                    self.num_edges - idx * edges_b.shape[0], 1,
+                    edges_b.shape[0])
                 neg_ids = sample_negatives(
-                    jax.random.fold_in(k, 1), cfg, edges_b, num_nodes, inverse=True).ids
+                    jax.random.fold_in(k, 1), cfg, edges_b, num_nodes,
+                    inverse=True, valid_rows=valid_rows).ids
                 neg_e = encoded[neg_ids.reshape(-1)].reshape(
                     cfg.num_chunks, cfg.negatives_per_positive, -1)
                 inv_neg = decoder.neg_scores(adj_dst, neg_e, cfg.num_chunks)
-                if self.src_keys is not None:
-                    fmask = filter_mask_sampled(self.src_keys, dst, rel, neg_ids)
-                    inv_neg = jnp.where(fmask, -1e9, inv_neg)
                 directions.append((compute_ranks(inv_pos, inv_neg), inv_pos))
         return directions
 
@@ -204,6 +214,48 @@ class LinkPredictionEvaluator:
             return stats
 
         return eval_fn
+
+    def _host_fns(self):
+        if getattr(self, "_host_fns_cache", None) is not None:
+            return self._host_fns_cache
+        decoder = self.model.decoder
+        num_nodes = self.num_nodes
+
+        @partial(jax.jit, static_argnames=("inverse",))
+        def adjust(params, anchor_e, other_e, rel_ids, inverse):
+            rels = (None if rel_ids is None else decoder.select_relations(
+                params["decoder"], rel_ids, inverse=inverse))
+            adj = decoder.apply_relation(anchor_e, rels)
+            return adj, decoder.pos_scores(adj, other_e)
+
+        @jax.jit
+        def tile_counts(adj, pos, anchors, rels, tile, tile_start, keys):
+            # scan 8192-node sub-chunks of the tile: the transient score
+            # block stays (edge_slice, 8192) — the full (edge_slice,
+            # node_tile) matrix at the defaults would be multi-GB, defeating
+            # the host-streaming mode's whole memory bound
+            sub = min(8192, tile.shape[0])
+            n_sub = tile.shape[0] // sub
+
+            def body(counts, ci):
+                start_c = ci * sub
+                blk = jax.lax.dynamic_slice_in_dim(tile, start_c, sub, 0)
+                scores = decoder.neg_scores(adj, blk[None, :, :], num_chunks=1)
+                ids = tile_start + start_c + jnp.arange(sub, dtype=jnp.int32)
+                valid = ids < num_nodes
+                fmask = isin_triples(keys, anchors[:, None],
+                                     None if rels is None else rels[:, None],
+                                     ids[None, :])
+                ge = (scores >= pos[:, None]) & valid[None, :] & ~fmask
+                return counts + jnp.sum(ge, axis=1).astype(jnp.int32), None
+
+            counts, _ = jax.lax.scan(
+                body, jnp.zeros((adj.shape[0],), jnp.int32),
+                jnp.arange(n_sub, dtype=jnp.int32))
+            return counts
+
+        self._host_fns_cache = (adjust, tile_counts)
+        return self._host_fns_cache
 
     def evaluate_from_host_table(self, host_values: "np.ndarray", params,
                                  edge_slice: int = 4096,
@@ -238,44 +290,23 @@ class LinkPredictionEvaluator:
         rels_np = edges[:, 1] if self.has_rels else None
         # clamp tiles to the problem size so small graphs don't pay (and
         # possibly OOM on) padding up to the large-graph defaults
-        node_tile = min(node_tile,
-                        1 << max(0, (num_nodes - 1)).bit_length())
-        edge_slice = min(edge_slice,
-                         1 << max(0, (len(edges) - 1)).bit_length())
+        node_tile = min(node_tile, _pow2_ceil(num_nodes))
+        edge_slice = min(edge_slice, _pow2_ceil(len(edges)))
 
-        # per-direction (adjusted anchors, positive scores, anchor ids)
-        @partial(jax.jit, static_argnames=("inverse",))
-        def adjust(anchor_e, other_e, rel_ids, inverse):
-            rels = (None if rel_ids is None else decoder.select_relations(
-                params["decoder"], rel_ids, inverse=inverse))
-            adj = decoder.apply_relation(anchor_e, rels)
-            return adj, decoder.pos_scores(adj, other_e)
+        adjust, tile_counts = self._host_fns()
 
         directions = []
         src_e = put_arg(host[edges[:, 0]])
         dst_e = put_arg(host[edges[:, -1]])
         rel_j = None if rels_np is None else put_arg(rels_np)
-        adj, pos = adjust(src_e, dst_e, rel_j, False)
+        adj, pos = adjust(params, src_e, dst_e, rel_j, False)
         directions.append((adj, pos, put_arg(edges[:, 0]), self.dst_keys))
         if decoder.use_inverse_relations and rels_np is not None:
-            adj2, pos2 = adjust(dst_e, src_e, rel_j, True)
+            adj2, pos2 = adjust(params, dst_e, src_e, rel_j, True)
             directions.append((adj2, pos2, put_arg(edges[:, -1]), self.src_keys))
 
         e = len(edges)
         n_slices = -(-e // edge_slice)
-        pad_e = n_slices * edge_slice
-
-        @jax.jit
-        def tile_counts(adj, pos, anchors, rels, tile, tile_start, keys):
-            # (S, tile) scores for one edge slice against one node tile
-            scores = decoder.neg_scores(adj, tile[None, :, :], num_chunks=1)
-            ids = tile_start + jnp.arange(tile.shape[0], dtype=jnp.int32)
-            valid = ids < num_nodes
-            fmask = isin_triples(keys, anchors[:, None],
-                                 None if rels is None else rels[:, None],
-                                 ids[None, :])
-            ge = (scores >= pos[:, None]) & valid[None, :] & ~fmask
-            return jnp.sum(ge, axis=1).astype(jnp.int32)
 
         all_ranks = []
         for adj, pos, anchors, keys in directions:
@@ -326,6 +357,18 @@ class LinkPredictionEvaluator:
         reporter.report()
         return results
 
+    def _encode(self, state: TrainState) -> Array:
+        """All-node encoder outputs for this evaluator's configuration —
+        shared by evaluate() and compute_all_ranks() so their encodings can
+        never diverge."""
+        from marius_tpu.train.graph_encoder import encode_all_nodes
+        table_values = state.table.values if state.table is not None else None
+        return encode_all_nodes(
+            self.model, state.params, table_values, graph=self.graph,
+            nbr_configs=self.nbr_configs, features=self.features,
+            batch_size=self.batch_size, full_graph=self.full_graph,
+            fg_ops=self._fg_ops)
+
     def compute_all_ranks(self, state: TrainState, encoded: Optional[Array] = None):
         """Per-edge (rank, positive score) for every eval edge and corruption
         direction — the data behind marius_predict's ranks/scores CSV export
@@ -334,13 +377,7 @@ class LinkPredictionEvaluator:
         Returns (ranks, scores): float arrays of shape (num_directions, E).
         """
         if encoded is None:
-            from marius_tpu.train.graph_encoder import encode_all_nodes
-            table_values = state.table.values if state.table is not None else None
-            encoded = encode_all_nodes(
-                self.model, state.params, table_values, graph=self.graph,
-                nbr_configs=self.nbr_configs, features=self.features,
-                batch_size=self.batch_size, full_graph=self.full_graph,
-                fg_ops=self._fg_ops)
+            encoded = self._encode(state)
         nb, b = self.num_batches, self.batch_size
 
         @jax.jit
@@ -367,13 +404,7 @@ class LinkPredictionEvaluator:
     def evaluate(self, state: TrainState, encoded: Optional[Array] = None) -> Dict[str, float]:
         t0 = time.perf_counter()
         if encoded is None:
-            from marius_tpu.train.graph_encoder import encode_all_nodes
-            table_values = state.table.values if state.table is not None else None
-            encoded = encode_all_nodes(
-                self.model, state.params, table_values, graph=self.graph,
-                nbr_configs=self.nbr_configs, features=self.features,
-                batch_size=self.batch_size, full_graph=self.full_graph,
-                fg_ops=self._fg_ops)
+            encoded = self._encode(state)
         stats = self._eval_fn(encoded, state.params, self.edges)
         stats = jax.device_get(stats)
         dt = time.perf_counter() - t0
