@@ -12,6 +12,8 @@ rows, big table), else jnp.take.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -20,10 +22,14 @@ from marius_tpu.ops.pallas.gather import BLOCK, gather_rows_pallas  # noqa: F401
 from marius_tpu.ops.pallas.nbr_sum import gather_sum_pallas  # noqa: F401
 
 PALLAS_GATHER_MIN_ROWS = 500_000
-# fused bucketed gather-sum (full-graph neighbor aggregation): threshold in
-# total slots (rows*cap) below which XLA's gather+reduce ties or wins —
-# re-measure with bench_kernels.py when the kernel changes
+# fused bucketed gather-sum (full-graph neighbor aggregation): measured on
+# v5e (bench_kernels.bench_gather_sum + end-to-end bench_nc_full) XLA's
+# gather+reduce ties or wins at every arxiv-scale bucket shape, and routing
+# the full-graph epoch through the kernel REGRESSED end-to-end throughput
+# 22.4k -> 14.1k nodes/s. Kernel kept as a reference implementation;
+# opt back in with MARIUS_TPU_PALLAS_GATHER_SUM=1 after re-measuring.
 PALLAS_GATHER_SUM_MIN_SLOTS = 200_000
+_GATHER_SUM_OPT_IN = os.environ.get("MARIUS_TPU_PALLAS_GATHER_SUM") == "1"
 
 
 def pallas_supported() -> bool:
@@ -50,7 +56,7 @@ def gather_sum_auto(x_pad: jax.Array, ids: jax.Array) -> jax.Array:
     in HBM; XLA's gather+reduce wins on small buckets."""
     n, cap = ids.shape
     d = x_pad.shape[1]
-    if (pallas_supported() and d % 128 == 0
+    if (_GATHER_SUM_OPT_IN and pallas_supported() and d % 128 == 0
             and n * cap >= PALLAS_GATHER_SUM_MIN_SLOTS):
         return gather_sum_pallas(x_pad, ids)
     return jnp.sum(jnp.take(x_pad, ids, axis=0), axis=1)

@@ -31,6 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 8            # rows per DMA group = one VPU reduction tile
 N_BUF = 2            # groups in flight (2*GROUP row DMAs)
 TARGET_SLOTS = 2048  # ids per grid program (rows*cap), sized for SMEM
+MAX_CAP = 256        # widest row per kernel call: keeps rows >= 8 (Mosaic
+                     # needs 8-aligned SMEM row blocks); wider rows are
+                     # reshaped into MAX_CAP-slot virtual rows + a tiny
+                     # final reduce (see gather_sum_pallas)
 
 
 def _kernel(ids_ref, x_ref, out_ref, scratch, sems, *, rows: int, cap: int):
@@ -67,7 +71,9 @@ def _kernel(ids_ref, x_ref, out_ref, scratch, sems, *, rows: int, cap: int):
 
         @pl.when(row_done)
         def _():
-            out_ref[pl.ds(g // gpr, 1), :] = acc.astype(out_ref.dtype)
+            # out is always f32 (cast happens outside): Mosaic can't prove
+            # 16-row alignment for single-row bf16 vector stores
+            out_ref[pl.ds(g // gpr, 1), :] = acc
 
         return jnp.where(row_done, jnp.zeros_like(acc), acc)
 
@@ -88,8 +94,19 @@ def gather_sum_pallas(x_pad: jax.Array, ids: jax.Array,
     assert d % 128 == 0, \
         "row DMA needs lane-aligned rows (Mosaic tiling); pad dim to 128"
     sentinel = x_pad.shape[0] - 1
+    if cap > MAX_CAP:
+        # hub buckets: split each wide row into MAX_CAP-slot virtual rows
+        # (padding reads the zero sentinel), sum those with the same kernel,
+        # then fold the per-row chunks with one small XLA reduce
+        chunks = -(-cap // MAX_CAP)
+        ids = jnp.pad(ids, ((0, 0), (0, chunks * MAX_CAP - cap)),
+                      constant_values=sentinel)
+        part = gather_sum_pallas(x_pad, ids.reshape(n * chunks, MAX_CAP),
+                                 interpret=interpret)
+        return jnp.sum(part.reshape(n, chunks, d).astype(jnp.float32),
+                       axis=1).astype(x_pad.dtype)
     cap_pad = -(-cap // GROUP) * GROUP
-    rows = max(1, TARGET_SLOTS // cap_pad)
+    rows = max(GROUP, TARGET_SLOTS // cap_pad // GROUP * GROUP)
     n_pad = -(-n // rows) * rows
     if cap_pad != cap or n_pad != n:
         ids = jnp.pad(ids, ((0, n_pad - n), (0, cap_pad - cap)),
@@ -104,7 +121,7 @@ def gather_sum_pallas(x_pad: jax.Array, ids: jax.Array,
         ],
         out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), x_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((N_BUF, GROUP, d), x_pad.dtype),
             pltpu.SemaphoreType.DMA((N_BUF, GROUP)),
