@@ -309,6 +309,24 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
     loss_opts = loss_raw.get("options") or {}
     sparse_opt = _optimizer(m.get("sparse_optimizer"), "ADAGRAD")
 
+    # per-layer / per-decoder optimizers (setup_optimizers,
+    # nn/model.cpp:161-218): a layer's own `optimizer:` block overrides the
+    # model-level dense optimizer for that layer's params
+    dense_opt = _optimizer(m.get("dense_optimizer"), "ADAM")
+    overrides = []
+    for i, stage in enumerate(stage_list):
+        for j, layer_raw in enumerate(stage or []):
+            if isinstance(layer_raw, dict) and layer_raw.get("optimizer"):
+                overrides.append((("encoder", i, j), _optimizer(
+                    layer_raw["optimizer"], dense_opt.optimizer_type)))
+    if dec_raw.get("optimizer"):
+        overrides.append((("decoder",), _optimizer(
+            dec_raw["optimizer"], dense_opt.optimizer_type)))
+    if overrides:
+        from marius_tpu.nn.optimizers import GroupedOptimizerConfig
+        dense_opt = GroupedOptimizerConfig(default=dense_opt,
+                                           overrides=tuple(overrides))
+
     model = Model(
         learning_task=learning_task,
         encoder=encoder,
@@ -316,7 +334,7 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
         loss_type=str(loss_raw.get("type", "SOFTMAX_CE")).upper(),
         loss_reduction=str(loss_opts.get("reduction", "MEAN")).upper(),
         loss_margin=float(loss_opts.get("margin", 0.1)),
-        dense_optimizer=_optimizer(m.get("dense_optimizer"), "ADAM"),
+        dense_optimizer=dense_opt,
         sparse_lr=sparse_opt.learning_rate,
     )
 

@@ -146,12 +146,6 @@ COMPAT_NOTES: Dict[str, str] = {
     "model.encoder.*.use_hashmap_sets": (
         "CPU-sampler implementation detail (NeighborSamplingConfig); the "
         "device sampler has one dedup path"),
-    "model.encoder.layers.optimizer": (
-        "per-layer optimizers are not supported; model.dense_optimizer "
-        "applies to all dense parameters"),
-    "model.decoder.optimizer": (
-        "per-decoder optimizers are not supported; model.dense_optimizer "
-        "applies to all dense parameters"),
     "storage.device_ids": "device selection comes from training.mesh",
     "storage.nodes": (
         "node-id splits are always host-resident memory-maps; a nodes "
@@ -238,14 +232,6 @@ def check_compat_keys(raw: Dict[str, Any]) -> List[str]:
             if isinstance(entry, dict) and "use_hashmap_sets" in entry:
                 note(f"model.encoder.{field}[{i}].use_hashmap_sets",
                      "model.encoder.*.use_hashmap_sets")
-    for i, stage in enumerate(enc.get("layers") or []):
-        for j, layer in enumerate(stage or []):
-            if isinstance(layer, dict) and "optimizer" in layer:
-                note(f"model.encoder.layers[{i}][{j}].optimizer",
-                     "model.encoder.layers.optimizer")
-    if "optimizer" in (m.get("decoder") or {}):
-        note("model.decoder.optimizer", "model.decoder.optimizer")
-
     s = raw.get("storage") or {}
     for key in ("device_ids", "nodes", "shuffle_input",
                 "full_graph_evaluation", "train_edges_pre_sorted"):
@@ -323,8 +309,17 @@ def check_config_values(cfg) -> List[str]:
         _enum(e, "loss_type", m.loss_type, "model.loss.type")
         _enum(e, "loss_reduction", m.loss_reduction,
               "model.loss.options.reduction")
-        _enum(e, "optimizer_type", m.dense_optimizer.optimizer_type,
-              "model.dense_optimizer.type")
+        from marius_tpu.nn.optimizers import GroupedOptimizerConfig
+        if isinstance(m.dense_optimizer, GroupedOptimizerConfig):
+            _enum(e, "optimizer_type",
+                  m.dense_optimizer.default.optimizer_type,
+                  "model.dense_optimizer.type")
+            for path, ocfg in m.dense_optimizer.overrides:
+                _enum(e, "optimizer_type", ocfg.optimizer_type,
+                      ".".join(str(k) for k in path) + ".optimizer.type")
+        else:
+            _enum(e, "optimizer_type", m.dense_optimizer.optimizer_type,
+                  "model.dense_optimizer.type")
         if m.decoder is not None:
             _enum(e, "decoder_type", m.decoder.decoder_type,
                   "model.decoder.type")

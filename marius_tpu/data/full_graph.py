@@ -252,7 +252,11 @@ def device_seed_flat_lists(csr_dev: Tuple[Array, Array], seeds: Array,
     deg = (offsets[s + 1] - offsets[s]) * mask.astype(jnp.int32)
     cum = jnp.cumsum(deg)
     slots = jnp.arange(budget, dtype=jnp.int32)
-    seg = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    # seg[t] = #{j: cum[j] <= t} == searchsorted(cum, t, side="right"); the
+    # scatter+cumsum form runs in one pass where jnp.searchsorted's binary
+    # scan is log2(b) sequential gather steps (~1.6 ms/batch on v5e)
+    ind = jnp.zeros((budget + 1,), jnp.int32).at[cum].add(1, mode="drop")
+    seg = jnp.cumsum(ind[:budget])
     valid = slots < cum[-1]
     seg_c = jnp.minimum(seg, b - 1)
     start = cum[seg_c] - deg[seg_c]

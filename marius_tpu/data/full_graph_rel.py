@@ -260,7 +260,9 @@ def device_seed_flat_lists_rel(csr_dev, seeds: Array, mask: Array,
     deg = (offsets[s + 1] - offsets[s]) * mask.astype(jnp.int32)
     cum = jnp.cumsum(deg)
     slots = jnp.arange(budget, dtype=jnp.int32)
-    seg = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    # scatter+cumsum searchsorted (see full_graph.device_seed_flat_lists)
+    ind = jnp.zeros((budget + 1,), jnp.int32).at[cum].add(1, mode="drop")
+    seg = jnp.cumsum(ind[:budget])
     valid = slots < cum[-1]
     seg_c = jnp.minimum(seg, b - 1)
     start = cum[seg_c] - deg[seg_c]

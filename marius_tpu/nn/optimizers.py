@@ -35,6 +35,39 @@ class OptimizerConfig:
     momentum: float = 0.0
 
 
+@dataclasses.dataclass(frozen=True)
+class GroupedOptimizerConfig:
+    """Per-layer/per-decoder optimizers (setup_optimizers, nn/model.cpp:
+    161-218): every param leaf is assigned the most specific matching
+    override by its tree path, falling back to ``default``. Overrides are
+    keyed by normalized path prefixes — ``("encoder", stage, layer)`` for a
+    layer's params, ``("decoder",)`` for the decoder's."""
+
+    default: OptimizerConfig
+    overrides: Tuple[Tuple[Tuple, OptimizerConfig], ...] = ()
+
+    def config_for(self, path: Tuple) -> OptimizerConfig:
+        best, best_len = self.default, -1
+        for prefix, cfg in self.overrides:
+            k = len(prefix)
+            if k > best_len and path[:k] == prefix:
+                best, best_len = cfg, k
+        return best
+
+
+def _norm_path(key_path) -> Tuple:
+    """jax KeyPath -> plain tuple of dict keys / sequence indices."""
+    out = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            out.append(k.key)
+        elif hasattr(k, "idx"):
+            out.append(k.idx)
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
 class OptState(NamedTuple):
     step: jax.Array          # int32 scalar
     slots: Any               # pytree of per-param state dicts
@@ -44,7 +77,65 @@ def _zeros_like_tree(params):
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
-def init_optimizer(config: OptimizerConfig, params) -> OptState:
+def _leaf_init(config: OptimizerConfig, p) -> Dict[str, Any]:
+    ot = config.optimizer_type.upper()
+    if ot == "SGD":
+        return {"momentum": jnp.zeros_like(p)} if config.momentum else {}
+    if ot == "ADAGRAD":
+        return {"sum": jnp.full_like(p, config.init_value)}
+    if ot == "ADAM":
+        slots = {"exp_avg": jnp.zeros_like(p), "exp_avg_sq": jnp.zeros_like(p)}
+        if config.amsgrad:
+            slots["max_exp_avg_sq"] = jnp.zeros_like(p)
+        return slots
+    raise ValueError(f"Unknown optimizer type: {config.optimizer_type}")
+
+
+def _leaf_apply(config: OptimizerConfig, p, g, slots: Dict[str, Any],
+                step: jax.Array):
+    """One leaf's optimizer step — the same formulas as the tree-level
+    branches of apply_optimizer, applied to a single (param, grad, slots)."""
+    ot = config.optimizer_type.upper()
+    if config.weight_decay:
+        g = g + config.weight_decay * p
+    if ot == "SGD":
+        if config.momentum:
+            m = config.momentum * slots["momentum"] + g
+            return (p - config.learning_rate * m).astype(p.dtype), {"momentum": m}
+        return (p - config.learning_rate * g).astype(p.dtype), slots
+    if ot == "ADAGRAD":
+        lr = config.learning_rate / (
+            1.0 + step.astype(jnp.float32) * config.lr_decay)
+        s = slots["sum"] + g * g
+        return (p - lr * g / (jnp.sqrt(s) + config.eps)).astype(p.dtype), {"sum": s}
+    if ot == "ADAM":
+        b1, b2 = config.beta_1, config.beta_2
+        t = step.astype(jnp.float32) + 1.0
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        m = b1 * slots["exp_avg"] + (1.0 - b1) * g
+        v = b2 * slots["exp_avg_sq"] + (1.0 - b2) * g * g
+        new_slots = {"exp_avg": m, "exp_avg_sq": v}
+        if config.amsgrad:
+            vmax = jnp.maximum(slots["max_exp_avg_sq"], v)
+            new_slots["max_exp_avg_sq"] = vmax
+            denom_src = vmax
+        else:
+            denom_src = v
+        step_size = config.learning_rate / bc1
+        new_p = p - step_size * m / (jnp.sqrt(denom_src) / jnp.sqrt(bc2)
+                                     + config.adam_eps)
+        return new_p.astype(p.dtype), new_slots
+    raise ValueError(f"Unknown optimizer type: {config.optimizer_type}")
+
+
+def init_optimizer(config, params) -> OptState:
+    if isinstance(config, GroupedOptimizerConfig):
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+        slot_leaves = [_leaf_init(config.config_for(_norm_path(path)), p)
+                       for path, p in leaves]
+        return OptState(step=jnp.zeros((), jnp.int32),
+                        slots=jax.tree_util.tree_unflatten(treedef, slot_leaves))
     ot = config.optimizer_type.upper()
     if ot == "SGD":
         slots = {"momentum": _zeros_like_tree(params)} if config.momentum else {}
@@ -65,10 +156,24 @@ def _match_dtypes(new_params, ref_params):
     return jax.tree_util.tree_map(lambda n, r: n.astype(r.dtype), new_params, ref_params)
 
 
-def apply_optimizer(config: OptimizerConfig, params, state: OptState, grads) -> Tuple[Any, OptState]:
+def apply_optimizer(config, params, state: OptState, grads) -> Tuple[Any, OptState]:
     """One optimizer step; returns (new_params, new_state). Step math runs in
     f32 (Python-scalar lr/beta promote), so low-precision params (bf16 tables)
-    are cast back to their stored dtype afterwards."""
+    are cast back to their stored dtype afterwards. ``config`` may be a plain
+    OptimizerConfig or a GroupedOptimizerConfig (per-layer optimizers)."""
+    if isinstance(config, GroupedOptimizerConfig):
+        p_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+        g_leaves = treedef.flatten_up_to(grads)
+        s_leaves = treedef.flatten_up_to(state.slots)
+        new_p, new_s = [], []
+        for (path, p), g, s in zip(p_leaves, g_leaves, s_leaves):
+            np_, ns_ = _leaf_apply(config.config_for(_norm_path(path)),
+                                   p, g, s, state.step)
+            new_p.append(np_)
+            new_s.append(ns_)
+        return (jax.tree_util.tree_unflatten(treedef, new_p),
+                OptState(state.step + 1,
+                         jax.tree_util.tree_unflatten(treedef, new_s)))
     ot = config.optimizer_type.upper()
     step = state.step
     in_params = params
