@@ -231,6 +231,7 @@ def _negative_sampling(d: Optional[Dict]) -> NegativeSamplingConfig:
         negatives_per_positive=int(d.get("negatives_per_positive", 500)),
         degree_fraction=float(d.get("degree_fraction", 0.0)),
         filtered=bool(d.get("filtered", False)),
+        local_filter_mode=str(d.get("local_filter_mode", "DEG")).upper(),
     )
 
 

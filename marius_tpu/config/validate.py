@@ -165,9 +165,6 @@ COMPAT_NOTES: Dict[str, str] = {
         "intra-epoch log cadence is not tunable"),
     "training.pipeline.*": _PIPELINE_NOTE,
     "evaluation.pipeline.*": _PIPELINE_NOTE,
-    "negative_sampling.local_filter_mode": (
-        "degree-based local filtering is controlled by degree_fraction; the "
-        "DEG/ALL mode toggle is ignored"),
 }
 
 
@@ -251,10 +248,6 @@ def check_compat_keys(raw: Dict[str, Any]) -> List[str]:
         if isinstance(pipe, dict):
             for key in sorted(set(pipe) - {"sync", "staleness_bound"}):
                 note(f"{section}.pipeline.{key}", f"{section}.pipeline.*")
-        neg = sec_raw.get("negative_sampling") or {}
-        if isinstance(neg, dict) and "local_filter_mode" in neg:
-            note(f"{section}.negative_sampling.local_filter_mode",
-                 "negative_sampling.local_filter_mode")
     return w
 
 
@@ -281,6 +274,7 @@ _ENUMS = {
     "edge_bucket_ordering": {"COMET", "BETA"},
     "node_partition_ordering": {"DISPERSED", "SEQUENTIAL"},
     "mesh_mode": {"gspmd", "explicit"},
+    "local_filter_mode": {"DEG", "ALL", "NONE"},
     "embeddings_dtype": {"float", "float32", "double", "bfloat16", "bf16",
                          "float16"},
 }
@@ -403,6 +397,9 @@ def check_config_values(cfg) -> List[str]:
     if not (0.0 <= t.negative_sampling.degree_fraction <= 1.0):
         e.append(f"training.negative_sampling.degree_fraction: must be in "
                  f"[0, 1], got {t.negative_sampling.degree_fraction}")
+    _enum(e, "local_filter_mode",
+          t.negative_sampling.local_filter_mode.upper(),
+          "training.negative_sampling.local_filter_mode")
     if t.save_best and not cfg.storage.save_model:
         e.append("training.checkpoint.save_best requires storage.save_model: "
                  "true (save_best keeps the best-valid model in model_dir)")

@@ -267,13 +267,36 @@ def device_seed_flat_lists(csr_dev: Tuple[Array, Array], seeds: Array,
     return flat_nbr, flat_seg
 
 
+def transpose_buckets(nbrs) -> Tuple[Tuple[Array, ...], Tuple[int, ...]]:
+    """Per bucket: ids transposed to (cap, n8) with rows padded to a sublane
+    multiple (8). XLA lowers ``take(x, (cap, n8)).sum(0)`` as gather ->
+    BITCAST -> major-axis reduce: with n8 % 8 == 0 the (cap*n8, d) ->
+    (cap, n8, d) reshape is layout-preserving, removing the full re-tiling
+    pass the row-major (n, cap) form pays (measured 2.1 ns/slot of the
+    4.5 ns/slot total on v5e at arxiv scale — bench_kernels.py)."""
+    tids, ns = [], []
+    for b in nbrs:
+        nb_ = np.asarray(b)
+        n, cap = nb_.shape
+        n8 = -(-n // 8) * 8
+        t = np.full((cap, n8), np.iinfo(np.int32).max, np.int32)
+        t[:, :n] = nb_.T
+        tids.append(jnp.asarray(t))
+        ns.append(n)
+    return tuple(tids), tuple(ns)
+
+
 def make_nbr_sums(adj: FullGraphAdjacency):
     """Returns ``nbr_sum``: x:(N, d) -> (N, d), the sum of each node's
     combined (in+out) neighbor rows. Scatter-free custom vjp: the combined
-    adjacency is symmetric, so the backward is the SAME gather-sum. Large
-    buckets route through the fused Pallas gather-sum kernel
-    (ops/pallas/nbr_sum.py) when it is the measured winner."""
-    from marius_tpu.ops.pallas import gather_sum_auto
+    adjacency is symmetric, so the backward is the SAME gather-sum.
+
+    Default path: per-bucket TRANSPOSED padded gathers (transpose_buckets)
+    with ``mode="fill"`` — out-of-range padding slots read 0 without
+    materializing a sentinel-row copy of x (87 MB/pass at arxiv scale) —
+    then a free bitcast + major-axis reduce. The Pallas row-DMA kernel
+    (ops/pallas/nbr_sum.py) lost to this pipeline on v5e and stays opt-in."""
+    from marius_tpu.ops.pallas import gather_sum_opt_in
 
     loc_perm = adj.loc_perm
     loc_inv = None
@@ -281,6 +304,10 @@ def make_nbr_sums(adj: FullGraphAdjacency):
         inv = np.empty(adj.num_nodes, np.int32)
         inv[np.asarray(loc_perm)] = np.arange(adj.num_nodes, dtype=np.int32)
         loc_inv = jnp.asarray(inv)
+
+    use_pallas = gather_sum_opt_in()
+    if not use_pallas:
+        tids, ns = transpose_buckets(adj.nbrs)
 
     def _to_locality(x):
         """Permutation gather with a gather-only vjp (a scatter would undo
@@ -298,9 +325,15 @@ def make_nbr_sums(adj: FullGraphAdjacency):
 
     def _bucketed_sum(x):
         x_src = _to_locality(x)
-        x_pad = jnp.concatenate(
-            [x_src, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
-        parts = [gather_sum_auto(x_pad, nbr) for nbr in adj.nbrs]
+        if use_pallas:
+            from marius_tpu.ops.pallas import gather_sum_auto
+            x_pad = jnp.concatenate(
+                [x_src, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
+            parts = [gather_sum_auto(x_pad, nbr) for nbr in adj.nbrs]
+        else:
+            parts = [jnp.sum(jnp.take(x_src, t, axis=0, mode="fill",
+                                      fill_value=0), axis=0)[:n]
+                     for t, n in zip(tids, ns)]
         y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return y_sorted[adj.inv_pos]  # back to original node order (a gather)
 
@@ -374,24 +407,24 @@ def make_gather_blocks(adj: FullGraphAdjacency):
     assert adj.inv_map is not None, \
         "call build_inverse_map(adj) first (needed for weighted aggregation)"
 
+    inv_tids, inv_ns = transpose_buckets(adj.inv_map)
+
     @jax.custom_vjp
     def gather_blocks(x):
-        x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
-        return tuple(x_pad[nbr] for nbr in adj.nbrs)
+        return tuple(jnp.take(x, nbr, axis=0, mode="fill", fill_value=0)
+                     for nbr in adj.nbrs)
 
     def fwd(x):
         return gather_blocks(x), None
 
     def bwd(_, u_blocks):
-        from marius_tpu.ops.pallas import gather_sum_auto
-
         d = u_blocks[0].shape[-1]
-        flat_u = jnp.concatenate(
-            [u.reshape(-1, d) for u in u_blocks]
-            + [jnp.zeros((1, d), u_blocks[0].dtype)], 0)
-        # fused bucketed gather-sum: same sentinel convention (inv pad slots
-        # point at flat_u's appended zero row)
-        parts = [gather_sum_auto(flat_u, inv) for inv in adj.inv_map]
+        flat_u = jnp.concatenate([u.reshape(-1, d) for u in u_blocks], 0)
+        # bucketed transposed gather-sum over the inverse occurrence map;
+        # inv pad slots are out of range -> read 0 via mode="fill"
+        parts = [jnp.sum(jnp.take(flat_u, t, axis=0, mode="fill",
+                                  fill_value=0), axis=0)[:n]
+                 for t, n in zip(inv_tids, inv_ns)]
         g_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return (g_sorted[adj.inv_pos],)
 

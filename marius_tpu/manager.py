@@ -266,7 +266,13 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
         graph = None
         full_graph = None
         train_nbr = cfg.train_neighbor_sampling
-        if cfg.storage.features_backend != "PARTITION_BUFFER":
+        # out-of-core NC engages when EITHER node tier is buffered: features,
+        # or the optional learnable embedding table (io.cpp:347-433)
+        nc_buffered = (
+            cfg.storage.features_backend == "PARTITION_BUFFER"
+            or (model.has_embeddings
+                and cfg.storage.embeddings_backend == "PARTITION_BUFFER"))
+        if not nc_buffered:
             # buffer mode keeps the graph host-side; only resident subgraphs
             # ever reach HBM
             graph = build_device_graph(edges, num_nodes, max(ds.num_relations, 1))
@@ -339,7 +345,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             log.info("Async pipeline: staleness_bound=%d -> step of %d seeds",
                      k, nc_batch_size)
 
-        if cfg.storage.features_backend == "PARTITION_BUFFER":
+        if nc_buffered:
             from marius_tpu.train.nc_buffer import PartitionBufferNCTrainer
             trainer = PartitionBufferNCTrainer(
                 model, edges, features, labels, train_nodes,

@@ -407,10 +407,9 @@ def _full_graph_gat(layer: LayerConfig, p, x, adj, ops,
 
 
 def _seed_gather(x: Array, flat_nbr: Array) -> Array:
-    """Gather the (S, d) flat neighbor values; padding slots (id N) read the
-    appended zero sentinel row."""
-    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
-    return x_pad[flat_nbr]
+    """Gather the (S, d) flat neighbor values; padding slots (id N) are out
+    of range and read 0 (mode="fill" — no sentinel-row copy of x)."""
+    return jnp.take(x, flat_nbr, axis=0, mode="fill", fill_value=0)
 
 
 def _seed_sage(layer: LayerConfig, p, x, seeds, flat_nbr, flat_seg,

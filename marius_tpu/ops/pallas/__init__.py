@@ -36,6 +36,15 @@ def pallas_supported() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def gather_sum_opt_in() -> bool:
+    """True when the env opts the full-graph neighbor sum into the Pallas
+    row-DMA kernel. The default is the transposed-gather XLA pipeline
+    (data/full_graph.py transpose_buckets), which measured 3.9 ns/slot vs the
+    kernel's ~11 ns/slot on v5e at arxiv scale."""
+    return (os.environ.get("MARIUS_TPU_PALLAS_GATHER_SUM") == "1"
+            and pallas_supported())
+
+
 def gather_rows_auto(table: jax.Array, ids: jax.Array) -> jax.Array:
     """Gather rows, choosing the faster backend. ids must be pre-clamped;
     any id count accepted (pads to the kernel block internally)."""

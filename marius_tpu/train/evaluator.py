@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from marius_tpu.parallel.mesh import put_arg
-from marius_tpu.data.samplers.negative import NegativeSamplingConfig, sample_negatives
+from marius_tpu.data.samplers.negative import (
+    NegativeSamplingConfig,
+    local_filter_mask_dir,
+    sample_negatives,
+)
 from marius_tpu.nn.model import Model
 from marius_tpu.ops.edge_keys import (
     build_edge_key_set,
@@ -162,12 +166,18 @@ class LinkPredictionEvaluator:
             # sampling at the real row count or node 0 gets over-drawn
             valid_rows = jnp.clip(
                 self.num_edges - idx * edges_b.shape[0], 1, edges_b.shape[0])
-            neg_ids = sample_negatives(
+            ns = sample_negatives(
                 jax.random.fold_in(k, 0), cfg, edges_b, num_nodes,
-                inverse=False, valid_rows=valid_rows).ids
-            neg_e = encoded[neg_ids.reshape(-1)].reshape(
+                inverse=False, valid_rows=valid_rows)
+            neg_e = encoded[ns.ids.reshape(-1)].reshape(
                 cfg.num_chunks, cfg.negatives_per_positive, -1)
             neg = decoder.neg_scores(adj_src, neg_e, cfg.num_chunks)
+            # local (in-batch) false-negative filter, eval-config parity
+            # (dataloader.cpp:39-40 passes the eval local_filter_mode)
+            row_mask = jnp.arange(edges_b.shape[0]) < valid_rows
+            f = local_filter_mask_dir(cfg, edges_b, row_mask, ns, False)
+            if f is not None:
+                neg = jnp.where(f, -1e9, neg)
             directions.append((compute_ranks(pos, neg), pos))
 
         if decoder.use_inverse_relations and rel is not None:
@@ -183,12 +193,16 @@ class LinkPredictionEvaluator:
                 valid_rows = jnp.clip(
                     self.num_edges - idx * edges_b.shape[0], 1,
                     edges_b.shape[0])
-                neg_ids = sample_negatives(
+                ns = sample_negatives(
                     jax.random.fold_in(k, 1), cfg, edges_b, num_nodes,
-                    inverse=True, valid_rows=valid_rows).ids
-                neg_e = encoded[neg_ids.reshape(-1)].reshape(
+                    inverse=True, valid_rows=valid_rows)
+                neg_e = encoded[ns.ids.reshape(-1)].reshape(
                     cfg.num_chunks, cfg.negatives_per_positive, -1)
                 inv_neg = decoder.neg_scores(adj_dst, neg_e, cfg.num_chunks)
+                row_mask = jnp.arange(edges_b.shape[0]) < valid_rows
+                f = local_filter_mask_dir(cfg, edges_b, row_mask, ns, True)
+                if f is not None:
+                    inv_neg = jnp.where(f, -1e9, inv_neg)
                 directions.append((compute_ranks(inv_pos, inv_neg), inv_pos))
         return directions
 

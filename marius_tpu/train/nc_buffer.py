@@ -36,7 +36,11 @@ from marius_tpu.nn.encoder import encoder_forward
 from marius_tpu.nn.model import NODE_CLASSIFICATION, Model, init_model_params, nc_batch_loss
 from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
 from marius_tpu.parallel.mesh import put_arg as _arg
-from marius_tpu.storage.partition_buffer import ReadOnlyPartitionCache
+from marius_tpu.storage.partition_buffer import (
+    PartitionBuffer,
+    ReadOnlyPartitionCache,
+    sparse_adagrad_update_buffer,
+)
 from marius_tpu.tools.preprocess.partitioner import partition_edges
 from marius_tpu.train.trainer import TrainState
 
@@ -67,8 +71,13 @@ class PartitionBufferNCTrainer:
         epochs_per_shuffle: int = 1,   # re-shuffle train seeds every N epochs
     ):
         assert model.learning_task == NODE_CLASSIFICATION
-        assert not model.has_embeddings, \
-            "partition-buffer NC supports feature encoders (no embedding table)"
+        # Learnable embeddings co-buffer with the features (optional NC
+        # embedding storage, io.cpp:347-433): a writable PartitionBuffer
+        # holds the table + Adagrad state, swapping in lockstep with the
+        # feature cache so buffer-local ids index both tiers identically.
+        self.has_emb = model.has_embeddings
+        assert not (self.has_emb and mesh is not None), \
+            "embedding-table NC over the buffer is single-controller"
         self.model = model
         self.num_nodes = num_nodes
         self.batch_size = batch_size
@@ -85,14 +94,27 @@ class PartitionBufferNCTrainer:
                 f"batch_size {batch_size} % data axis {self._n_data} != 0"
             local_batch = batch_size // self._n_data
 
-        self.cache = ReadOnlyPartitionCache.create(
-            np.asarray(features, np.float32), num_nodes, num_partitions,
-            buffer_capacity)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            self.cache.sharding = NamedSharding(mesh, P())
-        self.capacity = self.cache.capacity
-        psize = self.cache.psize
+        self.cache = None
+        if features is not None:
+            self.cache = ReadOnlyPartitionCache.create(
+                np.asarray(features, np.float32), num_nodes, num_partitions,
+                buffer_capacity)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self.cache.sharding = NamedSharding(mesh, P())
+        self.emb_buffer = None
+        if self.has_emb:
+            self.emb_buffer = PartitionBuffer.create(
+                jax.random.fold_in(jax.random.key(seed), 3), num_nodes,
+                model.encoder.embedding_dim, num_partitions, buffer_capacity)
+        assert self.cache is not None or self.emb_buffer is not None, \
+            "NC needs features and/or an embedding table"
+        # the WRITABLE buffer owns the slot layout (its swaps drain async
+        # writebacks); the read-only feature cache mirrors it
+        ref = self.emb_buffer if self.emb_buffer is not None else self.cache
+        self.capacity = ref.capacity
+        psize = ref.psize
+        self._ref = ref
 
         lab = np.zeros(self.num_partitions * psize, np.int32)
         lab[:num_nodes] = np.asarray(labels, np.int32)
@@ -110,7 +132,7 @@ class PartitionBufferNCTrainer:
         self.num_train = len(tn)
 
         self.hop_caps = tuple(estimate_hop_caps(
-            local_batch, self.nbr_configs, self.cache.buffer_rows))
+            local_batch, self.nbr_configs, self._ref.buffer_rows))
 
         key = jax.random.key(seed)
         self.params = init_model_params(jax.random.fold_in(key, 1), model)
@@ -126,6 +148,24 @@ class PartitionBufferNCTrainer:
         self._shapes = None
 
     # ------------------------------------------------------------------
+    def _swap_state(self, st) -> None:
+        if self.emb_buffer is not None:
+            if self.emb_buffer.resident is None:
+                self.emb_buffer.load(st)
+            else:
+                self.emb_buffer.swap_to_state(st)
+            if self.cache is not None:
+                self.cache.mirror_layout(self.emb_buffer.resident)
+        else:
+            self.cache.swap_to_state(st)
+
+    def flush(self) -> None:
+        """Drain the embedding buffer's device slots back to host (checkpoint
+        boundary; PartitionBuffer.flush analogue of buffer.cpp unload)."""
+        if self.emb_buffer is not None:
+            self.emb_buffer.flush()
+
+    # ------------------------------------------------------------------
     def _plan_epoch(self) -> List[np.ndarray]:
         if self.ordering == "SEQUENTIAL":
             return sequential_node_ordering(self.num_partitions, self.capacity)
@@ -134,18 +174,21 @@ class PartitionBufferNCTrainer:
 
     def _build_state_fn(self, num_batches: int):
         model = self.model
-        buffer_rows = self.cache.buffer_rows
+        buffer_rows = self._ref.buffer_rows
         data_axis = None
         if self.mesh is not None:
             from marius_tpu.parallel.mesh import DATA_AXIS
             data_axis = DATA_AXIS
 
-        def state_fn(params, opt_state, key, feats_buf, graph: DeviceGraph,
-                     seeds, masks, labels):
+        has_emb = self.has_emb
+        sparse_lr = model.sparse_lr
+
+        def state_fn(params, opt_state, key, feats_buf, emb_values, emb_state,
+                     graph: DeviceGraph, seeds, masks, labels):
             # seeds/masks/labels: (num_batches, b) — under shard_map the
             # trailing dim is this shard's sub-batch
             def batch_step(carry, xs):
-                params, opt_state, key = carry
+                params, opt_state, key, emb_values, emb_state = carry
                 seeds_b, mask_b, labels_b = xs
                 key, k_s = jax.random.split(key)
                 if data_axis is not None:
@@ -154,8 +197,15 @@ class PartitionBufferNCTrainer:
                 nb = sample_neighbor_batch(k_s, graph, seeds_b, mask_b,
                                            self.nbr_configs, self.hop_caps)
                 outer = nb.node_ids[0]
-                feats = feats_buf[jnp.minimum(outer, buffer_rows - 1)]
-                feats = jnp.where((outer < buffer_rows)[:, None], feats, 0.0)
+                valid = (outer < buffer_rows)[:, None]
+                feats = None
+                if feats_buf is not None:
+                    feats = feats_buf[jnp.minimum(outer, buffer_rows - 1)]
+                    feats = jnp.where(valid, feats, 0.0)
+                emb0 = None
+                if has_emb:
+                    emb0 = emb_values[jnp.minimum(outer, buffer_rows - 1)]
+                    emb0 = jnp.where(valid, emb0, 0.0)
                 loss_mask = mask_b & nb.seed_mask
 
                 w = 1.0
@@ -167,31 +217,52 @@ class PartitionBufferNCTrainer:
                         jax.lax.psum(local, data_axis), 1.0)
                     w = local / total
 
-                def loss_fn(dense_params):
+                def loss_fn(emb, dense_params):
                     logits = encoder_forward(
-                        model.encoder, dense_params["encoder"], None, feats, nb,
+                        model.encoder, dense_params["encoder"], emb, feats, nb,
                         degrees=graph.degrees, train=True,
                         dropout_key=jax.random.fold_in(k_s, 99))
                     return nc_batch_loss(model, logits, labels_b,
                                          loss_mask) * w
 
-                loss, g = jax.value_and_grad(loss_fn)(params)
+                if has_emb:
+                    loss, (g_emb, g) = jax.value_and_grad(
+                        loss_fn, argnums=(0, 1))(emb0, params)
+                    # hop ids are unique per batch: the row-sparse Adagrad
+                    # rule applies directly on buffer-local rows
+                    emb_values, emb_state = sparse_adagrad_update_buffer(
+                        emb_values, emb_state, outer, g_emb, sparse_lr)
+                else:
+                    loss, g = jax.value_and_grad(loss_fn, argnums=1)(
+                        None, params)
                 if data_axis is not None:
                     g = jax.lax.psum(g, data_axis)
                     loss = jax.lax.psum(loss, data_axis)
                 params, opt_state = apply_optimizer(
                     model.dense_optimizer, params, opt_state, g)
-                return (params, opt_state, key), loss
+                return (params, opt_state, key, emb_values, emb_state), loss
 
-            (params, opt_state, key), losses = jax.lax.scan(
-                batch_step, (params, opt_state, key), (seeds, masks, labels))
-            return params, opt_state, key, jnp.sum(losses)
+            carry0 = (params, opt_state, key, emb_values, emb_state)
+            (params, opt_state, key, emb_values, emb_state), losses = \
+                jax.lax.scan(batch_step, carry0, (seeds, masks, labels))
+            return (params, opt_state, key, emb_values, emb_state,
+                    jnp.sum(losses))
 
         if self.mesh is None:
-            return jax.jit(state_fn, donate_argnums=(0, 1))
+            donate = (0, 1, 4, 5) if has_emb else (0, 1)
+            return jax.jit(state_fn, donate_argnums=donate)
+
+        # mesh mode carries no embedding table (asserted in __init__):
+        # shard_map sees the original feature-only signature
+        def state_fn_mesh(params, opt_state, key, feats_buf, graph,
+                          seeds, masks, labels):
+            out = state_fn(params, opt_state, key, feats_buf, None, None,
+                           graph, seeds, masks, labels)
+            return out[0], out[1], out[2], out[5]
+
         from jax.sharding import PartitionSpec as P
         fn = jax.shard_map(
-            state_fn, mesh=self.mesh,
+            state_fn_mesh, mesh=self.mesh,
             in_specs=(P(), P(), P(), P(), P(),
                       P(None, data_axis), P(None, data_axis),
                       P(None, data_axis)),
@@ -204,13 +275,13 @@ class PartitionBufferNCTrainer:
         from marius_tpu import native
 
         P = self.num_partitions
-        resident = [int(p) for p in self.cache.resident if p >= 0]
+        resident = [int(p) for p in self._ref.resident if p >= 0]
         bucket_ids = np.asarray(
             [i * P + j for i in resident for j in resident], np.int32)
         local = native.gather_remap_buckets(
             self.edges_by_bucket, self.bucket_offsets, bucket_ids,
-            self.cache.part_to_slot, self.cache.psize)
-        n = self.cache.buffer_rows
+            self._ref.part_to_slot, self._ref.psize)
+        n = self._ref.buffer_rows
         src, dst = local[:, 0], local[:, 1]
 
         def one_dir(anchor, other):
@@ -238,7 +309,7 @@ class PartitionBufferNCTrainer:
         states = self._plan_epoch()
         rng = np.random.default_rng(
             self.seed * 131 + self.epoch // self.epochs_per_shuffle)
-        psize = self.cache.psize
+        psize = self._ref.psize
         P = self.num_partitions
 
         # pad all states to common shapes -> one compilation
@@ -262,15 +333,15 @@ class PartitionBufferNCTrainer:
             key = replicate_tree(key, self.mesh)
         losses = []
         pad_rows = max_batches * self.batch_size
-        fill = self.cache.buffer_rows
+        fill = self._ref.buffer_rows
         for st in states:
-            self.cache.swap_to_state(st)
+            self._swap_state(st)
             graph = self._state_graph(max_edges)
             seeds_g = np.concatenate(
                 [self.train_by_part[p] for p in st]) if len(st) else \
                 np.zeros(0, np.int32)
             rng.shuffle(seeds_g)
-            slot = self.cache.part_to_slot[seeds_g // psize]
+            slot = self._ref.part_to_slot[seeds_g // psize]
             seeds_l = (slot * psize + seeds_g % psize).astype(np.int32)
             labels = self.labels_host[seeds_g]
 
@@ -281,11 +352,26 @@ class PartitionBufferNCTrainer:
             masks = np.arange(pad_rows) < len(seeds_l)
 
             b = self.batch_size
-            self.params, self.opt_state, key, loss = self._state_fn(
-                self.params, self.opt_state, key, self.cache.device, graph,
-                _arg(seeds_pad.reshape(max_batches, b)),
-                _arg(masks.reshape(max_batches, b)),
-                _arg(labels_pad.reshape(max_batches, b)))
+            feats_dev = self.cache.device if self.cache is not None else None
+            batch_args = (_arg(seeds_pad.reshape(max_batches, b)),
+                          _arg(masks.reshape(max_batches, b)),
+                          _arg(labels_pad.reshape(max_batches, b)))
+            if self.mesh is None:
+                emb_v = emb_s = None
+                if self.has_emb:
+                    emb_v = self.emb_buffer.device_values
+                    emb_s = self.emb_buffer.device_state
+                (self.params, self.opt_state, key, emb_v, emb_s,
+                 loss) = self._state_fn(
+                    self.params, self.opt_state, key, feats_dev,
+                    emb_v, emb_s, graph, *batch_args)
+                if self.has_emb:
+                    self.emb_buffer.device_values = emb_v
+                    self.emb_buffer.device_state = emb_s
+            else:
+                self.params, self.opt_state, key, loss = self._state_fn(
+                    self.params, self.opt_state, key, feats_dev, graph,
+                    *batch_args)
             losses.append(loss)
 
         total_loss = float(jnp.sum(jnp.stack(losses)))
@@ -310,7 +396,7 @@ class PartitionBufferNCTrainer:
         from marius_tpu.reporting.reporters import NodeClassificationReporter
 
         states = self._plan_epoch()
-        psize = self.cache.psize
+        psize = self._ref.psize
         en = np.asarray(eval_nodes, np.int32)
         eval_by_part = [en[en // psize == p] for p in range(self.num_partitions)]
         max_seeds = max(max(sum(len(eval_by_part[p]) for p in st)
@@ -321,21 +407,28 @@ class PartitionBufferNCTrainer:
         max_edges = 1 << (max(int(sum(
             self.bucket_offsets[i * P + j + 1] - self.bucket_offsets[i * P + j]
             for i in st for j in st)) for st in states) - 1).bit_length()
-        fill = self.cache.buffer_rows
+        fill = self._ref.buffer_rows
         model = self.model
 
         @jax.jit
-        def eval_fn(params, feats_buf, graph, seeds, masks, labels):
+        def eval_fn(params, feats_buf, emb_buf, graph, seeds, masks, labels):
             def body(acc, xs):
                 seeds_b, mask_b, labels_b = xs
                 k = jax.random.fold_in(jax.random.key(3), acc["count"].astype(jnp.int32))
                 nb = sample_neighbor_batch(k, graph, seeds_b, mask_b,
                                            self.nbr_configs, self.hop_caps)
                 outer = nb.node_ids[0]
-                feats = feats_buf[jnp.minimum(outer, fill - 1)]
-                feats = jnp.where((outer < fill)[:, None], feats, 0.0)
+                valid = (outer < fill)[:, None]
+                feats = None
+                if feats_buf is not None:
+                    feats = feats_buf[jnp.minimum(outer, fill - 1)]
+                    feats = jnp.where(valid, feats, 0.0)
+                emb = None
+                if emb_buf is not None:
+                    emb = emb_buf[jnp.minimum(outer, fill - 1)]
+                    emb = jnp.where(valid, emb, 0.0)
                 logits = encoder_forward(
-                    model.encoder, params["encoder"], None, feats, nb,
+                    model.encoder, params["encoder"], emb, feats, nb,
                     degrees=graph.degrees, train=False)
                 stats = categorical_accuracy_statistics(
                     logits, labels_b, mask_b & nb.seed_mask)
@@ -352,11 +445,11 @@ class PartitionBufferNCTrainer:
 
         totals = {"correct": 0.0, "count": 0.0}
         for st in states:
-            self.cache.swap_to_state(st)
+            self._swap_state(st)
             graph = self._state_graph(max_edges)
             seeds_g = np.concatenate([eval_by_part[p] for p in st]) \
                 if len(st) else np.zeros(0, np.int32)
-            slot = self.cache.part_to_slot[seeds_g // psize]
+            slot = self._ref.part_to_slot[seeds_g // psize]
             seeds_l = (slot * psize + seeds_g % psize).astype(np.int32)
             labels = self.labels_host[seeds_g]
             seeds_pad = np.full(pad_rows, fill, np.int32)
@@ -365,8 +458,11 @@ class PartitionBufferNCTrainer:
             labels_pad[:len(labels)] = labels
             masks = np.arange(pad_rows) < len(seeds_l)
             acc = jax.device_get(eval_fn(
-                self.params, self.cache.device, graph,
-                _arg(seeds_pad), _arg(masks),
+                self.params,
+                self.cache.device if self.cache is not None else None,
+                self.emb_buffer.device_values
+                if self.emb_buffer is not None else None,
+                graph, _arg(seeds_pad), _arg(masks),
                 _arg(labels_pad)))
             totals = {k: totals[k] + float(v) for k, v in acc.items()}
 

@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from marius_tpu.data.samplers.negative import NegativeSamplingConfig, sample_negatives
+from marius_tpu.data.samplers.negative import (
+    NegativeSamplingConfig,
+    local_filter_masks,
+    local_filters_active,
+    sample_negatives,
+)
 from marius_tpu.nn.model import LINK_PREDICTION, Model, lp_batch_loss, lp_batch_loss_direct
 from marius_tpu.nn.optimizers import OptState, apply_optimizer, init_optimizer
 from marius_tpu.nn.encoder import encoder_forward
@@ -219,7 +224,8 @@ class LinkPredictionTrainer:
                     model, mesh, self.num_table_rows,
                     node_axis=NODE_AXIS, data_axis=DATA_AXIS,
                     has_rels=self.has_rels, use_inverse=inv_rel_on,
-                    use_filters=train_filter_keys is not None)
+                    use_filters=(train_filter_keys is not None
+                                 or local_filters_active(self.neg_config)))
 
         if self.edges_backend == "DEVICE_MEMORY":
             self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
@@ -251,9 +257,12 @@ class LinkPredictionTrainer:
         # and this framework's evaluator.
         inv_rel_on = model.decoder.use_inverse_relations and self.has_rels
 
-        dst_negs = sample_negatives(k_dst, cfg, edges_b, num_nodes, inverse=False).ids
-        src_negs = (sample_negatives(k_src, cfg, edges_b, num_nodes, inverse=True).ids
-                    if inv_rel_on else jnp.zeros((0,), jnp.int32).reshape(0, 0))
+        dst_ns = sample_negatives(k_dst, cfg, edges_b, num_nodes, inverse=False)
+        dst_negs = dst_ns.ids
+        src_ns = (sample_negatives(k_src, cfg, edges_b, num_nodes, inverse=True)
+                  if inv_rel_on else None)
+        src_negs = (src_ns.ids if inv_rel_on
+                    else jnp.zeros((0,), jnp.int32).reshape(0, 0))
 
         src = jnp.where(mask_b, edges_b[:, 0], num_nodes)
         dst = jnp.where(mask_b, edges_b[:, -1], num_nodes)
@@ -265,6 +274,12 @@ class LinkPredictionTrainer:
             dst_filter = filter_mask_sampled(dst_keys, src, rel, dst_negs)
             if inv_rel_on:
                 src_filter = filter_mask_sampled(src_keys, dst, rel, src_negs)
+        else:
+            # local (in-batch) false-negative filters, getNegatives parity
+            # (negative.cpp:328-366): DEG masks deg-sampled self-collisions,
+            # ALL masks any negative forming a true edge of THIS batch
+            dst_filter, src_filter = local_filter_masks(
+                cfg, edges_b, mask_b, dst_ns, src_ns)
 
         if self._explicit_update is not None:
             # first-class multi-chip path: shard_map over (data x node) with
