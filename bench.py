@@ -68,8 +68,38 @@ def main():
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+
+def main_nc():
+    """Second headline workload: ogbn-arxiv-sized GraphSAGE NC at the
+    reference config's exact shape (nc_ogbn_arxiv.rst:222 — 169,343 nodes,
+    3-layer linear SAGE d=128, batch 1000, unbounded ALL = full-graph
+    exact). The reference's arxiv model has NO activations, so it trains
+    through the exact collapsed linear form (nn/linear_collapse.py). See
+    bench_nc_full.py for the general (gather-path) and sampled variants."""
+    import time as _time
+
+    import jax as _jax
+
+    import bench_nc_full as B
+
+    trainer = B.build_trainer(True, dtype=None)
+    trainer.train_epoch()  # warmup: phi build + compile + first run
+    n_epochs = 20
+    t0 = _time.perf_counter()
+    for _ in range(n_epochs):
+        trainer.train_epoch()
+    _jax.block_until_ready(trainer.state.params)
+    nps = n_epochs * B.NUM_TRAIN / (_time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "ogbn_arxiv_full_size_graphsage_train_nodes_per_sec",
+        "value": round(nps, 1),
+        "unit": "nodes/s",
+        "vs_baseline": round(nps / B.BASELINE_NODES_PER_SEC, 3),
+    }), flush=True)
 
 
 if __name__ == "__main__":
     main()
+    main_nc()

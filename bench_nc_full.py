@@ -66,7 +66,7 @@ def make_graph():
     return np.stack([src, dst], 1).astype(np.int32)
 
 
-def build_trainer(full_graph_mode: bool, dtype=None):
+def build_trainer(full_graph_mode: bool, dtype=None, linear_collapse=None):
     from marius_tpu.data.full_graph import build_full_graph_adjacency
     from marius_tpu.data.graph import build_device_graph
     from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
@@ -105,16 +105,19 @@ def build_trainer(full_graph_mode: bool, dtype=None):
         nbr = [NeighborSamplingConfig("ALL", max_neighbors=1)] * 3
         return NodeClassificationTrainer(
             model, graph, features, labels, train_nodes, nbr,
-            batch_size=BATCH, full_graph=adj, **kw)
+            batch_size=BATCH, full_graph=adj,
+            fg_linear_collapse=linear_collapse, **kw)
     nbr = [NeighborSamplingConfig(max_neighbors=FANOUT)] * 3
     return NodeClassificationTrainer(
         model, graph, features, labels, train_nodes, nbr, batch_size=BATCH,
         hop_caps=[BATCH, 16_384, 65_536, 131_072], **kw)
 
 
-def measure(name, full_graph_mode, n_epochs=2, dtype=None):
+def measure(name, full_graph_mode, n_epochs=2, dtype=None,
+            linear_collapse=None):
     import jax
-    trainer = build_trainer(full_graph_mode, dtype)
+    trainer = build_trainer(full_graph_mode, dtype,
+                            linear_collapse=linear_collapse)
     print(f"[{name}] init done", flush=True)
     t0 = time.perf_counter()
     trainer.train_epoch()  # compile + warmup
@@ -136,8 +139,16 @@ def measure(name, full_graph_mode, n_epochs=2, dtype=None):
 
 def main():
     import jax.numpy as jnp
-    measure("exact_all_full_graph", True)
-    measure("exact_all_full_graph_bf16", True, dtype=jnp.bfloat16)
+
+    # Primary: the exact arxiv model (LINEAR — the reference's default
+    # activation is NONE) trains through the collapsed factored form
+    # (nn/linear_collapse.py), auto-selected; many epochs, it is fast.
+    measure("exact_all_full_graph", True, n_epochs=20)
+    # Secondary: the general bucketed-gather path (what a RELU model pays),
+    # forced via fg_linear_collapse=False.
+    measure("exact_all_full_graph_general", True, linear_collapse=False)
+    measure("exact_all_full_graph_general_bf16", True, dtype=jnp.bfloat16,
+            linear_collapse=False)
     measure("sampled_fanout8", False)
 
 

@@ -267,6 +267,21 @@ def device_seed_flat_lists(csr_dev: Tuple[Array, Array], seeds: Array,
     return flat_nbr, flat_seg
 
 
+# Gathered slot blocks larger than this spill to HBM and the bucket reduce
+# re-reads them (v5e: the (10, 39400, 128) arxiv bucket = 202 MB, measured
+# 1150 us gather+reduce); slicing each bucket into <=CHUNK_SLOTS column
+# chunks keeps every block VMEM-resident so the reduce is fused and free
+# (measured 844 us for the same bucket at 16384 slots = 8 MB f32 d=128).
+FG_CHUNK_SLOTS = 16384
+
+
+def _bucket_chunks(cap: int, n8: int, chunk_slots: int = FG_CHUNK_SLOTS):
+    """Column-chunk boundaries [(start, size), ...] for a (cap, n8)
+    transposed bucket, each chunk <= chunk_slots slots (8-aligned)."""
+    piece = max(8, chunk_slots // max(cap, 1) // 8 * 8)
+    return [(s, min(piece, n8 - s)) for s in range(0, n8, piece)]
+
+
 def transpose_buckets(nbrs) -> Tuple[Tuple[Array, ...], Tuple[int, ...]]:
     """Per bucket: ids transposed to (cap, n8) with rows padded to a sublane
     multiple (8). XLA lowers ``take(x, (cap, n8)).sum(0)`` as gather ->
@@ -286,7 +301,32 @@ def transpose_buckets(nbrs) -> Tuple[Tuple[Array, ...], Tuple[int, ...]]:
     return tuple(tids), tuple(ns)
 
 
-def make_nbr_sums(adj: FullGraphAdjacency):
+def _chunked_gather_sum(x: Array, t: Array, n: int) -> Array:
+    """sum over slots of a (cap, n8) transposed bucket, sliced into
+    <=FG_CHUNK_SLOTS column chunks so each gathered block stays VMEM-sized
+    and its reduce fuses (no HBM round-trip of the slot block); trims the
+    sublane padding back to n rows."""
+    cap, n8 = t.shape
+    outs = []
+    for s, size in _bucket_chunks(cap, n8):
+        tc = t[:, s:s + size]
+        outs.append(jnp.sum(jnp.take(x, tc, axis=0, mode="fill",
+                                     fill_value=0), axis=0))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+    return y[:n]
+
+
+def relabel_buckets_sorted(adj: FullGraphAdjacency) -> Tuple[Array, ...]:
+    """Bucket neighbor ids relabeled from ORIGINAL node ids to SORTED row
+    positions (sentinel N stays N), so a gather from sorted-order x needs no
+    per-pass inv_pos re-permutation (see make_nbr_sums sorted_space)."""
+    inv_ext = np.empty(adj.num_nodes + 1, np.int32)
+    inv_ext[:adj.num_nodes] = np.asarray(adj.inv_pos)
+    inv_ext[adj.num_nodes] = adj.num_nodes
+    return tuple(jnp.asarray(inv_ext[np.asarray(b)]) for b in adj.nbrs)
+
+
+def make_nbr_sums(adj: FullGraphAdjacency, sorted_space: bool = False):
     """Returns ``nbr_sum``: x:(N, d) -> (N, d), the sum of each node's
     combined (in+out) neighbor rows. Scatter-free custom vjp: the combined
     adjacency is symmetric, so the backward is the SAME gather-sum.
@@ -295,19 +335,30 @@ def make_nbr_sums(adj: FullGraphAdjacency):
     with ``mode="fill"`` — out-of-range padding slots read 0 without
     materializing a sentinel-row copy of x (87 MB/pass at arxiv scale) —
     then a free bitcast + major-axis reduce. The Pallas row-DMA kernel
-    (ops/pallas/nbr_sum.py) lost to this pipeline on v5e and stays opt-in."""
+    (ops/pallas/nbr_sum.py) lost to this pipeline on v5e and stays opt-in.
+
+    ``sorted_space``: input AND output rows are in degree-SORTED order
+    (row r = node perm[r]); bucket ids are relabeled to sorted positions at
+    build time so the per-pass inv_pos re-permutation gather + concat
+    reorder vanish entirely (~1 ms/pass at arxiv scale on v5e). The sorted
+    operator B = P A P^T stays symmetric, so the vjp is unchanged. The
+    caller owns keeping every node-indexed array in the same sorted space
+    (full_graph_encoder sorted mode)."""
     from marius_tpu.ops.pallas import gather_sum_opt_in
 
     loc_perm = adj.loc_perm
     loc_inv = None
     if loc_perm is not None:
+        assert not sorted_space, \
+            "sorted_space and locality_reorder are mutually exclusive"
         inv = np.empty(adj.num_nodes, np.int32)
         inv[np.asarray(loc_perm)] = np.arange(adj.num_nodes, dtype=np.int32)
         loc_inv = jnp.asarray(inv)
 
-    use_pallas = gather_sum_opt_in()
+    use_pallas = gather_sum_opt_in() and not sorted_space
     if not use_pallas:
-        tids, ns = transpose_buckets(adj.nbrs)
+        tids, ns = transpose_buckets(
+            relabel_buckets_sorted(adj) if sorted_space else adj.nbrs)
 
     def _to_locality(x):
         """Permutation gather with a gather-only vjp (a scatter would undo
@@ -331,10 +382,11 @@ def make_nbr_sums(adj: FullGraphAdjacency):
                 [x_src, jnp.zeros((1, x.shape[1]), x.dtype)], 0)
             parts = [gather_sum_auto(x_pad, nbr) for nbr in adj.nbrs]
         else:
-            parts = [jnp.sum(jnp.take(x_src, t, axis=0, mode="fill",
-                                      fill_value=0), axis=0)[:n]
+            parts = [_chunked_gather_sum(x_src, t, n)
                      for t, n in zip(tids, ns)]
         y_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        if sorted_space:
+            return y_sorted  # rows already in the caller's sorted space
         return y_sorted[adj.inv_pos]  # back to original node order (a gather)
 
     @jax.custom_vjp
@@ -422,8 +474,7 @@ def make_gather_blocks(adj: FullGraphAdjacency):
         flat_u = jnp.concatenate([u.reshape(-1, d) for u in u_blocks], 0)
         # bucketed transposed gather-sum over the inverse occurrence map;
         # inv pad slots are out of range -> read 0 via mode="fill"
-        parts = [jnp.sum(jnp.take(flat_u, t, axis=0, mode="fill",
-                                  fill_value=0), axis=0)[:n]
+        parts = [_chunked_gather_sum(flat_u, t, n)
                  for t, n in zip(inv_tids, inv_ns)]
         g_sorted = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return (g_sorted[adj.inv_pos],)

@@ -21,6 +21,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from marius_tpu.data.full_graph import (
     FullGraphAdjacency,
@@ -107,15 +108,52 @@ def final_stage_has_rgcn(config: EncoderConfig) -> bool:
                for l in config.stages[-1])
 
 
+def supports_sorted_space(config: EncoderConfig) -> bool:
+    """True when the encoder can run internally in degree-SORTED row order
+    (full_graph.make_nbr_sums sorted_space): SAGE/GCN aggregation only (GAT
+    and RGCN carry their own order-coupled structures) and a pure-FEATURE
+    input (an EMBEDDING table is live in original order — re-sorting it per
+    step would re-introduce the permutation gather this mode removes)."""
+    for s in config.stages:
+        for l in s:
+            lt = l.layer_type.upper()
+            if lt == "EMBEDDING":
+                return False
+            if lt == "GNN" and l.gnn_type.upper() not in ("GRAPH_SAGE", "GCN"):
+                return False
+    return True
+
+
 def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
                        features: Optional[Array] = None):
     """Build the closure ops the encoder needs for this adjacency+model.
     Returns (adj, ops): adj gains the inverse map when the encoder has GAT
     (whose backward needs it). With feature inputs, the first GNN stage's
-    neighbor aggregation is precomputed once (see _const_first_agg)."""
+    neighbor aggregation is precomputed once (see _const_first_agg).
+
+    When the model qualifies (supports_sorted_space + feature inputs), the
+    encoder runs internally in degree-SORTED row order: bucket gathers then
+    read/write the sorted space directly and the per-pass inv_pos
+    re-permutation gather + concat reorder disappear (~1 ms/pass at arxiv
+    scale). Inputs/outputs at the API boundary stay in ORIGINAL order —
+    full_graph_encoder_forward un-permutes all-N outputs once and relabels
+    seed ids in-jit; seed flat lists must then hold sorted positions (the
+    trainer relabels its device CSR, train/nc.py)."""
     if _has_gat(config):
         adj = build_inverse_map(adj)
-    ops = {"nbr_sum": make_nbr_sums(adj)}
+    sorted_mode = (features is not None and adj.loc_perm is None
+                   and supports_sorted_space(config))
+    ops = {"nbr_sum": make_nbr_sums(adj, sorted_space=sorted_mode)}
+    num_nbrs = None
+    if sorted_mode:
+        perm = jnp.asarray(np.argsort(np.asarray(adj.inv_pos),
+                                      kind="stable").astype(np.int32))
+        ops["sorted"] = True
+        ops["inv_pos"] = adj.inv_pos
+        features = features[perm]          # one-time device gather
+        ops["feats_sorted"] = features
+        num_nbrs = (adj.in_deg + adj.out_deg)[perm]
+        ops["num_nbrs_sorted"] = num_nbrs
     if _has_gat(config):
         ops["gather_blocks"] = make_gather_blocks(adj)
         ops["to_sorted"], ops["to_orig"] = make_permuters(adj)
@@ -126,7 +164,8 @@ def prepare_full_graph(adj: FullGraphAdjacency, config: EncoderConfig,
              "the adjacency with with_relations=True")
         ops["rel_sum"] = make_rel_sum(adj.rel)
     ops["const_agg"] = _const_first_agg(adj, config, features,
-                                        ops["nbr_sum"], ops)
+                                        ops["nbr_sum"], ops,
+                                        num_nbrs=num_nbrs)
     return adj, ops
 
 
@@ -188,7 +227,7 @@ def prepare_sharded_full_graph(sharded_graph, config: EncoderConfig,
 
 
 def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum,
-                     ops=None):
+                     ops=None, num_nbrs=None):
     """{(stage, layer): precomputed aggregation} for the first GNN stage.
 
     When the encoder input is a view of the node FEATURES (a single FEATURE
@@ -214,7 +253,9 @@ def _const_first_agg(adj, config: EncoderConfig, features, nbr_sum,
         return {}  # nonlinear activation after a trained bias: not constant
     current0 = feature_layer(dataclasses.replace(s0[0], bias=False),
                              {}, features)
-    num_nbrs = (adj.in_deg + adj.out_deg).astype(features.dtype)
+    if num_nbrs is None:
+        num_nbrs = adj.in_deg + adj.out_deg
+    num_nbrs = num_nbrs.astype(features.dtype)
     inv_sqrt = 1.0 / jnp.sqrt(num_nbrs + 1.0)
     const = {}
     rgcn_blocks = None
@@ -536,14 +577,25 @@ def full_graph_encoder_forward(
     if ops is None:
         adj, ops = prepare_full_graph(adj, config)
     nbr_sum = ops["nbr_sum"]
-    num_nbrs = (adj.in_deg + adj.out_deg).astype(
-        (embeddings if embeddings is not None else features).dtype)
+    sorted_mode = bool(ops.get("sorted"))
+    if sorted_mode:
+        # internal degree-SORTED row space (prepare_full_graph): constants
+        # are pre-sorted; seed ids relabel in-jit; all-N outputs un-permute
+        # once at the bottom. Seed flat lists must already hold sorted
+        # positions (the trainer relabels its device CSR).
+        features = ops["feats_sorted"]
+        num_nbrs = ops["num_nbrs_sorted"].astype(features.dtype)
+    else:
+        num_nbrs = (adj.in_deg + adj.out_deg).astype(
+            (embeddings if embeddings is not None else features).dtype)
     if seed_restrict is not None:
         seeds, flat_nbr, flat_seg = seed_restrict[:3]
         # optional 4th element: (flat_nbr, flat_rel, flat_seg) over the
         # DIRECTED out-edges, consumed by RGCN final-stage layers
         rel_flat = seed_restrict[3] if len(seed_restrict) > 3 else None
         nseeds = seeds.shape[0]
+        if sorted_mode:
+            seeds = ops["inv_pos"][seeds]
 
     outputs: List[Array] = []
     current: Optional[Array] = None
@@ -630,4 +682,6 @@ def full_graph_encoder_forward(
         outputs = stage_outputs
         current = (stage_outputs[0] if len(stage_outputs) == 1
                    else jnp.concatenate(stage_outputs, axis=1))
+    if sorted_mode and seed_restrict is None:
+        return current[ops["inv_pos"]]     # back to original node order
     return current

@@ -71,6 +71,12 @@ class NodeClassificationTrainer:
         fg_seed_restrict: Optional[bool] = None,  # None = auto (on when the
                           # encoder's final stage supports it); False forces
                           # the all-N final stage (same math, used by tests)
+        fg_linear_collapse: Optional[bool] = None,  # None = auto: LINEAR
+                          # (activation-free) feature encoders train through
+                          # the exact collapsed form (nn/linear_collapse.py)
+                          # — per-batch full-graph gathers replaced by one
+                          # (batch, K) row gather + small matmuls. Explicit
+                          # fg_seed_restrict requests keep the general path.
         epochs_per_shuffle: int = 1,   # re-permute seeds every N epochs
     ):
         self.model = model
@@ -81,6 +87,7 @@ class NodeClassificationTrainer:
         self.mesh = mesh
         self.full_graph = full_graph
         self._fg_ops = None
+        self._fg_collapse = None
         self._fg_sharded = False
         self._fg_struct = None   # multi-controller ring: structures passed
                                  # as jit ARGUMENTS (closures over sharded
@@ -192,16 +199,37 @@ class NodeClassificationTrainer:
                 prepare_full_graph,
                 supports_seed_restrict,
             )
-            self.full_graph, self._fg_ops = prepare_full_graph(
-                full_graph, model.encoder,
-                None if self.features is None else self.features[:-1])
+            from marius_tpu.nn.linear_collapse import (
+                build_linear_collapse,
+                linear_collapse_eligible,
+            )
+            use_collapse = (fg_linear_collapse if fg_linear_collapse
+                            is not None
+                            else (fg_seed_restrict is None
+                                  and jax.process_count() == 1))
+            if (use_collapse and self.features is not None
+                    and linear_collapse_eligible(model.encoder, True)):
+                # exact factored form for LINEAR encoders: per-batch
+                # full-graph gathers vanish (nn/linear_collapse.py). phi
+                # rides the jit as an ARGUMENT (_fg_struct) — as a closure
+                # constant the remote compiler would serialize the full
+                # (N, K) matrix into the module
+                self._fg_collapse = build_linear_collapse(
+                    full_graph, model.encoder, self.features[:-1], dtype)
+                self._fg_struct = self._fg_collapse
+            else:
+                self.full_graph, self._fg_ops = prepare_full_graph(
+                    full_graph, model.encoder,
+                    None if self.features is None else self.features[:-1])
             # Seed-restricted final stage: compute the last GNN stage for the
             # batch's seed rows only (flat CSR slots fed through the scan)
             # instead of all N nodes — removes the final stage's full-
             # adjacency gather AND its backward twin from every step.
-            self._fg_seed_restrict = (supports_seed_restrict(model.encoder)
-                                      if fg_seed_restrict is None
-                                      else bool(fg_seed_restrict))
+            self._fg_seed_restrict = (
+                False if self._fg_collapse is not None
+                else (supports_seed_restrict(model.encoder)
+                      if fg_seed_restrict is None
+                      else bool(fg_seed_restrict)))
             if self._fg_seed_restrict:
                 assert supports_seed_restrict(model.encoder), \
                     "encoder's final stage does not support seed_restrict"
@@ -212,7 +240,17 @@ class NodeClassificationTrainer:
                 # host offsets: per-epoch slot-budget sizing only; the flat
                 # lists themselves are built on device inside the scan
                 self._fg_csr = host_csr_from_adjacency(self.full_graph)
-                self._fg_csr_dev = device_csr(self._fg_csr)
+                csr_for_dev = self._fg_csr
+                if self._fg_ops.get("sorted"):
+                    # sorted internal mode (prepare_full_graph): flat seed
+                    # lists index the SORTED row space — relabel the device
+                    # CSR's neighbor ids once (sentinel N stays N)
+                    n_ = self.full_graph.num_nodes
+                    inv_ext = np.empty(n_ + 1, np.int32)
+                    inv_ext[:n_] = np.asarray(self.full_graph.inv_pos)
+                    inv_ext[n_] = n_
+                    csr_for_dev = (self._fg_csr[0], inv_ext[self._fg_csr[1]])
+                self._fg_csr_dev = device_csr(csr_for_dev)
                 self._fg_budget = None   # sized from the first epoch's need
                 # RGCN final stage: also the DIRECTED out-CSR with per-slot
                 # relation ids (full_graph_rel.host_out_csr)
@@ -329,6 +367,21 @@ class NodeClassificationTrainer:
         n = self.graph.num_nodes
         seeds_c = jnp.minimum(seeds, n - 1)
         labels_b = self.labels[jnp.minimum(seeds, n)]
+        if self._fg_collapse is not None:
+            # exact collapsed LINEAR form: logits = phi[seeds] @ M(params);
+            # fg is the LinearCollapse pytree passed as a jit argument
+            col = fg if fg is not None else self._fg_collapse
+
+            def loss_fn_c(dense_params):
+                logits = col.logits(dense_params["encoder"], seeds_c)
+                return nc_batch_loss(model, logits, labels_b, mask_b)
+
+            loss, g_dense = jax.value_and_grad(loss_fn_c)(state.params)
+            new_params, new_opt = apply_optimizer(
+                model.dense_optimizer, state.params, state.opt_state, g_dense)
+            return TrainState(table=state.table, params=new_params,
+                              opt_state=new_opt, key=key,
+                              epoch=state.epoch), loss
         feats, adj, ops = self._fg_prepare(fg)
         table_values = state.table.values if state.table is not None else None
         # flat = (flat_nbr, flat_seg[, rel_flat]); the encoder reads the
@@ -512,32 +565,70 @@ class NodeClassificationTrainer:
         return epoch_fn
 
     # ------------------------------------------------------------------
+    def _fg_perm_host(self, period: int) -> np.ndarray:
+        """The epoch permutation, computed WITHOUT waiting on the TPU queue
+        (threefry is platform-deterministic, so the CPU backend reproduces
+        the in-scan permutation bit-exactly — validated once against the
+        device on first use, falling back to the device path if ever not)."""
+        nb, b = self.num_batches, self.batch_size
+
+        def on_cpu():
+            with jax.default_device(jax.devices("cpu")[0]):
+                k = jax.random.fold_in(jax.random.key(54321), period)
+                return np.asarray(jax.random.permutation(k, nb * b))
+
+        if not hasattr(self, "_fg_cpu_rng_ok"):
+            k = jax.random.fold_in(jax.random.key(54321), period)
+            dev = np.asarray(jax.device_get(
+                jax.random.permutation(k, nb * b)))
+            try:
+                self._fg_cpu_rng_ok = bool((on_cpu() == dev).all())
+            except Exception:
+                self._fg_cpu_rng_ok = False
+            return dev
+        if self._fg_cpu_rng_ok:
+            return on_cpu()
+        k = jax.random.fold_in(jax.random.key(54321), period)
+        return np.asarray(jax.device_get(jax.random.permutation(k, nb * b)))
+
+    def _fg_epoch_need(self, epoch: int):
+        """(need, need_r): the max per-batch flat-slot counts of the given
+        epoch's permutation. Cached per shuffle period; prefetched for the
+        NEXT epoch while the device runs the current one (train_epoch), so
+        the host sizing work never leaves the chip idle."""
+        period = epoch // self.epochs_per_shuffle
+        cache = getattr(self, "_fg_need_cache", None)
+        if cache is not None and cache[0] == period:
+            return cache[1]
+        nb, b = self.num_batches, self.batch_size
+        n = self.graph.num_nodes
+        perm = self._fg_perm_host(period)
+        shuffled = self._train_nodes_np[perm].reshape(nb, b)
+        masks = (perm < self.num_train).reshape(nb, b)
+        offsets, _ = self._fg_csr
+        seeds = np.minimum(shuffled.astype(np.int64), n - 1)
+        need = int(((offsets[seeds + 1] - offsets[seeds]) * masks)
+                   .sum(axis=1).max())
+        need_r = None
+        if self._fg_rel_csr is not None:
+            r_off = self._fg_rel_csr[0]
+            need_r = int(((r_off[seeds + 1] - r_off[seeds]) * masks)
+                         .sum(axis=1).max())
+        self._fg_need_cache = (period, (need, need_r))
+        return need, need_r
+
     def _fg_ensure_budget(self, epoch: int):
         """Size the flat-list slot budget for the upcoming epoch: draw the
         SAME permutation the compiled epoch will (key(54321) folded with the
         epoch counter — trajectory identical to fg_seed_restrict=False) and
         take the max batch degree-sum. Sticky with 25% slack so growth
         (= a retrace, budget is static in the epoch fn) is rare."""
-        nb, b = self.num_batches, self.batch_size
-        n = self.graph.num_nodes
-        k_perm = jax.random.fold_in(jax.random.key(54321),
-                                    epoch // self.epochs_per_shuffle)
-        perm = np.asarray(jax.random.permutation(k_perm, nb * b))
-        shuffled = self._train_nodes_np[perm].reshape(nb, b)
-        masks = (perm < self.num_train).reshape(nb, b)
-
-        offsets, _ = self._fg_csr
-        seeds = np.minimum(shuffled.astype(np.int64), n - 1)
-        need = int(((offsets[seeds + 1] - offsets[seeds]) * masks)
-                   .sum(axis=1).max())
+        need, need_r = self._fg_epoch_need(epoch)
         retrace = False
         if self._fg_budget is None or need > self._fg_budget:
             self._fg_budget = max(128, -(-int(need * 1.25) // 128) * 128)
             retrace = True
-        if self._fg_rel_csr is not None:
-            r_off = self._fg_rel_csr[0]
-            need_r = int(((r_off[seeds + 1] - r_off[seeds]) * masks)
-                         .sum(axis=1).max())
+        if need_r is not None:
             if self._fg_rel_budget is None or need_r > self._fg_rel_budget:
                 self._fg_rel_budget = max(
                     128, -(-int(need_r * 1.25) // 128) * 128)
@@ -548,6 +639,7 @@ class NodeClassificationTrainer:
 
     def train_epoch(self) -> Dict[str, float]:
         t0 = time.perf_counter()
+        epoch = None
         if self._fg_seed_restrict:
             # epoch index from device state (correct across ckpt resume /
             # external state replacement); instant when the prior epoch
@@ -556,6 +648,9 @@ class NodeClassificationTrainer:
             self._fg_ensure_budget(epoch)
         self.state, total_loss = self._epoch_fn(
             self.state, self.train_nodes, self._fg_struct)
+        if epoch is not None:
+            # size the NEXT epoch's budget while the chip runs this one
+            self._fg_epoch_need(epoch + 1)
         total_loss = float(total_loss)
         dt = time.perf_counter() - t0
         return {"loss": total_loss, "epoch_time_s": dt,
@@ -586,12 +681,16 @@ class NodeClassificationEvaluator:
         """One full-graph pass; logits for the requested node ids. ``fg``:
         multi-controller ring structures passed as jit arguments."""
         tr = self.trainer
+        rows = jnp.minimum(nodes, tr.graph.num_nodes - 1)
+        if tr._fg_collapse is not None:
+            col = fg if fg is not None else tr._fg_collapse
+            return col.logits(params["encoder"], rows)
         from marius_tpu.nn.full_graph_encoder import full_graph_encoder_forward
         feats, adj, ops = tr._fg_prepare(fg)
         logits_all = full_graph_encoder_forward(
             tr.model.encoder, params["encoder"], table_values, feats,
             adj, ops=ops)
-        return logits_all[jnp.minimum(nodes, tr.graph.num_nodes - 1)]
+        return logits_all[rows]
 
     def _build_eval_fn(self):
         tr = self.trainer

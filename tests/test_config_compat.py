@@ -146,13 +146,14 @@ def test_compat_keys_warn_not_reject():
 
 
 def test_check_compat_keys_covers_nested_layers():
+    """Per-layer / decoder optimizer blocks are now honored (grouped
+    optimizers), so they must NOT emit compat warnings."""
     d = _base()
     d["model"]["encoder"]["layers"][0][0]["optimizer"] = {
         "type": "ADAM", "options": {"learning_rate": 0.1}}
     d["model"]["decoder"]["optimizer"] = {"type": "ADAM"}
     msgs = check_compat_keys(d)
-    assert any("layers[0][0].optimizer" in m for m in msgs)
-    assert any("model.decoder.optimizer" in m for m in msgs)
+    assert not any("optimizer" in m for m in msgs)
 
 
 def test_compat_keys_quiet_on_clean_config():

@@ -159,6 +159,139 @@ def test_full_graph_matches_sampled_all():
     assert (pl_s == pl_f).mean() > 0.99
 
 
+def _linear_model(kinds=("sage_mean", "sage_mean"), hidden=16,
+                  feature_bias=True):
+    """Activation-free encoder (the reference arxiv shape — its default
+    activation is NONE): eligible for the exact linear collapse."""
+    stages = [(LayerConfig(layer_type="FEATURE", output_dim=FEAT_DIM,
+                           bias=feature_bias),)]
+    dims = [FEAT_DIM] + [hidden] * (len(kinds) - 1) + [NUM_CLASSES]
+    for i, kind in enumerate(kinds):
+        if kind == "gcn":
+            cfg = LayerConfig(layer_type="GNN", gnn_type="GCN",
+                              input_dim=dims[i], output_dim=dims[i + 1],
+                              bias=True)
+        else:
+            cfg = LayerConfig(
+                layer_type="GNN", gnn_type="GRAPH_SAGE",
+                aggregator="GCN" if kind == "sage_gcn" else "MEAN",
+                input_dim=dims[i], output_dim=dims[i + 1], bias=True)
+        stages.append((cfg,))
+    return Model(
+        learning_task="NODE_CLASSIFICATION",
+        encoder=EncoderConfig(stages=tuple(stages)), decoder=None,
+        loss_type="CROSS_ENTROPY", loss_reduction="SUM",
+        dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+
+
+@pytest.mark.parametrize("kinds", [
+    ("sage_mean", "sage_mean", "sage_mean"),
+    ("sage_gcn", "sage_mean"),
+    ("gcn", "gcn"),
+])
+def test_linear_collapse_matches_general(kinds):
+    """The exact collapsed form (nn/linear_collapse.py) reproduces the
+    general full-graph path: same losses, same predictions, gradients flow
+    through the same parametrization."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+
+    edges, feats, labels = community_graph()
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(NUM_NODES)
+    train_nodes, test_nodes = perm[:300], perm[300:]
+    graph = build_device_graph(edges, NUM_NODES)
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=1)] * len(kinds)
+    adj = build_full_graph_adjacency(edges, NUM_NODES)
+
+    col = NodeClassificationTrainer(
+        _linear_model(kinds), graph, feats, labels, train_nodes, nbr,
+        batch_size=100, seed=0, full_graph=adj, fg_linear_collapse=True)
+    assert col._fg_collapse is not None
+    gen = NodeClassificationTrainer(
+        _linear_model(kinds), graph, feats, labels, train_nodes, nbr,
+        batch_size=100, seed=0, full_graph=adj, fg_linear_collapse=False)
+    assert gen._fg_collapse is None
+
+    c_stats = col.train(3)
+    g_stats = gen.train(3)
+    for c, g in zip(c_stats, g_stats):
+        assert abs(c["loss"] - g["loss"]) < 1e-2 * max(abs(g["loss"]), 1.0), \
+            f"loss diverged: collapse {c['loss']} vs general {g['loss']}"
+
+    ev_c = NodeClassificationEvaluator(col, test_nodes)
+    ev_g = NodeClassificationEvaluator(gen, test_nodes)
+    a = ev_c.evaluate(col.state)
+    b = ev_g.evaluate(gen.state)
+    assert abs(a["accuracy"] - b["accuracy"]) < 0.03
+    pl_c = np.asarray(ev_c.predict_labels(col.state))
+    pl_g = np.asarray(ev_g.predict_labels(gen.state))
+    assert (pl_c == pl_g).mean() > 0.97
+
+
+def test_linear_collapse_auto_and_ineligible():
+    """Collapse auto-enables for activation-free feature encoders and stays
+    off for RELU encoders (which must keep the general gather path)."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+    from marius_tpu.nn.linear_collapse import linear_collapse_eligible
+
+    edges, feats, labels = community_graph()
+    graph = build_device_graph(edges, NUM_NODES)
+    adj = build_full_graph_adjacency(edges, NUM_NODES)
+    nbr = [NeighborSamplingConfig("ALL", max_neighbors=1)] * 2
+
+    assert linear_collapse_eligible(_linear_model().encoder, True)
+    assert not linear_collapse_eligible(_gs_model().encoder, True)
+
+    auto = NodeClassificationTrainer(
+        _linear_model(), graph, feats, labels,
+        np.arange(200, dtype=np.int32), nbr, batch_size=50, seed=0,
+        full_graph=adj)
+    assert auto._fg_collapse is not None
+    stats = auto.train(2)
+    assert np.isfinite(stats[-1]["loss"])
+
+    relu = NodeClassificationTrainer(
+        _gs_model(), graph, feats, labels,
+        np.arange(200, dtype=np.int32), nbr, batch_size=50, seed=0,
+        full_graph=adj)
+    assert relu._fg_collapse is None
+
+
+def test_nbr_sum_sorted_space_matches():
+    """make_nbr_sums(sorted_space=True) over degree-sorted rows equals the
+    original-order operator after un-permutation (the relabeled operator is
+    P A P^T, still symmetric — data/full_graph.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from marius_tpu.data.full_graph import (
+        build_full_graph_adjacency,
+        make_nbr_sums,
+    )
+
+    rng = np.random.default_rng(3)
+    n, e = 97, 500
+    edges = rng.integers(0, n, (e, 2)).astype(np.int32)
+    adj = build_full_graph_adjacency(edges, n)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+
+    y_orig = np.asarray(make_nbr_sums(adj)(jnp.asarray(x)))
+    inv_pos = np.asarray(adj.inv_pos)
+    perm = np.argsort(inv_pos, kind="stable")
+    y_sorted = np.asarray(
+        make_nbr_sums(adj, sorted_space=True)(jnp.asarray(x[perm])))
+    np.testing.assert_allclose(y_sorted[inv_pos], y_orig, rtol=1e-6)
+
+    # vjp stays the same gather-sum (symmetry preserved under relabeling)
+    f = make_nbr_sums(adj, sorted_space=True)
+    u = rng.standard_normal((n, 16)).astype(np.float32)
+    _, vjp = jax.vjp(f, jnp.asarray(x[perm]))
+    g = np.asarray(vjp(jnp.asarray(u[perm]))[0])
+    _, vjp_o = jax.vjp(make_nbr_sums(adj), jnp.asarray(x))
+    g_o = np.asarray(vjp_o(jnp.asarray(u))[0])
+    np.testing.assert_allclose(g[inv_pos], g_o, rtol=1e-6)
+
+
 def test_full_graph_locality_reorder_matches():
     """RCM locality relabeling is internal to the gather source: same
     losses, same predictions as the unreordered adjacency; the seed flat
@@ -591,7 +724,8 @@ def test_full_graph_const_agg_with_feature_bias():
     gcn_full = NodeClassificationTrainer(
         gcn_model, graph, feats, labels, train_nodes,
         [NeighborSamplingConfig("ALL", max_neighbors=max_deg)],
-        batch_size=100, seed=0, full_graph=adj)
+        batch_size=100, seed=0, full_graph=adj,
+        fg_linear_collapse=False)  # this test exercises const_agg internals
     assert gcn_full._fg_ops["const_agg"]
     s_stats = gcn_sampled.train(2)
     f_stats = gcn_full.train(2)
