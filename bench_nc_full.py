@@ -99,9 +99,11 @@ def build_trainer(full_graph_mode: bool, dtype=None, linear_collapse=None):
         adj = build_full_graph_adjacency(
             edges, NUM_NODES,
             locality_reorder=os.environ.get("FG_LOCALITY") == "1")
+        import sys
         print(f"full-graph: {adj.total_slots} padded slots, "
               f"{len(adj.nbrs)} buckets, "
-              f"max_deg={int(np.asarray(graph.degrees).max())}", flush=True)
+              f"max_deg={int(np.asarray(graph.degrees).max())}",
+              file=sys.stderr, flush=True)
         nbr = [NeighborSamplingConfig("ALL", max_neighbors=1)] * 3
         return NodeClassificationTrainer(
             model, graph, features, labels, train_nodes, nbr,

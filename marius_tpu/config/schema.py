@@ -91,10 +91,14 @@ class TrainingConfig:
     # equal the number of devices used; -1 on either axis = fill with all
     # remaining devices. mesh_mode "gspmd" lets XLA infer collectives from
     # sharding annotations; "explicit" uses the hand-written shard_map step
-    # (parallel/collectives.py, shallow encoders).
+    # (parallel/collectives.py, shallow encoders); "auto" (default) picks
+    # explicit whenever the model supports it — GSPMD's inferred program
+    # reshards the embedding gather/scatter across the node axis with ~20
+    # collectives per batch vs explicit's 2 psums (measured 2-4x slower on
+    # the 8-device mesh; see ROUND3_NOTES.md).
     mesh_data: int = 1
     mesh_node: int = 1
-    mesh_mode: str = "gspmd"
+    mesh_mode: str = "auto"
 
 
 @dataclasses.dataclass

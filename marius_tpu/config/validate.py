@@ -273,7 +273,7 @@ _ENUMS = {
                 "FLAT_FILE"},
     "edge_bucket_ordering": {"COMET", "BETA"},
     "node_partition_ordering": {"DISPERSED", "SEQUENTIAL"},
-    "mesh_mode": {"gspmd", "explicit"},
+    "mesh_mode": {"auto", "gspmd", "explicit"},
     "local_filter_mode": {"DEG", "ALL", "NONE"},
     "embeddings_dtype": {"float", "float32", "double", "bfloat16", "bf16",
                          "float16"},
@@ -403,7 +403,7 @@ def check_config_values(cfg) -> List[str]:
     if t.save_best and not cfg.storage.save_model:
         e.append("training.checkpoint.save_best requires storage.save_model: "
                  "true (save_best keeps the best-valid model in model_dir)")
-    _enum(e, "mesh_mode", t.mesh_mode, "training.mesh.mode")
+    _enum(e, "mesh_mode", t.mesh_mode.lower(), "training.mesh.mode")
     if (t.mesh_mode == "explicit" and max(t.mesh_data, t.mesh_node) > 1
             and n_gnn > 0):
         e.append("training.mesh.mode: 'explicit' supports shallow encoders "

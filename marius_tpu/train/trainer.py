@@ -103,11 +103,15 @@ class LinkPredictionTrainer:
         hop_caps=None,
         mesh=None,                  # jax.sharding.Mesh — shard table rows over
                                     # NODE_AXIS, batches over DATA_AXIS
-        sharding_mode: str = "gspmd",   # "gspmd": XLA infers collectives from
+        sharding_mode: str = "auto",    # "gspmd": XLA infers collectives from
                                         # sharding constraints; "explicit":
                                         # shard_map step with hand-written
                                         # psum gathers / owner-local updates
-                                        # (shallow encoders only)
+                                        # (shallow encoders only); "auto":
+                                        # explicit when supported — GSPMD's
+                                        # inferred resharding costs ~20
+                                        # collectives/batch vs explicit's 2
+                                        # (ROUND3_NOTES.md)
         edges_backend: str = "DEVICE_MEMORY",  # DEVICE_MEMORY | HOST_MEMORY |
                                                # FLAT_FILE (storage.h:149)
         epochs_per_shuffle: int = 1,   # re-permute edges every N epochs
@@ -158,7 +162,18 @@ class LinkPredictionTrainer:
 
         self.mesh = mesh
         self.sharding_mode = sharding_mode.lower()
-        assert self.sharding_mode in ("gspmd", "explicit")
+        assert self.sharding_mode in ("auto", "gspmd", "explicit")
+        if self.sharding_mode == "auto":
+            # explicit shard_map (hand-placed psums) wherever it applies;
+            # GSPMD only for shapes/encoders the explicit step doesn't cover
+            ok = (mesh is not None and not nbr_configs and features is None
+                  and model.has_embeddings)
+            if ok:
+                from marius_tpu.parallel.mesh import DATA_AXIS
+                n_data = max(mesh.shape[DATA_AXIS], 1)
+                ok = (batch_size % n_data == 0
+                      and neg_config.num_chunks % n_data == 0)
+            self.sharding_mode = "explicit" if ok else "gspmd"
         self.num_table_rows = num_nodes
         if mesh is not None and self.sharding_mode == "explicit":
             from marius_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS

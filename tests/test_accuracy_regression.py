@@ -17,6 +17,7 @@ features), fully learnable by 2-layer GraphSAGE.
 """
 
 import numpy as np
+import pytest
 
 from marius_tpu.config.schema import NegativeSamplingConfig
 from marius_tpu.data.graph import build_device_graph
@@ -32,6 +33,8 @@ from marius_tpu.train.trainer import LinkPredictionTrainer
 
 from tests.test_nc_e2e import NUM_NODES as NC_NODES
 from tests.test_nc_e2e import _gs_model, community_graph
+
+pytestmark = pytest.mark.slow  # see pyproject [tool.pytest.ini_options]
 
 
 def make_realizable_kg(n=500, d=8, r=10, per=4, seed=0):

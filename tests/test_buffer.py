@@ -138,6 +138,7 @@ def test_buffer_config_e2e(tmp_path):
     assert 0.0 < result["test"]["mrr"] <= 1.0
 
 
+@pytest.mark.slow
 def test_buffer_trainer_gnn_lp():
     """GNN-encoded LP over the partition buffer (graph_sage encoder, sampling
     restricted to the resident subgraph)."""

@@ -45,6 +45,7 @@ def test_reference_example_config_loads(name):
 
 
 @needs_reference
+@pytest.mark.slow
 def test_reference_fragment_cartesian_loads():
     """Every model x storage x training x evaluation fragment combination from
     the reference's own e2e matrix (generate_test_configs.py) must load. The

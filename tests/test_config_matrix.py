@@ -17,6 +17,8 @@ from marius_tpu.config.schema import load_config
 from marius_tpu.manager import marius_train
 from tests.test_manager import GS_ENCODER, LP_BASE, _lp_config
 
+pytestmark = pytest.mark.slow  # see pyproject [tool.pytest.ini_options]
+
 # ---------------------------------------------------------------------------
 # fragments
 # ---------------------------------------------------------------------------

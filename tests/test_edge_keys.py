@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from marius_tpu.ops.edge_keys import (
     build_edge_key_set,
@@ -143,6 +144,7 @@ def test_local_all_filter_parity_brute_force():
         np.testing.assert_array_equal(got, want, err_msg=f"inverse={inverse}")
 
 
+@pytest.mark.slow
 def test_local_filters_change_training_loss(tmp_path):
     """Config e2e: degree_fraction>0 with DEG filtering trains a different
     trajectory than local_filter_mode NONE (the masked self-collisions carry

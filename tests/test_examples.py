@@ -25,6 +25,7 @@ def _load(name, argv):
     return mod
 
 
+@pytest.mark.slow
 def test_custom_nc_graphsage_example(tmp_path, capsys, monkeypatch):
     mod = _load("custom_nc_graphsage", [str(tmp_path)])
 

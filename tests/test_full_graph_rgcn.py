@@ -82,6 +82,7 @@ def test_rel_sum_skewed_relations_and_isolated_nodes():
     assert np.abs(np.asarray(out)[n // 2:]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_full_graph_rgcn_matches_sampled_all():
     """Full-graph RGCN NC training matches the sampled-ALL trajectory."""
     from marius_tpu.data.graph import build_device_graph
@@ -160,6 +161,7 @@ needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
 
 @needs8
 @pytest.mark.parametrize("n,e,r,s", [(97, 600, 5, 4), (64, 300, 3, 8)])
+@pytest.mark.slow
 def test_rel_sum_sharded_matches_single_device(n, e, r, s):
     """Ring-sharded relational sum == bucketed single-device op, forward
     and both grads (the backward runs its own transposed ring schedule)."""
@@ -208,6 +210,7 @@ def test_rel_sum_sharded_matches_single_device(n, e, r, s):
 
 
 @needs8
+@pytest.mark.slow
 def test_sharded_rgcn_trainer_matches_single_device():
     """Ring-sharded RGCN NC training reproduces the single-device
     full-graph trajectory (same permutation, float reassociation only)."""
@@ -263,6 +266,7 @@ def test_sharded_rgcn_trainer_matches_single_device():
 
 
 @pytest.mark.parametrize("two_stage", [False, True])
+@pytest.mark.slow
 def test_full_graph_rgcn_seed_restrict_matches_all_n(two_stage):
     """The seed-restricted RGCN final stage (aggregate-per-(seed, relation)
     then one batched einsum) is the same math as the all-N final stage.

@@ -7,6 +7,8 @@ import pytest
 
 from marius_tpu.parallel.mesh import NODE_AXIS, make_mesh
 
+pytestmark = pytest.mark.slow  # see pyproject [tool.pytest.ini_options]
+
 needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
                             reason="needs 8 virtual devices")
 

@@ -2,6 +2,7 @@
 the reference's gs_1_layer / gs_3_layer e2e config fragments (SURVEY §4)."""
 
 import numpy as np
+import pytest
 
 from marius_tpu.data.graph import build_device_graph
 from marius_tpu.data.samplers.negative import NegativeSamplingConfig
@@ -57,6 +58,7 @@ def test_gnn_lp_trains_and_evaluates():
     assert res["mrr"] > 2 * random_mrr, f"GNN LP MRR too low: {res['mrr']}"
 
 
+@pytest.mark.slow
 def test_gnn_host_tiled_eval_matches_device_eval():
     """evaluate_from_host_table with a GNN encoder: the raw table stays in
     host RAM (simulating a >HBM table), node tiles are encoded through the
@@ -189,6 +191,7 @@ def test_full_graph_eval_matches_sampled_all():
     assert abs(a["hits@10"] - b["hits@10"]) < 1e-6
 
 
+@pytest.mark.slow
 def test_full_graph_eval_rgcn_matches_sampled_all():
     """Same full-graph-vs-sampled-ALL eval parity with an RGCN encoder
     (relation-bucketed full-graph path, data/full_graph_rel.py)."""

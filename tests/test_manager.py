@@ -60,6 +60,7 @@ def _lp_config(tmp_path, name, **overrides):
 
 
 @pytest.mark.parametrize("variant", ["distmult", "distmult_unfiltered", "gs_1_layer"])
+@pytest.mark.slow
 def test_lp_config_matrix(tmp_path, variant):
     overrides = {}
     if variant == "distmult_unfiltered":
@@ -247,6 +248,7 @@ GAT_ENCODER = {
 
 
 @pytest.mark.parametrize("variant", ["gs_2_layer", "gat_1_layer", "rgcn_1_layer"])
+@pytest.mark.slow
 def test_lp_gnn_config_matrix(tmp_path, variant):
     """GNN-encoder LP fragments (reference matrix: gs_3_layer, gat_3_layer...)."""
     overrides = {}
@@ -297,6 +299,7 @@ def test_nc_with_learnable_embeddings(tmp_path):
     assert 0.0 <= result["test"]["accuracy"] <= 1.0
 
 
+@pytest.mark.slow
 def test_lp_host_streaming_eval(tmp_path):
     """evaluation.host_streaming=true + buffer-backed GNN model: the table is
     evaluated without ever materializing it in HBM (VERDICT #3)."""

@@ -121,6 +121,7 @@ def test_nc_all_sampling_exact_below_cap():
     assert np.isfinite(stats[0]["loss"])
 
 
+@pytest.mark.slow
 def test_full_graph_matches_sampled_all():
     """Full-graph ALL mode is bit-equal (up to summation order) to sampled
     ALL with a cap covering the max degree: same losses, same accuracy."""
@@ -189,6 +190,7 @@ def _linear_model(kinds=("sage_mean", "sage_mean"), hidden=16,
     ("sage_gcn", "sage_mean"),
     ("gcn", "gcn"),
 ])
+@pytest.mark.slow
 def test_linear_collapse_matches_general(kinds):
     """The exact collapsed form (nn/linear_collapse.py) reproduces the
     general full-graph path: same losses, same predictions, gradients flow
@@ -567,6 +569,7 @@ def test_full_graph_hub_degrees():
 
 
 @pytest.mark.parametrize("gnn_type", ["GRAPH_SAGE", "GCN", "GAT"])
+@pytest.mark.slow
 def test_full_graph_seed_restrict_matches_all_n(gnn_type):
     """The seed-restricted final stage (flat per-batch CSR segment ops) is
     the same math as computing the stage for all N nodes and slicing the
@@ -616,6 +619,7 @@ def test_full_graph_seed_restrict_matches_all_n(gnn_type):
             f"loss diverged: all-N {f['loss']} vs seed-restricted {r['loss']}"
 
 
+@pytest.mark.slow
 def test_full_graph_gat_matches_sampled_all():
     """GAT in full-graph mode: per-bucket attention softmax + inverse-map
     backward must reproduce the sampled-ALL trajectory (softmax and weighted

@@ -204,6 +204,7 @@ def test_grouped_override_applies_per_group():
                            np.asarray(p_all_default["encoder"][0][0]["w"]))
 
 
+@pytest.mark.slow
 def test_grouped_from_config_trains_distinct_trajectory(tmp_path):
     """A layer-level `optimizer:` block in the YAML changes that layer's
     trained params (and only shows up when configured): the config path from

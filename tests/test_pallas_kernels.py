@@ -2,6 +2,7 @@
 the same kernel code on TPU via gather_rows_auto)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from marius_tpu.ops.pallas import gather_rows_auto
@@ -49,6 +50,7 @@ def test_gather_rows_auto_fallback():
                                np.asarray(table)[np.asarray(ids)])
 
 
+@pytest.mark.slow
 def test_gather_sum_kernel_matches_reference():
     """Fused bucketed gather-sum == x_pad[ids].sum(1) across bucket shapes,
     including sentinel padding slots and f32 accumulation for bf16 input."""

@@ -119,6 +119,7 @@ def test_explicit_sharding_mean_loss_and_filters_match():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_buffer_trainer_honors_mesh():
     """PartitionBufferLPTrainer over a (data x node) mesh: the HBM working
     set is row-sharded over `node` and the loss trend matches single-device
@@ -148,6 +149,7 @@ def test_buffer_trainer_honors_mesh():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_nc_trainer_data_parallel_mesh():
     """NC trainer with a data axis: seeds shard over the mesh, dense grads
     psum — accuracy must be comparable to the single-device run."""
@@ -198,6 +200,7 @@ def test_mesh_shapes():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_nc_buffer_trainer_data_parallel_mesh():
     """PartitionBufferNCTrainer with a data axis: each buffer state's seed
     batches shard over the mesh, dense grads psum — learning must be
@@ -251,6 +254,7 @@ def test_nc_buffer_trainer_data_parallel_mesh():
     assert 0.0 <= res["accuracy"] <= 1.0
 
 
+@pytest.mark.slow
 def test_nc_mesh_embedding_row_gather_update():
     """NC data-parallel sparse update: when S*K < N the shards' (K, d) row
     grads are all-gathered instead of psum-ing a dense (N, d) scatter —
