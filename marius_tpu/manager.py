@@ -182,6 +182,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 mesh=mesh,
                 prefetching=cfg.storage.prefetching,
                 epochs_per_shuffle=cfg.training.epochs_per_shuffle,
+                train_filter_keys=train_filter,
             )
         else:
             trainer = LinkPredictionTrainer(

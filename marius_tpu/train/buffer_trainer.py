@@ -101,6 +101,13 @@ class PartitionBufferLPTrainer:
         prefetching: bool = True,         # overlap next-state host prep with
                                           # device compute (storage.prefetching)
         epochs_per_shuffle: int = 1,      # re-shuffle edges every N epochs
+        train_filter_keys=None,           # (dst EdgeKeySet, src EdgeKeySet)
+                                          # in GLOBAL ids: mask sampled
+                                          # negatives that form true train
+                                          # edges (negative.cpp:50-197); the
+                                          # buffer's local ids are mapped
+                                          # back to global via the resident
+                                          # slot->partition table per batch
     ):
         assert model.learning_task == LINK_PREDICTION
         assert model.has_embeddings, "partition-buffer LP needs an embedding table"
@@ -128,6 +135,7 @@ class PartitionBufferLPTrainer:
 
         self.mesh = mesh
         self.prefetching = prefetching
+        self.train_filter_keys = train_filter_keys
         key = jax.random.key(seed)
         self.buffer = PartitionBuffer.create(
             jax.random.fold_in(key, 0), num_nodes, model.encoder.embedding_dim,
@@ -231,7 +239,7 @@ class PartitionBufferLPTrainer:
         capacity = self.capacity
 
         def state_fn(values, state, params, opt_state, key, edges, masks,
-                     slot_valid, graph, feats_buf):
+                     slot_valid, slot_parts, graph, feats_buf):
             def batch_step(carry, xs):
                 values, state, params, opt_state, key = carry
                 edges_b, mask_b = xs
@@ -261,6 +269,23 @@ class PartitionBufferLPTrainer:
                 src = jnp.where(mask_b, edges_b[:, 0], buffer_rows)
                 dst = jnp.where(mask_b, edges_b[:, -1], buffer_rows)
                 rel = edges_b[:, 1] if self.has_rels else None
+
+                dst_filter = src_filter = None
+                if self.train_filter_keys is not None:
+                    # train-time false-negative filtering over the resident
+                    # subgraph (negative.cpp:50-197): keys are GLOBAL, so map
+                    # buffer-local ids back through the slot->partition table
+                    from marius_tpu.ops.edge_keys import filter_mask_sampled
+
+                    def to_global(lids):
+                        slots = jnp.minimum(lids // psize, capacity - 1)
+                        return slot_parts[slots] * psize + lids % psize
+
+                    dst_keys, src_keys = self.train_filter_keys
+                    dst_filter = filter_mask_sampled(
+                        dst_keys, to_global(src), rel, to_global(dst_negs))
+                    src_filter = filter_mask_sampled(
+                        src_keys, to_global(dst), rel, to_global(src_negs))
 
                 all_ids = jnp.concatenate(
                     [src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
@@ -303,7 +328,8 @@ class PartitionBufferLPTrainer:
                             model, dense_params, encoded, inv_src, inv_dst, rel,
                             inv_dst_negs,
                             inv_src_negs if inv_rel_on else None,
-                            mask_b, None, None)
+                            mask_b, dst_filter,
+                            src_filter if inv_rel_on else None)
                         return loss
                 elif self.dense_accum:
                     update_ids = all_ids
@@ -317,7 +343,8 @@ class PartitionBufferLPTrainer:
                             x[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
                             x[2 * b + c * nneg:].reshape(c, nneg, d)
                             if inv_rel_on else None,
-                            mask_b, None, None)
+                            mask_b, dst_filter,
+                            src_filter if inv_rel_on else None)
                         return loss
                 else:
                     uniq = unique_padded(all_ids, size=self.unique_cap,
@@ -335,7 +362,8 @@ class PartitionBufferLPTrainer:
                             model, dense_params, x, inv_src, inv_dst, rel,
                             inv_dst_negs,
                             inv_src_negs if inv_rel_on else None,
-                            mask_b, None, None)
+                            mask_b, dst_filter,
+                            src_filter if inv_rel_on else None)
                         return loss
 
                 loss, (gx, gdense) = jax.value_and_grad(
@@ -492,7 +520,8 @@ class PartitionBufferLPTrainer:
                     self.buffer.device_values, self.buffer.device_state,
                     self.params, self.opt_state, key,
                     _arg(padded), _arg(masks),
-                    _arg(self.buffer.slot_valid_counts()), graph,
+                    _arg(self.buffer.slot_valid_counts()),
+                    _arg(np.asarray(self.buffer.resident, np.int32)), graph,
                     self.feature_cache.device
                     if self.feature_cache is not None else None)
                 losses.append(loss)  # lazy: don't block the dispatch queue
