@@ -395,3 +395,59 @@ def test_chunked_converter_cli(tmp_path):
     assert rc == 0
     stats = load_stats(str(out))
     assert stats.num_train + stats.num_valid + stats.num_test == 300
+
+
+def test_db2graph_entity_entity_reference_config(tmp_path):
+    """The reference's config spelling + entity-entity pipeline
+    (marius_db2graph.py:104 config_parser_fn, :173 validation, :295
+    post_processing): alternating rel/query file, table_column-prefixed
+    node ids, token cleaning, invalid-entry drop, per-batch dedup."""
+    import yaml
+
+    db = str(tmp_path / "g.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE person (pid TEXT, city TEXT)")
+    conn.executemany("INSERT INTO person VALUES (?,?)", [
+        ("U1 ", "NYC"),        # token cleaning: strip + lower
+        ("u2", "0"),           # invalid dst -> dropped
+        ("u3", "paris"),
+        ("u3", "paris"),       # duplicate -> dropped
+    ])
+    conn.commit()
+    conn.close()
+
+    qfile = str(tmp_path / "queries.txt")
+    with open(qfile, "w") as f:
+        f.write("lives_in\nSELECT person.pid, person.city FROM person\n")
+    cfg = {"db_server": "sqlite", "db_name": db, "db_user": None,
+           "db_password": None, "db_host": None, "edges_queries": qfile}
+    # sqlite's connect takes only database=; run_db2graph maps db_name to it
+    cfg_path = str(tmp_path / "db.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from marius_tpu.tools.db2graph import run_db2graph
+    out = run_db2graph(cfg_path, str(tmp_path / "out"))
+    lines = sorted(open(out).read().strip().split("\n"))
+    assert lines == [
+        "person_pid_u1\tlives_in\tperson_city_nyc",
+        "person_pid_u3\tlives_in\tperson_city_paris",
+    ]
+
+
+def test_db2graph_query_validation():
+    from marius_tpu.tools.db2graph import validate_entity_entity_query
+
+    t1, c1, t2, c2 = validate_entity_entity_query(
+        "SELECT a.x, b.y FROM a JOIN b ON a.k = b.k")
+    assert (t1, c1, t2, c2) == ("a", "x", "b", "y")
+    with pytest.raises(ValueError, match="AS"):
+        validate_entity_entity_query("SELECT a.x AS z, b.y FROM a")
+    with pytest.raises(ValueError, match="SELECT"):
+        validate_entity_entity_query("UPDATE a.x, b.y FROM a")
+    with pytest.raises(ValueError, match="','"):
+        validate_entity_entity_query("SELECT a.x b.y FROM a")
+    with pytest.raises(ValueError, match="table1.col1"):
+        validate_entity_entity_query("SELECT ax, b.y FROM a")
+    with pytest.raises(ValueError, match="FROM"):
+        validate_entity_entity_query("SELECT a.x, b.y c.z FROM a")
