@@ -271,8 +271,12 @@ def device_seed_flat_lists(csr_dev: Tuple[Array, Array], seeds: Array,
 # re-reads them (v5e: the (10, 39400, 128) arxiv bucket = 202 MB, measured
 # 1150 us gather+reduce); slicing each bucket into <=CHUNK_SLOTS column
 # chunks keeps every block VMEM-resident so the reduce is fused and free
-# (measured 844 us for the same bucket at 16384 slots = 8 MB f32 d=128).
-FG_CHUNK_SLOTS = 16384
+# (measured 844 us for the same bucket at 16384 slots = 8 MB f32 d=128,
+# isolated; in the full epoch program per-op overhead eats part of that —
+# 32768 measured best end-to-end on v5e). Env FG_CHUNK_SLOTS overrides.
+import os as _os
+
+FG_CHUNK_SLOTS = int(_os.environ.get("FG_CHUNK_SLOTS", 32768))
 
 
 def _bucket_chunks(cap: int, n8: int, chunk_slots: int = FG_CHUNK_SLOTS):
