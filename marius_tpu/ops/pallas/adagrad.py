@@ -74,11 +74,11 @@ def sparse_adagrad_update_pallas(values: jax.Array, state: jax.Array,
             pl.BlockSpec((1, 1), lambda i, ids: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((BLOCK, d), lambda i, ids: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((1, d), values.dtype),
             pltpu.VMEM((1, d), state.dtype),

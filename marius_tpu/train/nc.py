@@ -92,11 +92,28 @@ class NodeClassificationTrainer:
         self._fg_struct = None   # multi-controller ring: structures passed
                                  # as jit ARGUMENTS (closures over sharded
                                  # global arrays are banned by JAX)
+        self._fg_want_collapse = False
         if full_graph is not None:
             from marius_tpu.nn.full_graph_encoder import supports_full_graph
+            from marius_tpu.nn.linear_collapse import (
+                linear_collapse_eligible,
+            )
             assert supports_full_graph(model.encoder), \
                 "full-graph mode supports GraphSAGE/GCN/GAT/RGCN stages only"
-            if mesh is not None:
+            self._fg_want_collapse = (
+                (fg_linear_collapse if fg_linear_collapse is not None
+                 else fg_seed_restrict is None)
+                and features is not None
+                and linear_collapse_eligible(model.encoder, True))
+            if mesh is not None and self._fg_want_collapse:
+                # LINEAR encoders under a mesh train DATA-PARALLEL through
+                # the collapsed form: phi replicated, the batch's seeds shard
+                # over the data axis (GSPMD inserts the dense-grad psum) —
+                # the fast path for models that fit phi in HBM; the
+                # collective-permute ring remains the beyond-HBM path
+                # (fg_linear_collapse=False forces it)
+                pass
+            elif mesh is not None:
                 # node-sharded ring mode: activations row-shard over the
                 # mesh's non-trivial axis, each layer's neighbor sum runs
                 # as the collective-permute ring (full_graph_sharded.py)
@@ -199,16 +216,8 @@ class NodeClassificationTrainer:
                 prepare_full_graph,
                 supports_seed_restrict,
             )
-            from marius_tpu.nn.linear_collapse import (
-                build_linear_collapse,
-                linear_collapse_eligible,
-            )
-            use_collapse = (fg_linear_collapse if fg_linear_collapse
-                            is not None
-                            else (fg_seed_restrict is None
-                                  and jax.process_count() == 1))
-            if (use_collapse and self.features is not None
-                    and linear_collapse_eligible(model.encoder, True)):
+            from marius_tpu.nn.linear_collapse import build_linear_collapse
+            if self._fg_want_collapse:
                 # exact factored form for LINEAR encoders: per-batch
                 # full-graph gathers vanish (nn/linear_collapse.py). phi
                 # rides the jit as an ARGUMENT (_fg_struct) — as a closure
@@ -216,6 +225,14 @@ class NodeClassificationTrainer:
                 # (N, K) matrix into the module
                 self._fg_collapse = build_linear_collapse(
                     full_graph, model.encoder, self.features[:-1], dtype)
+                if mesh is not None and jax.process_count() > 1:
+                    # multi-controller: phi must be ONE global (replicated)
+                    # array like every other jit input
+                    from marius_tpu.parallel.mesh import put_global, replicated
+                    self._fg_collapse = dataclasses.replace(
+                        self._fg_collapse,
+                        phi=put_global(self._fg_collapse.phi,
+                                       replicated(mesh)))
                 self._fg_struct = self._fg_collapse
             else:
                 self.full_graph, self._fg_ops = prepare_full_graph(
@@ -371,6 +388,18 @@ class NodeClassificationTrainer:
             # exact collapsed LINEAR form: logits = phi[seeds] @ M(params);
             # fg is the LinearCollapse pytree passed as a jit argument
             col = fg if fg is not None else self._fg_collapse
+            if self.mesh is not None:
+                # data-parallel: batch rows shard over the data axis, phi and
+                # params replicate; GSPMD propagates the sharding through the
+                # row gather + matmul and psums the dense grads
+                # (model.cpp:136-159 analogue)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from marius_tpu.parallel.mesh import DATA_AXIS
+                sh = NamedSharding(self.mesh, P(DATA_AXIS))
+                seeds_c = jax.lax.with_sharding_constraint(seeds_c, sh)
+                mask_b = jax.lax.with_sharding_constraint(mask_b, sh)
+                labels_b = jax.lax.with_sharding_constraint(labels_b, sh)
 
             def loss_fn_c(dense_params):
                 logits = col.logits(dense_params["encoder"], seeds_c)

@@ -313,3 +313,62 @@ def test_nc_mesh_embedding_row_gather_update():
     losses = [s["loss"] for s in tr.train(3)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_nc_collapse_data_parallel_mesh_matches_single_device():
+    """LINEAR full-graph NC under a mesh trains DATA-PARALLEL through the
+    collapsed form (phi replicated, seeds sharded): the trajectory matches
+    the single-device collapse run exactly (GSPMD global-view semantics —
+    same math, only the layout changes)."""
+    from marius_tpu.data.full_graph import build_full_graph_adjacency
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import NODE_CLASSIFICATION, Model
+    from marius_tpu.nn.optimizers import OptimizerConfig
+    from marius_tpu.train.nc import (
+        NodeClassificationEvaluator,
+        NodeClassificationTrainer,
+    )
+
+    rng = np.random.default_rng(5)
+    n, e, f, c = 160, 900, 8, 4
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)],
+                     1).astype(np.int32)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    labels = (feats[:, 0] > 0).astype(np.int32) + \
+        2 * (feats[:, 1] > 0).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="FEATURE", output_dim=f, bias=True),),
+        (LayerConfig(layer_type="GNN", input_dim=f, output_dim=8,
+                     gnn_type="GRAPH_SAGE", bias=True),),
+        (LayerConfig(layer_type="GNN", input_dim=8, output_dim=c,
+                     gnn_type="GRAPH_SAGE", bias=True),),
+    ))
+    model = Model(learning_task=NODE_CLASSIFICATION, encoder=enc,
+                  loss_type="CROSS_ENTROPY", loss_reduction="SUM",
+                  dense_optimizer=OptimizerConfig("ADAM", learning_rate=0.01))
+    graph = build_device_graph(edges, n)
+    adj = build_full_graph_adjacency(edges, n)
+    nbr = (NeighborSamplingConfig("ALL", max_neighbors=1),) * 2
+    nodes = np.arange(n, dtype=np.int32)
+
+    mesh = make_mesh(num_data=4, num_node=2)
+    tr_m = NodeClassificationTrainer(model, graph, feats, labels, nodes, nbr,
+                                     batch_size=40, mesh=mesh, seed=0,
+                                     full_graph=adj)
+    assert tr_m._fg_collapse is not None and not tr_m._fg_sharded
+    tr_1 = NodeClassificationTrainer(model, graph, feats, labels, nodes, nbr,
+                                     batch_size=40, seed=0, full_graph=adj)
+    assert tr_1._fg_collapse is not None
+
+    losses_m = [s["loss"] for s in tr_m.train(4)]
+    losses_1 = [s["loss"] for s in tr_1.train(4)]
+    np.testing.assert_allclose(losses_m, losses_1, rtol=2e-4)
+
+    ev_m = NodeClassificationEvaluator(tr_m, nodes[: n // 2])
+    ev_1 = NodeClassificationEvaluator(tr_1, nodes[: n // 2])
+    a = ev_m.evaluate(tr_m.state)
+    b = ev_1.evaluate(tr_1.state)
+    assert abs(a["accuracy"] - b["accuracy"]) < 1e-6
