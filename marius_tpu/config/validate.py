@@ -299,6 +299,9 @@ def check_config_values(cfg) -> List[str]:
 
     m = cfg.model
     n_gnn = 0
+    has_emb_layer = m is not None and any(
+        layer.layer_type.upper() == "EMBEDDING"
+        for stage in m.encoder.stages for layer in stage)
     if m is not None:
         _enum(e, "loss_type", m.loss_type, "model.loss.type")
         _enum(e, "loss_reduction", m.loss_reduction,
@@ -405,9 +408,10 @@ def check_config_values(cfg) -> List[str]:
                  "true (save_best keeps the best-valid model in model_dir)")
     _enum(e, "mesh_mode", t.mesh_mode.lower(), "training.mesh.mode")
     if (t.mesh_mode == "explicit" and max(t.mesh_data, t.mesh_node) > 1
-            and n_gnn > 0):
-        e.append("training.mesh.mode: 'explicit' supports shallow encoders "
-                 "only; use 'gspmd' for GNN models")
+            and not has_emb_layer):
+        e.append("training.mesh.mode: 'explicit' shards the embedding table "
+                 "and requires an EMBEDDING layer; feature-only encoders "
+                 "ride 'gspmd'")
 
     ev = cfg.evaluation
     _positive(e, ev.batch_size, "evaluation.batch_size")

