@@ -52,6 +52,41 @@ def run(mode: str, mesh, batch_size: int, chunks: int, edges, n, r, epochs=4):
     return epochs * tr.num_edges / dt
 
 
+def run_gnn(mode: str, mesh, edges, n, r, epochs=3):
+    """GNN-encoder LP twin of run(): 1-layer GraphSAGE over the embedding
+    table (explicit mode rides make_sharded_gnn_lp_update)."""
+    import jax
+
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    d = 64
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=d),),
+        (LayerConfig(layer_type="GNN", input_dim=d, output_dim=d,
+                     gnn_type="GRAPH_SAGE", aggregator="MEAN"),),
+    ))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d))
+    tr = LinkPredictionTrainer(
+        model, n, r, edges, NegativeSamplingConfig(8, 128),
+        batch_size=4096, mesh=mesh,
+        sharding_mode=mode if mesh is not None else "gspmd",
+        graph=build_device_graph(edges, n, r),
+        nbr_configs=(NeighborSamplingConfig("UNIFORM", max_neighbors=8),))
+    tr.train(1)
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        tr.train_epoch()
+    jax.block_until_ready(tr.state.table.values)
+    return epochs * tr.num_edges / (time.perf_counter() - t0)
+
+
 def main():
     import os
 
@@ -88,6 +123,23 @@ def main():
             "scaling_vs_1dev": rate / base,
             "per_device_efficiency": rate / (base * n_dev),
         })
+    # GNN-encoder twin (50k nodes / 400k edges: sampling + hop gathers
+    # dominate instead of the scoring bmm)
+    ng, eg = 50_000, 400_000
+    gedges = np.stack([rng.integers(0, ng, eg), rng.integers(0, r, eg),
+                       rng.integers(0, ng, eg)], 1).astype(np.int32)
+    gbase = run_gnn("gspmd", None, gedges, ng, r)
+    out.append({"workload": "gnn_lp", "devices": 1,
+                "edges_per_sec_1dev": gbase})
+    for mode in ("gspmd", "explicit"):
+        rate = run_gnn(mode, mesh, gedges, ng, r)
+        out.append({
+            "workload": "gnn_lp", "devices": n_dev, "mode": mode,
+            "mesh": {"data": n_dev // num_node, "node": num_node},
+            "edges_per_sec": rate,
+            "scaling_vs_1dev": rate / gbase,
+        })
+
     print(json.dumps(out, indent=2))
     with open("SCALING_RESULTS.json", "w") as f:
         json.dump({"platform": jax.devices()[0].platform,
