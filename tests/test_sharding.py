@@ -284,6 +284,44 @@ def test_explicit_gnn_uniform_sampling_trains():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("gnn,extra", [
+    ("GAT", dict(num_heads=2, average_heads=True)),
+    ("RGCN", dict(num_relations=3)),
+])
+def test_explicit_gnn_all_layer_types(gnn, extra):
+    """make_sharded_gnn_lp_update is layer-agnostic (it reuses
+    encoder_forward inside the shard_map body) — pin GAT's segment softmax
+    and RGCN's per-relation bmm through the explicit path."""
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    rng = np.random.default_rng(9)
+    n, r, d = 96, 3, 12
+    edges = _edges(rng, n, r, 480)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=d),),
+        (LayerConfig(layer_type="GNN", input_dim=d, output_dim=d,
+                     gnn_type=gnn, **extra),),
+    ))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d))
+    tr = LinkPredictionTrainer(
+        model, n, r, edges, NegativeSamplingConfig(4, 8), batch_size=80,
+        mesh=make_mesh(num_data=4, num_node=2), sharding_mode="explicit",
+        graph=build_device_graph(edges, n, r),
+        nbr_configs=(NeighborSamplingConfig("UNIFORM", max_neighbors=4),))
+    assert tr._explicit_gnn
+    s = [x["loss"] for x in tr.train(3)]
+    assert np.isfinite(s).all()
+    assert s[-1] < s[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_mesh_shapes():
     mesh = make_mesh(num_data=8, num_node=1)
     assert mesh.shape == {DATA_AXIS: 8, NODE_AXIS: 1}
