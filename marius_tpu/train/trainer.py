@@ -211,6 +211,14 @@ class LinkPredictionTrainer:
                             num_nodes * model.encoder.embedding_dim <= 8_000_000)
 
         self.graph = graph
+        if mesh is not None and graph is not None and jax.process_count() > 1:
+            # multi-controller: every array the compiled epoch closes over
+            # must be ONE global jax.Array — replicate the graph CSR across
+            # the process-spanning mesh (the NC trainer does the same)
+            from marius_tpu.parallel.mesh import put_global, replicated
+            repl = replicated(mesh)
+            self.graph = jax.tree.map(
+                lambda a: put_global(np.asarray(a), repl), graph)
         self.nbr_configs = tuple(nbr_configs)
         if self.nbr_configs:
             assert graph is not None, "GNN encoder needs a DeviceGraph"
@@ -403,6 +411,10 @@ class LinkPredictionTrainer:
         else:
             x0 = gather_rows(state.table.values, gather_ids) \
                 if model.has_embeddings else None
+            if self.features is not None:
+                # shallow FEATURE stages (the reference's distmult_feat
+                # family): gather rows for the batch's ids directly
+                feats = self.features[jnp.minimum(gather_ids, num_nodes)]
 
         degrees = self.graph.degrees if self.graph is not None else None
 

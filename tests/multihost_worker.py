@@ -60,6 +60,43 @@ def evaluate_nc(trainer):
     return float(ev.evaluate(trainer.state)["accuracy"])
 
 
+def build_gnn_lp_trainer(mesh, sharding_mode="explicit"):
+    """GNN LP over the process-spanning mesh (explicit shard_map path:
+    collectives.make_sharded_gnn_lp_update). ALL sampling is deterministic,
+    so 2-process trajectories must match the single-process run."""
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.neighbor import (
+        NeighborSamplingConfig,
+        resolve_all_caps_from_edges,
+    )
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig, LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    num_nodes, num_rels, dim = 64, 4, 16
+    rng = np.random.default_rng(0)
+    edges = np.stack([rng.integers(0, num_nodes, 400),
+                      rng.integers(0, num_rels, 400),
+                      rng.integers(0, num_nodes, 400)], 1).astype(np.int32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=dim),),
+        (LayerConfig(layer_type="GNN", gnn_type="GRAPH_SAGE",
+                     aggregator="MEAN", input_dim=dim, output_dim=dim),),
+    ))
+    model = Model(learning_task=LINK_PREDICTION, encoder=enc,
+                  decoder=EdgeDecoder("DISTMULT", num_rels, dim))
+    nbr = resolve_all_caps_from_edges(
+        (NeighborSamplingConfig("ALL"),), edges, num_nodes)
+    return LinkPredictionTrainer(
+        model, num_nodes, num_rels, edges,
+        NegativeSamplingConfig(num_chunks=4, negatives_per_positive=8),
+        batch_size=40, seed=0, mesh=mesh, sharding_mode=sharding_mode,
+        graph=build_device_graph(edges, num_nodes, num_rels),
+        nbr_configs=nbr)
+
+
 def build_buffer_trainer(mesh):
     from marius_tpu.data.samplers.negative import NegativeSamplingConfig
     from marius_tpu.nn.decoders.edge import EdgeDecoder
@@ -202,6 +239,11 @@ def main():
     trainer_x = build_trainer(mesh, sharding_mode="explicit")
     losses_x = [trainer_x.train_epoch()["loss"] for _ in range(3)]
     print("LOSSES_X " + json.dumps(losses_x), flush=True)
+    # GNN LP through the explicit shard_map step (sharded table + in-jit
+    # sampling against the globally-replicated graph CSR)
+    trainer_xg = build_gnn_lp_trainer(mesh)
+    losses_xg = [trainer_xg.train_epoch()["loss"] for _ in range(3)]
+    print("LOSSES_XG " + json.dumps(losses_xg), flush=True)
     # data-parallel node classification (shard_map over seed nodes)
     trainer_nc = build_nc_trainer(mesh)
     losses_nc = [trainer_nc.train_epoch()["loss"] for _ in range(3)]

@@ -232,3 +232,44 @@ def test_full_graph_eval_rgcn_matches_sampled_all():
     b = ev_fg.evaluate(trainer.state)
     assert abs(a["mrr"] - b["mrr"]) < 1e-4, (a["mrr"], b["mrr"])
     assert abs(a["hits@10"] - b["hits@10"]) < 1e-6
+
+
+def test_shallow_feature_lp_trains_and_evaluates():
+    """Shallow FEATURE encoders without GNN stages (the reference's
+    distmult_feat family, test configs lp/model/distmult_feat.yaml): both
+    EMBEDDING+FEATURE concat and pure-FEATURE variants must train and
+    evaluate. Regression for the gap where the general batch step only
+    gathered features under a GNN encoder."""
+    train, valid, test = generate_random_lp_dataset(3)
+    rng = np.random.default_rng(3)
+    f = 6
+    feats = rng.standard_normal((NUM_NODES, f)).astype(np.float32)
+    all_edges = np.concatenate([train, valid, test])
+
+    for stages, dec_dim in (
+        ((  # EMBEDDING + FEATURE concat
+            (LayerConfig(layer_type="EMBEDDING", output_dim=8),
+             LayerConfig(layer_type="FEATURE", output_dim=f)),
+        ), 8 + f),
+        ((  # pure FEATURE (no learnable table)
+            (LayerConfig(layer_type="FEATURE", output_dim=f),),
+        ), f),
+    ):
+        model = Model(
+            "LINK_PREDICTION",
+            EncoderConfig(stages=stages),
+            EdgeDecoder("DISTMULT", NUM_RELS, dec_dim))
+        trainer = LinkPredictionTrainer(
+            model, NUM_NODES, NUM_RELS, train,
+            NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+            batch_size=100, seed=0, features=feats)
+        stats = trainer.train(3)
+        losses = [s["loss"] for s in stats]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+        ev = LinkPredictionEvaluator(
+            model, NUM_NODES, NUM_RELS, test, all_edges=all_edges,
+            batch_size=100, filtered=True, features=trainer.features)
+        m = ev.evaluate(trainer.state)
+        assert 0.0 < m["mrr"] <= 1.0

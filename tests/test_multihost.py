@@ -164,6 +164,16 @@ def test_two_process_training_matches_single_process(tmp_path):
     ref_x = [trainer_x.train_epoch()["loss"] for _ in range(3)]
     np.testing.assert_allclose(losses_x[0], ref_x, rtol=1e-5)
 
+    # GNN LP through the explicit shard_map step (ALL sampling =>
+    # deterministic; 2-process must reproduce the single-process run)
+    from tests.multihost_worker import build_gnn_lp_trainer
+    losses_xg = parse("LOSSES_XG")
+    np.testing.assert_allclose(losses_xg[0], losses_xg[1], rtol=1e-6)
+    trainer_xg = build_gnn_lp_trainer(mesh)
+    ref_xg = [trainer_xg.train_epoch()["loss"] for _ in range(3)]
+    np.testing.assert_allclose(losses_xg[0], ref_xg, rtol=1e-5)
+    assert ref_xg[-1] < ref_xg[0]
+
     # data-parallel NC over the same 2-process mesh
     from tests.multihost_worker import build_nc_trainer
     losses_nc = parse("LOSSES_NC")

@@ -284,6 +284,45 @@ def test_explicit_gnn_uniform_sampling_trains():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_explicit_shallow_with_features_matches_single_device():
+    """EMBEDDING+FEATURE (no GNN) through the explicit deep-encoder factory:
+    graph=None skips hop expansion; the batch's unique ids are the outer
+    set. Deterministic => exact single-device trajectory parity."""
+    import dataclasses as dc
+
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    rng = np.random.default_rng(10)
+    n, r, d, f = 96, 3, 12, 6
+    edges = _edges(rng, n, r, 437)   # partial last batch => MEAN reweighting
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=d),
+         LayerConfig(layer_type="FEATURE", output_dim=f)),
+    ))
+    model = dc.replace(
+        Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d + f)),
+        loss_reduction="MEAN")
+    neg = NegativeSamplingConfig(4, 8)
+
+    mesh = make_mesh(num_data=4, num_node=2)
+    tr_x = LinkPredictionTrainer(model, n, r, edges, neg, batch_size=80,
+                                 mesh=mesh, sharding_mode="explicit",
+                                 features=feats)
+    assert tr_x._explicit_gnn  # deep-encoder factory, no-hop branch
+    tr_1 = LinkPredictionTrainer(model, n, r, edges, neg, batch_size=80,
+                                 features=feats)
+    losses_x = [s["loss"] for s in tr_x.train(3)]
+    losses_1 = [s["loss"] for s in tr_1.train(3)]
+    np.testing.assert_allclose(losses_x, losses_1, rtol=5e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("gnn,extra", [
     ("GAT", dict(num_heads=2, average_heads=True)),
     ("RGCN", dict(num_relations=3)),
