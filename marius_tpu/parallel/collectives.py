@@ -100,6 +100,56 @@ def sharded_adagrad_update(values_shard: Array, state_shard: Array,
     return new_values, new_state
 
 
+def _lp_batch_specs(data_axis, has_rels: bool, use_inverse: bool,
+                    use_filters: bool, with_keys: bool = False):
+    """shard_map PartitionSpecs for the LP batch dict (shared by the shallow
+    and GNN explicit factories so a new batch key can never diverge)."""
+    from jax.sharding import PartitionSpec as P
+
+    da = data_axis
+    specs = {"src": P(da), "dst": P(da), "mask": P(da),
+             "dst_negs": P(da, None)}
+    if with_keys:
+        specs["k_nb"] = P()
+        specs["k_drop"] = P()
+    if has_rels:
+        specs["rel"] = P(da)
+    if use_inverse:
+        specs["src_negs"] = P(da, None)
+    if use_filters:
+        specs["dst_filter"] = P(da, None)
+        if use_inverse:
+            specs["src_filter"] = P(da, None)
+    return specs
+
+
+def _mean_weight(mask, mean: bool, psum_data):
+    """Exact-MEAN reweighting: global_mean = sum_shards local_mean * w with
+    w = local_count / total_count (loss-specific denominators cancel)."""
+    if not mean:
+        return 1.0
+    local_count = jnp.sum(mask.astype(jnp.float32))
+    total_count = jnp.maximum(psum_data(local_count), 1.0)
+    return local_count / total_count
+
+
+def _apply_sharded_updates(model, values, state, params, opt_state,
+                           loss, G, gdense, psum_data):
+    """Shared epilogue of the explicit train steps: combine the data shards'
+    contributions (the NCCL all_reduce analogue, model.cpp:136-159), then
+    owner-local sparse Adagrad + the dense optimizer INSIDE the step."""
+    from marius_tpu.nn.optimizers import apply_optimizer
+
+    G = psum_data(G)
+    gdense = psum_data(gdense)
+    loss = psum_data(loss)
+    acc = state + G * G
+    new_values = values - model.sparse_lr * G / (jnp.sqrt(acc) + ADAGRAD_EPS)
+    new_params, new_opt_state = apply_optimizer(
+        model.dense_optimizer, params, opt_state, gdense)
+    return new_values, acc, new_params, new_opt_state, loss
+
+
 def make_sharded_lp_update(model, mesh, num_nodes_padded: int,
                            node_axis: str = "node",
                            data_axis: str | None = None,
@@ -134,7 +184,6 @@ def make_sharded_lp_update(model, mesh, num_nodes_padded: int,
 
     from marius_tpu.nn.encoder import encoder_forward
     from marius_tpu.nn.model import lp_batch_loss_direct
-    from marius_tpu.nn.optimizers import apply_optimizer
 
     n_shards = mesh.shape[node_axis]
     assert num_nodes_padded % n_shards == 0, \
@@ -159,16 +208,7 @@ def make_sharded_lp_update(model, mesh, num_nodes_padded: int,
         if src_negs is not None:
             parts.append(src_negs.reshape(-1))
         ids = jnp.concatenate(parts)
-
-        # MEAN exactness: global_mean = sum_shards local_mean * w where
-        # w = local_count / total_count (the loss-specific denominator
-        # constant cancels; see docstring).
-        if mean:
-            local_count = jnp.sum(mask.astype(jnp.float32))
-            total_count = jnp.maximum(psum_data(local_count), 1.0)
-            w = local_count / total_count
-        else:
-            w = 1.0
+        w = _mean_weight(mask, mean, psum_data)
 
         def loss_fn(v_shard, dense_params):
             x = sharded_gather_inner_grad(v_shard, ids, node_axis)
@@ -184,32 +224,16 @@ def make_sharded_lp_update(model, mesh, num_nodes_padded: int,
                 mask, dst_filter, src_filter)
             return loss * w
 
-        loss, (G, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            values, params)
         # G = dL/dshard through the psum-gather: exact per-owned-row grads
         # (see the gradient note in sharded_gather; regression-tested against
-        # the dense reference). Combine data shards' contributions.
-        G = psum_data(G)
-        gdense = psum_data(gdense)
-        loss = psum_data(loss)
-        acc = state + G * G
-        new_values = values - model.sparse_lr * G / (jnp.sqrt(acc) + ADAGRAD_EPS)
-        new_params, new_opt_state = apply_optimizer(
-            model.dense_optimizer, params, opt_state, gdense)
-        return new_values, acc, new_params, new_opt_state, loss
+        # the dense reference).
+        loss, (G, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            values, params)
+        return _apply_sharded_updates(model, values, state, params,
+                                      opt_state, loss, G, gdense, psum_data)
 
-    da = data_axis
-    batch_specs = {"src": P(da), "dst": P(da), "mask": P(da),
-                   "dst_negs": P(da, None)}
-    if has_rels:
-        batch_specs["rel"] = P(da)
-    if use_inverse:
-        batch_specs["src_negs"] = P(da, None)
-    if use_filters:
-        batch_specs["dst_filter"] = P(da, None)
-        if use_inverse:
-            batch_specs["src_filter"] = P(da, None)
-
+    batch_specs = _lp_batch_specs(data_axis, has_rels, use_inverse,
+                                  use_filters)
     in_specs = (P(node_axis, None), P(node_axis, None), P(), P(), batch_specs)
     out_specs = (P(node_axis, None), P(node_axis, None), P(), P(), P())
     return jax.shard_map(step, mesh=mesh, in_specs=in_specs,
@@ -259,7 +283,6 @@ def make_sharded_gnn_lp_update(model, mesh, num_nodes_padded: int,
     from marius_tpu.data.samplers.neighbor import sample_neighbor_batch
     from marius_tpu.nn.encoder import encoder_forward
     from marius_tpu.nn.model import lp_batch_loss
-    from marius_tpu.nn.optimizers import apply_optimizer
     from marius_tpu.ops.unique import unique_padded
 
     n_shards = mesh.shape[node_axis]
@@ -288,13 +311,7 @@ def make_sharded_gnn_lp_update(model, mesh, num_nodes_padded: int,
         if src_negs is not None:
             parts.append(src_negs.reshape(-1))
         ids = jnp.concatenate(parts)
-
-        if mean:
-            local_count = jnp.sum(mask.astype(jnp.float32))
-            total_count = jnp.maximum(psum_data(local_count), 1.0)
-            w = local_count / total_count
-        else:
-            w = 1.0
+        w = _mean_weight(mask, mean, psum_data)
 
         # decorrelate per-shard sampling/dropout draws; ALL sampling ignores
         # the key entirely (deterministic => single-device trajectory parity)
@@ -337,27 +354,11 @@ def make_sharded_gnn_lp_update(model, mesh, num_nodes_padded: int,
 
         loss, (G, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             values, params)
-        G = psum_data(G)
-        gdense = psum_data(gdense)
-        loss = psum_data(loss)
-        acc = state + G * G
-        new_values = values - model.sparse_lr * G / (jnp.sqrt(acc) + ADAGRAD_EPS)
-        new_params, new_opt_state = apply_optimizer(
-            model.dense_optimizer, params, opt_state, gdense)
-        return new_values, acc, new_params, new_opt_state, loss
+        return _apply_sharded_updates(model, values, state, params,
+                                      opt_state, loss, G, gdense, psum_data)
 
-    da = data_axis
-    batch_specs = {"src": P(da), "dst": P(da), "mask": P(da),
-                   "dst_negs": P(da, None), "k_nb": P(), "k_drop": P()}
-    if has_rels:
-        batch_specs["rel"] = P(da)
-    if use_inverse:
-        batch_specs["src_negs"] = P(da, None)
-    if use_filters:
-        batch_specs["dst_filter"] = P(da, None)
-        if use_inverse:
-            batch_specs["src_filter"] = P(da, None)
-
+    batch_specs = _lp_batch_specs(data_axis, has_rels, use_inverse,
+                                  use_filters, with_keys=True)
     in_specs = (P(node_axis, None), P(node_axis, None), P(), P(), batch_specs,
                 P(), P(), P())
     out_specs = (P(node_axis, None), P(node_axis, None), P(), P(), P())

@@ -113,7 +113,11 @@ class SparkEdgeListConverter:
             if has_rel:
                 sel.append(df.columns[self.edge_type_column])
             sel.append(df.columns[self.dst_column])
-            df = df.select(*sel).toDF(*cols)
+            # drop malformed rows (short/blank lines -> null columns) UP
+            # FRONT: nulls would otherwise get a dense id from distinct()
+            # yet vanish from every split at the inner-join remap —
+            # inconsistent counts with no error
+            df = df.select(*sel).toDF(*cols).na.drop()
 
             nodes_df = st.distinct_nodes_with_ids(df, self.seed).cache()
             rels_df = (st.distinct_rels_with_ids(df, self.seed).cache()
@@ -121,7 +125,10 @@ class SparkEdgeListConverter:
             num_nodes = nodes_df.count()
             num_rels = rels_df.count() if rels_df is not None else 1
 
-            remapped = st.remap_edges_distributed(df, nodes_df, rels_df)
+            # persist: each split below is its own Spark action; without
+            # this the CSV scan + 3-way join re-executes per materialization
+            remapped = st.remap_edges_distributed(df, nodes_df, rels_df) \
+                .persist()
             tr, va, te = st.random_split_df(
                 remapped, self.splits or (), self.seed)
 
@@ -152,6 +159,7 @@ class SparkEdgeListConverter:
                         st.parquet_parts_in_order(pq_dir), out_bin, cols)
                 shutil.rmtree(pq_dir, ignore_errors=True)
 
+            remapped.unpersist()
             # label -> dense-id mappings, streamed part-at-a-time
             map_dir = os.path.join(work, "node_map")
             st.write_plain_parquet(nodes_df, map_dir, self.num_output_files)

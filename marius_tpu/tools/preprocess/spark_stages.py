@@ -91,15 +91,24 @@ def remap_edges_distributed(edges_df, nodes_df, rels_df=None):
 
 def random_split_df(df, splits: Sequence[float], seed: int = 0):
     """Cluster-side train/valid/test split (reference randomSplit,
-    spark_converter.py:214-224). Returns (train, valid|None, test|None)."""
-    fr = [float(s) for s in splits]
-    if len(fr) == 3:
-        tr, va, te = df.randomSplit(fr, seed=seed)
-        return tr, va, te
-    if len(fr) == 2:
-        tr, te = df.randomSplit(fr, seed=seed)
-        return tr, None, te
-    return df, None, None
+    spark_converter.py:214-224). Returns (train, valid|None, test|None).
+
+    Split semantics follow THIS repo's convention everywhere (split_edges,
+    ChunkedEdgeListConverter): ``splits = (train_frac[, valid_frac])`` and
+    the remainder past train+valid is test — so both SparkEdgeListConverter
+    modes produce the same dataset layout from the same argument."""
+    fr = [float(s) for s in splits or ()]
+    if not fr:
+        return df, None, None
+    f_tr = fr[0]
+    f_va = fr[1] if len(fr) > 1 else 0.0
+    f_te = (fr[2] if len(fr) > 2 else max(0.0, 1.0 - f_tr - f_va))
+    active = [(name, w) for name, w in
+              (("train", f_tr), ("valid", f_va), ("test", f_te))
+              if w > 1e-12]
+    parts = dict(zip((n for n, _ in active),
+                     df.randomSplit([w for _, w in active], seed=seed)))
+    return parts.get("train"), parts.get("valid"), parts.get("test")
 
 
 def with_bucket_columns(df, partition_size: int):

@@ -261,9 +261,19 @@ class LinkPredictionTrainer:
                     from marius_tpu.data.samplers.neighbor import (
                         estimate_hop_caps,
                     )
-                    caps_local = (tuple(estimate_hop_caps(
-                        cap_local, self.nbr_configs, num_nodes))
-                        if self.nbr_configs else (cap_local,))
+                    if self.nbr_configs:
+                        est = estimate_hop_caps(
+                            cap_local, self.nbr_configs, num_nodes)
+                        if hop_caps:
+                            # honor configured hop caps as per-hop UPPER
+                            # bounds (model.encoder.hop_caps — memory knob);
+                            # the seed slot stays cap_local so the batch's
+                            # unique ids are never truncated
+                            est = [est[0]] + [min(int(u), int(e)) for u, e
+                                              in zip(hop_caps[1:], est[1:])]
+                        caps_local = tuple(est)
+                    else:
+                        caps_local = (cap_local,)
                     self._explicit_update = make_sharded_gnn_lp_update(
                         model, mesh, self.num_table_rows,
                         self.nbr_configs, caps_local, cap_local, num_nodes,
