@@ -113,9 +113,6 @@ class PartitionBufferLPTrainer:
         assert model.has_embeddings, "partition-buffer LP needs an embedding table"
         if model.encoder.has_features:
             assert features is not None, "FEATURE layers need a feature matrix"
-            assert model.encoder.num_gnn_stages, \
-                "buffer LP consumes features only through the GNN encoder " \
-                "path; shallow FEATURE encoders are not supported"
         if model.encoder.num_gnn_stages:
             assert nbr_configs, "GNN encoder needs neighbor sampling configs"
         assert batch_size % neg_config.num_chunks == 0
@@ -291,6 +288,26 @@ class PartitionBufferLPTrainer:
                     [src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
                 inv_rel_on = (model.decoder.use_inverse_relations
                               and self.has_rels)
+
+                def _shallow_feats(ids):
+                    """Feature rows for shallow FEATURE stages (the
+                    reference's distmult_feat family over disk storage):
+                    the partition cache is slot-aligned with the embedding
+                    buffer, so the same local ids index it; padding ids
+                    read the sentinel-zero treatment via the mask."""
+                    if feats_buf is None:
+                        return None
+                    f = feats_buf[jnp.minimum(ids, buffer_rows - 1)]
+                    return jnp.where((ids < buffer_rows)[:, None], f, 0.0)
+
+                def _shallow_encode(x, feats, dense_params):
+                    """Shallow encoders ride encoder_forward like the
+                    in-memory trainer (bias/activation/REDUCTION semantics);
+                    identity for a plain EMBEDDING stage."""
+                    from marius_tpu.nn.encoder import encoder_forward
+                    return encoder_forward(model.encoder,
+                                           dense_params["encoder"], x, feats)
+
                 if self.nbr_configs:
                     # GNN encoder over the resident subgraph: batch unique ids
                     # seed multi-hop sampling; raw rows are gathered for the
@@ -335,13 +352,15 @@ class PartitionBufferLPTrainer:
                     update_ids = all_ids
                     x0 = gather_rows_auto(
                         values, jnp.minimum(all_ids, buffer_rows - 1))
+                    feats = _shallow_feats(all_ids)
 
                     def loss_fn(x, dense_params):
-                        d = x.shape[-1]
+                        enc = _shallow_encode(x, feats, dense_params)
+                        d = enc.shape[-1]
                         loss, _ = lp_batch_loss_direct(
-                            model, dense_params, x[:b], x[b:2 * b], rel,
-                            x[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
-                            x[2 * b + c * nneg:].reshape(c, nneg, d)
+                            model, dense_params, enc[:b], enc[b:2 * b], rel,
+                            enc[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
+                            enc[2 * b + c * nneg:].reshape(c, nneg, d)
                             if inv_rel_on else None,
                             mask_b, dst_filter,
                             src_filter if inv_rel_on else None)
@@ -356,10 +375,12 @@ class PartitionBufferLPTrainer:
                     inv_src_negs = uniq.inverse[2 * b + c * nneg:].reshape(c, nneg)
                     x0 = gather_rows_auto(
                         values, jnp.minimum(uniq.ids, buffer_rows - 1))
+                    feats = _shallow_feats(uniq.ids)
 
                     def loss_fn(x, dense_params):
+                        enc = _shallow_encode(x, feats, dense_params)
                         loss, _ = lp_batch_loss(
-                            model, dense_params, x, inv_src, inv_dst, rel,
+                            model, dense_params, enc, inv_src, inv_dst, rel,
                             inv_dst_negs,
                             inv_src_negs if inv_rel_on else None,
                             mask_b, dst_filter,

@@ -253,3 +253,102 @@ def test_async_writeback_evict_readmit_roundtrip():
     np.testing.assert_allclose(pb.host_values[:pb.psize], 7.5)
     pb.flush()
     assert not pb.pending_writebacks
+
+
+def test_buffer_trainer_shallow_features():
+    """Shallow FEATURE encoders over the partition buffer (the reference's
+    distmult_feat family on disk storage, io.cpp:311-345): feature rows ride
+    the slot-mirrored partition cache and feed encoder_forward directly —
+    no GNN stages required. Covers EMBEDDING+FEATURE concat and an explicit
+    CONCAT REDUCTION, train + filtered eval off the TrainState view."""
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.train.buffer_trainer import PartitionBufferLPTrainer
+    from marius_tpu.train.evaluator import LinkPredictionEvaluator
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+
+    rng = np.random.default_rng(5)
+    n, r, e, fd = 80, 4, 1200, 6
+    edges = np.stack([rng.integers(0, n, e), rng.integers(0, r, e),
+                      rng.integers(0, n, e)], axis=1).astype(np.int32)
+    feats = rng.standard_normal((n, fd)).astype(np.float32)
+    for stages, dim in (
+        ((  # implicit concat of parallel stage outputs
+            (LayerConfig(layer_type="EMBEDDING", output_dim=10),
+             LayerConfig(layer_type="FEATURE", output_dim=fd)),
+        ), 10 + fd),
+        ((  # explicit CONCAT reduction stage
+            (LayerConfig(layer_type="EMBEDDING", output_dim=10),
+             LayerConfig(layer_type="FEATURE", output_dim=fd)),
+            (LayerConfig(layer_type="REDUCTION", reduction="CONCAT",
+                         output_dim=16),),
+        ), 16),
+    ):
+        model = Model(LINK_PREDICTION, EncoderConfig(stages=stages),
+                      EdgeDecoder("DISTMULT", r, dim))
+        tr = PartitionBufferLPTrainer(
+            model, n, r, edges, NegativeSamplingConfig(2, 8),
+            batch_size=100, num_partitions=4, buffer_capacity=2,
+            features=feats)
+        stats = tr.train(3)
+        losses = [s["loss"] for s in stats]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+        ev = LinkPredictionEvaluator(
+            model, n, r, edges[:200], all_edges=edges, batch_size=100,
+            filtered=True, features=tr.features)
+        res = ev.evaluate(tr.state)
+        assert 0.0 < res["mrr"] <= 1.0
+
+
+def test_buffer_shallow_feature_config_e2e(tmp_path):
+    """Config-driven shallow EMBEDDING+FEATURE LP over PARTITION_BUFFER
+    storage (reference matrix: distmult_feat x part_buffer)."""
+    from marius_tpu.config.schema import load_config
+    from marius_tpu.manager import marius_train
+    from marius_tpu.storage.dataset import load_stats, save_node_array, save_stats
+    from marius_tpu.tools.preprocess import generate_random_dataset_lp
+
+    ds = str(tmp_path / "ds")
+    generate_random_dataset_lp(ds, num_nodes=100, num_edges=1000,
+                               num_relations=10)
+    rng = np.random.default_rng(0)
+    fd = 6
+    save_node_array(ds, "features",
+                    rng.standard_normal((100, fd)).astype(np.float32))
+    stats = load_stats(ds)
+    stats.feature_dim = fd
+    save_stats(ds, stats)
+
+    raw = {
+        "model": {
+            "learning_task": "LINK_PREDICTION",
+            "encoder": {"layers": [[
+                {"type": "EMBEDDING", "output_dim": 8},
+                {"type": "FEATURE", "output_dim": fd},
+            ]]},
+            "decoder": {"type": "DISTMULT", "options": {"input_dim": 8 + fd}},
+            "loss": {"type": "SOFTMAX_CE"},
+            "dense_optimizer": {"type": "ADAM",
+                                "options": {"learning_rate": 0.1}},
+        },
+        "storage": {
+            "dataset": {"dataset_dir": ds},
+            "embeddings": {"type": "PARTITION_BUFFER",
+                           "options": {"num_partitions": 8,
+                                       "buffer_capacity": 4}},
+            "save_model": False,
+        },
+        "training": {"batch_size": 50,
+                     "negative_sampling": {"num_chunks": 2,
+                                           "negatives_per_positive": 8},
+                     "num_epochs": 2},
+        "evaluation": {"batch_size": 50,
+                       "negative_sampling": {"filtered": True}},
+    }
+    result = marius_train(load_config(raw))
+    assert len(result["epochs"]) == 2
+    assert 0.0 < result["test"]["mrr"] <= 1.0
