@@ -274,6 +274,7 @@ class LinkPredictionTrainer:
                         caps_local = tuple(est)
                     else:
                         caps_local = (cap_local,)
+                    self._explicit_caps = caps_local
                     self._explicit_update = make_sharded_gnn_lp_update(
                         model, mesh, self.num_table_rows,
                         self.nbr_configs, caps_local, cap_local, num_nodes,

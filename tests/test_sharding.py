@@ -541,3 +541,56 @@ def test_nc_collapse_data_parallel_mesh_matches_single_device():
     a = ev_m.evaluate(tr_m.state)
     b = ev_1.evaluate(tr_1.state)
     assert abs(a["accuracy"] - b["accuracy"]) < 1e-6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_explicit_gnn_honors_configured_hop_caps():
+    """model.encoder.hop_caps upper-bounds the estimated per-hop caps in the
+    explicit branch (memory knob); the seed slot is never truncated, and
+    training still runs with the clamped shapes."""
+    from marius_tpu.data.graph import build_device_graph
+    from marius_tpu.data.samplers.negative import NegativeSamplingConfig
+    from marius_tpu.data.samplers.neighbor import (
+        NeighborSamplingConfig,
+        estimate_hop_caps,
+    )
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+    from marius_tpu.nn.encoder import EncoderConfig
+    from marius_tpu.nn.layers import LayerConfig
+    from marius_tpu.nn.model import LINK_PREDICTION, Model
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    rng = np.random.default_rng(11)
+    n, r, d = 96, 3, 8
+    edges = _edges(rng, n, r, 480)
+    enc = EncoderConfig(stages=(
+        (LayerConfig(layer_type="EMBEDDING", output_dim=d),),
+        (LayerConfig(layer_type="GNN", input_dim=d, output_dim=d,
+                     gnn_type="GRAPH_SAGE", aggregator="MEAN"),),
+    ))
+    model = Model(LINK_PREDICTION, enc, EdgeDecoder("DISTMULT", r, d))
+    graph = build_device_graph(edges, n, r)
+    nbr = (NeighborSamplingConfig("UNIFORM", max_neighbors=4),)
+    neg = NegativeSamplingConfig(4, 8)
+    mesh = make_mesh(num_data=4, num_node=2)
+
+    b_loc = 80 // 4
+    cap_local = 2 * b_loc + 2 * 1 * 8
+    est = estimate_hop_caps(cap_local, nbr, n)
+
+    # cap below the estimate: outer hop clamps, seed slot untouched
+    small = est[1] // 2
+    tr = LinkPredictionTrainer(model, n, r, edges, neg, batch_size=80,
+                               mesh=mesh, sharding_mode="explicit",
+                               graph=graph, nbr_configs=nbr,
+                               hop_caps=[est[0], small])
+    assert tr._explicit_caps == (est[0], small)
+    losses = [s["loss"] for s in tr.train(2)]
+    assert np.isfinite(losses).all()
+
+    # cap above the estimate: the estimate wins (no wasted padding)
+    tr2 = LinkPredictionTrainer(model, n, r, edges, neg, batch_size=80,
+                                mesh=mesh, sharding_mode="explicit",
+                                graph=graph, nbr_configs=nbr,
+                                hop_caps=[est[0], est[1] * 10])
+    assert tr2._explicit_caps == tuple(est)
