@@ -20,10 +20,21 @@ import numpy as np
 
 def beta_ordering(num_partitions: int, buffer_capacity: int,
                   seed: int = 0) -> List[np.ndarray]:
-    """Randomized BETA eviction schedule (getBetaOrderingHelper,
-    ordering.cpp:78-126): start with a random resident set; repeatedly swap one
-    resident partition for an unseen one such that all partition pairs co-reside
-    at least once across the sequence."""
+    """Randomized BETA eviction schedule — the reference's round-based
+    streaming construction (getBetaOrderingHelper, ordering.cpp:78-126):
+
+    Each round holds the first ``c-1`` buffer slots as an anchor set and
+    streams every on-disk partition through the last slot (the displaced
+    partition re-enters the stream, pairing it with later anchors too); the
+    round ends by promoting ``c-1`` fresh partitions to anchors. Rounds
+    shrink the on-disk set by ``c-1``, so the schedule terminates with
+    ~``(n-c)^2 / (2(c-1)) + O(n)`` admits and covers every partition pair
+    (asserted downstream by the bucket assigners).
+
+    (Replaces an earlier coverage-greedy construction whose random eviction
+    could fail to co-reside the last uncovered pair for an unbounded number
+    of swaps on some seeds.)
+    """
     rng = np.random.default_rng(seed)
     n, c = num_partitions, buffer_capacity
     assert 1 <= c <= n
@@ -36,40 +47,23 @@ def beta_ordering(num_partitions: int, buffer_capacity: int,
             "same via its swap construction)")
 
     perm = rng.permutation(n)
-    resident = list(perm[:c])
-    pending = list(perm[c:])
-    states = [np.array(resident)]
-
-    # pairs already covered
-    covered = np.zeros((n, n), bool)
-
-    def mark(rs):
-        for i in rs:
-            for j in rs:
-                covered[i, j] = True
-
-    mark(resident)
-    while True:
-        # any uncovered pair?
-        if covered.all():
-            break
-        # choose an incoming partition with most uncovered pairs vs others
-        best_in, best_score = None, -1
-        candidates = pending if pending else list(range(n))
-        for p in candidates:
-            score = int((~covered[p]).sum())
-            if score > best_score and p not in resident:
-                best_in, best_score = p, score
-        if best_in is None:
-            break
-        # evict the resident partition whose pairs with best_in's uncovered set
-        # are most covered already (random tie-break)
-        evict_idx = rng.integers(len(resident))
-        resident[evict_idx] = best_in
-        if best_in in pending:
-            pending.remove(best_in)
-        mark(resident)
-        states.append(np.array(sorted(resident)))
+    in_buf = [int(p) for p in perm[:c]]
+    on_disk = [int(p) for p in perm[c:]]
+    states = [np.sort(np.asarray(in_buf))]
+    while on_disk:
+        rng.shuffle(in_buf)
+        rng.shuffle(on_disk)
+        for i in range(len(on_disk)):
+            admit = on_disk[i]
+            on_disk[i] = in_buf[-1]
+            in_buf[-1] = admit
+            states.append(np.sort(np.asarray(in_buf)))
+        rng.shuffle(on_disk)
+        replaced = min(c - 1, len(on_disk))
+        for i in range(replaced):
+            in_buf[i] = on_disk[i]
+            states.append(np.sort(np.asarray(in_buf)))
+        on_disk = on_disk[replaced:]
     return states
 
 

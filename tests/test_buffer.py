@@ -25,6 +25,45 @@ def test_beta_ordering_covers_all_pairs():
         assert sum(len(a) for a in assignment) == n * n
 
 
+def _total_admits(states):
+    admits = len(states[0])
+    prev = set(int(x) for x in states[0])
+    for st in states[1:]:
+        s = set(int(x) for x in st)
+        admits += len(s - prev)
+        prev = s
+    return admits
+
+
+def test_beta_ordering_swap_cost_pinned():
+    """Total admits (each costs a psize x dim host<->HBM round trip) track the
+    reference construction's analytic count: rounds shrink the on-disk set by
+    c-1, each round admitting |on_disk| + (c-1), so
+    total <= c + sum over rounds = c + (n-c) * (ceil((n-c)/(c-1)) + 3) / 2 + n
+    — and never the unbounded blowup a bad eviction policy can give
+    (ordering.cpp:78-126 is the construction being matched)."""
+    for n, c in [(8, 4), (16, 8), (32, 8), (32, 16), (64, 16), (20, 3)]:
+        for seed in range(3):
+            states = beta_ordering(n, c, seed=seed)
+            admits = _total_admits(states)
+            d = n - c
+            rounds = -(-d // (c - 1))
+            analytic = c + d * rounds - (c - 1) * rounds * (rounds - 1) // 2 \
+                + (c - 1) * rounds
+            assert admits <= analytic, (n, c, seed, admits, analytic)
+            # clean closed-form ceiling: quadratic streaming term + linear slack
+            assert admits <= d * d / (2 * (c - 1)) + 3 * n + c, (n, c, admits)
+
+
+def test_ordering_terminates_all_seeds():
+    """Regression: the pre-round-4 coverage-greedy construction hung forever
+    on ~1/3 of seeds (random evict could starve the last uncovered pair)."""
+    from marius_tpu.data.ordering import comet_ordering
+    for seed in range(20):
+        beta_ordering(32, 8, seed=seed)
+        comet_ordering(32, 8, 2, seed=seed)
+
+
 def test_buffer_swap_state_machine():
     key = jax.random.key(0)
     buf = PartitionBuffer.create(key, num_nodes=37, dim=4,
