@@ -57,6 +57,8 @@ class StorageConfig:
     fine_to_coarse_ratio: int = 2
     num_cache_partitions: int = 0
     randomly_assign_edge_buckets: bool = True
+    # dirty-row eviction writeback (exact; single-controller unsharded only)
+    sparse_writeback: bool = True
     embeddings_dtype: str = "float"   # float | bfloat16 (StorageConfig dtype option)
     model_dir: str = ""
     save_model: bool = True
@@ -133,6 +135,8 @@ class MariusConfig:
     train_neighbor_sampling: Tuple[NeighborSamplingConfig, ...] = ()
     eval_neighbor_sampling: Tuple[NeighborSamplingConfig, ...] = ()
     hop_caps: Tuple[int, ...] = ()   # optional static per-hop unique-node caps
+    hop_caps_auto: bool = False      # `hop_caps: auto` — size caps empirically
+                                     # from the graph (sampled fanouts only)
     all_cap_limit: int = 4096        # fanout ceiling for ALL sampling; hubs
                                      # above it truncate (loudly) to the cap
     full_graph: str = "AUTO"         # NC exact-ALL full-graph mode: AUTO
@@ -237,6 +241,17 @@ def _negative_sampling(d: Optional[Dict]) -> NegativeSamplingConfig:
         filtered=bool(d.get("filtered", False)),
         local_filter_mode=str(d.get("local_filter_mode", "DEG")).upper(),
     )
+
+
+def _next_model_dir(dataset_dir: str) -> str:
+    """First free <dataset_dir>/model_0..model_10 so repeated runs don't
+    silently overwrite earlier models; saturates at model_10
+    (get_model_dir_path, marius_config.py:47-56)."""
+    for i in range(11):
+        cand = os.path.join(dataset_dir, f"model_{i}")
+        if not os.path.exists(cand):
+            return cand
+    return cand
 
 
 def load_config(path_or_dict, model_dir: Optional[str] = None,
@@ -361,6 +376,8 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
                                  .get("num_cache_partitions", 0)),
         randomly_assign_edge_buckets=bool(((s.get("embeddings") or {}).get("options") or {})
                                           .get("randomly_assign_edge_buckets", True)),
+        sparse_writeback=bool(((s.get("embeddings") or {}).get("options") or {})
+                              .get("sparse_writeback", True)),
         # compute dtype: embeddings tier's dtype, falling back to the
         # features tier's for feature-only (NC) models
         embeddings_dtype=str(((s.get("embeddings") or {}).get("options") or {})
@@ -368,7 +385,7 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
                                   ((s.get("features") or {}).get("options")
                                    or {}).get("dtype", "float"))).lower(),
         model_dir=model_dir or s.get("model_dir", "") or
-        (os.path.join(dataset.dataset_dir, "model_0") if dataset.dataset_dir else ""),
+        (_next_model_dir(dataset.dataset_dir) if dataset.dataset_dir else ""),
         # training.save_model and storage.prefetch are the reference's
         # spellings (marius_config.py:732, :522)
         save_model=bool(s.get("save_model", t.get("save_model", True))),
@@ -426,7 +443,10 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
             enc_raw.get("eval_neighbor_sampling") or enc_raw.get("train_neighbor_sampling"),
             default_incoming=bool(enc_raw.get("use_incoming_nbrs", True)),
             default_outgoing=bool(enc_raw.get("use_outgoing_nbrs", True))),
-        hop_caps=tuple(int(x) for x in (enc_raw.get("hop_caps") or [])),
+        hop_caps=(() if isinstance(enc_raw.get("hop_caps"), str)
+                  else tuple(int(x) for x in (enc_raw.get("hop_caps") or []))),
+        hop_caps_auto=(isinstance(enc_raw.get("hop_caps"), str)
+                       and str(enc_raw.get("hop_caps")).lower() == "auto"),
         all_cap_limit=int(enc_raw.get("all_cap_limit", 4096)),
         full_graph=str(enc_raw.get("full_graph", "AUTO")).upper(),
         learning_task=learning_task,

@@ -73,7 +73,8 @@ _STORAGE_TIER = {
     "options": _scalars("dtype", "num_partitions", "buffer_capacity",
                         "edge_bucket_ordering", "node_partition_ordering",
                         "fine_to_coarse_ratio", "num_cache_partitions",
-                        "randomly_assign_edge_buckets", "prefetching"),
+                        "randomly_assign_edge_buckets", "prefetching",
+                        "sparse_writeback"),
 }
 
 SCHEMA: Dict[str, Any] = {
@@ -280,10 +281,20 @@ _ENUMS = {
 }
 
 
+def _registered(kind: str, value: str) -> bool:
+    """Custom names registered via marius_tpu.nn.registry are valid wherever
+    the built-in names are (the trampoline-extensibility parity point)."""
+    from marius_tpu.nn import registry
+    lookup = {"gnn_type": registry.gnn_layer, "layer_type": registry.stage_layer,
+              "decoder_type": registry.edge_decoder, "loss_type": registry.loss}
+    fn = lookup.get(kind)
+    return fn is not None and fn(value) is not None
+
+
 def _enum(errors: List[str], kind: str, value: str, path: str) -> None:
-    if value not in _ENUMS[kind]:
+    if value not in _ENUMS[kind] and not _registered(kind, value):
         errors.append(f"{path}: '{value}' is not one of "
-                      f"{sorted(_ENUMS[kind])}")
+                      f"{sorted(_ENUMS[kind])} (or a registered custom name)")
 
 
 def _positive(errors: List[str], value, path: str) -> None:

@@ -183,6 +183,7 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 prefetching=cfg.storage.prefetching,
                 epochs_per_shuffle=cfg.training.epochs_per_shuffle,
                 train_filter_keys=train_filter,
+                sparse_writeback=cfg.storage.sparse_writeback,
             )
         else:
             trainer = LinkPredictionTrainer(
@@ -374,11 +375,25 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                     return None
                 return _BufferNCEval(nodes) if len(nodes) else None
         else:
+            auto_caps = None
+            if cfg.hop_caps_auto and not cfg.hop_caps and train_nbr and \
+                    not any(c.sampling_type.upper() == "ALL" for c in train_nbr):
+                # `hop_caps: auto`: size caps from the graph's observed
+                # frontier growth instead of the geometric worst case; safe
+                # because the frontier-prefix sampler degrades overflow to
+                # counted uniform truncation (data/samplers/neighbor.py)
+                from marius_tpu.data.samplers.neighbor import (
+                    estimate_hop_caps_empirical,
+                )
+                auto_caps = estimate_hop_caps_empirical(
+                    edges, num_nodes, train_nbr, nc_batch_size,
+                    seed=cfg.training.seed)
+                log.info("empirical hop caps: %s", auto_caps)
             trainer = NodeClassificationTrainer(
                 model, graph, features, labels, train_nodes,
                 train_nbr,
                 batch_size=nc_batch_size,
-                hop_caps=cfg.hop_caps or None,
+                hop_caps=cfg.hop_caps or auto_caps,
                 seed=cfg.training.seed,
                 dtype=_dtype(cfg),
                 mesh=mesh,
@@ -415,6 +430,18 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
     elif not train:
         # evaluation.checkpoint_dir overrides model_dir (marius.cpp:81-84)
         model_dir = cfg.evaluation.checkpoint_dir or cfg.storage.model_dir
+        if model_dir and not os.path.exists(os.path.join(model_dir, "meta.yaml")):
+            # auto-versioned model_dir (schema._next_model_dir) resolves to
+            # the next FREE model_<i> at load time; for eval, fall back to
+            # the newest sibling that actually holds a trained model
+            base = os.path.dirname(model_dir)
+            tail = os.path.basename(model_dir)
+            if tail.startswith("model_") and tail[6:].isdigit():
+                for i in reversed(range(11)):
+                    cand = os.path.join(base, f"model_{i}")
+                    if os.path.exists(os.path.join(cand, "meta.yaml")):
+                        model_dir = cand
+                        break
         if model_dir and os.path.exists(os.path.join(model_dir, "meta.yaml")):
             state, meta = ckpt.load_state(model_dir, runtime.trainer.state)
             runtime.trainer.state = state

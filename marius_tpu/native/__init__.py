@@ -72,6 +72,10 @@ def _load():
         lib.global_to_local.restype = ctypes.c_int64
         lib.global_to_local.argtypes = [i32p, ctypes.c_int64, i32p,
                                         ctypes.c_int32, ctypes.c_int32]
+        lib.partition_rows.restype = None
+        lib.partition_rows.argtypes = [i32p, ctypes.c_int64, ctypes.c_int,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       i32p, i64p]
         _lib = lib
         return _lib
 
@@ -191,3 +195,29 @@ def global_to_local(ids: np.ndarray, part_to_slot: np.ndarray, psize: int,
     slot = part_to_slot[ids // psize]
     out = np.where(slot < 0, fill, slot * psize + ids % psize).astype(np.int32)
     return out, int((slot < 0).sum())
+
+
+def partition_rows(edges: np.ndarray, num_nodes: int, num_partitions: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Stable O(n) counting sort of edges into row-major (src_part, dst_part)
+    buckets (the partitioner hot path; replaces two 338M-row stable argsorts
+    at freebase86m scale). Returns (reordered_edges, bucket_sizes)."""
+    edges = np.ascontiguousarray(edges, np.int32)
+    psize = -(-num_nodes // num_partitions)
+    lib = _load()
+    if lib and len(edges):
+        out = np.empty_like(edges)
+        sizes = np.zeros(num_partitions * num_partitions, np.int64)
+        lib.partition_rows(_ptr(edges, ctypes.c_int32), len(edges),
+                           edges.shape[1], psize, num_partitions,
+                           _ptr(out, ctypes.c_int32),
+                           _ptr(sizes, ctypes.c_int64))
+        return out, sizes
+    # numpy fallback: the original double stable argsort
+    src_part = edges[:, 0] // psize
+    dst_part = edges[:, -1] // psize
+    order = np.argsort(dst_part, kind="stable")
+    order = order[np.argsort(src_part[order], kind="stable")]
+    flat = src_part[order] * num_partitions + dst_part[order]
+    sizes = np.bincount(flat, minlength=num_partitions ** 2).astype(np.int64)
+    return edges[order], sizes

@@ -73,14 +73,20 @@ def put_arg(arr, sharding: Optional[NamedSharding] = None):
     """Placement for per-call jit ARGUMENTS (batch blocks, index vectors):
     multi-controller passes plain numpy (replicated at the jit boundary — a
     committed process-local array would not be addressable everywhere);
-    single-controller keeps the early async device transfer."""
+    single-controller keeps the early async device transfer. Large host
+    arrays stream in chunks (single big puts collapse on remote-attached
+    runtimes — storage/transfer.py)."""
     import jax.numpy as jnp
     import numpy as _np
     if jax.process_count() > 1:
         return _np.asarray(arr)
     if sharding is not None:
         return jax.device_put(_np.asarray(arr), sharding)
-    return jnp.asarray(arr)
+    a = _np.asarray(arr)
+    from marius_tpu.storage import transfer
+    if a.nbytes > transfer.DIRECT_BYTES and a.ndim >= 1 and a.shape[0] > 1:
+        return transfer.write_rows(jnp.zeros(a.shape, a.dtype), a, 0)
+    return jnp.asarray(a)
 
 
 _ALL_DEVICE_REPL = None

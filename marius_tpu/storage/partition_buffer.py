@@ -28,6 +28,7 @@ import numpy as np
 
 from marius_tpu.nn.initialization import InitConfig, initialize_tensor
 from marius_tpu.parallel.embedding_table import ADAGRAD_EPS
+from marius_tpu.storage import transfer
 
 
 def _place(arr: np.ndarray, sharding):
@@ -72,10 +73,19 @@ class PartitionBuffer:
     sharding: Optional[object] = None           # jax.sharding.Sharding for the
                                                 # device arrays (multi-chip)
     pending_writebacks: List = dataclasses.field(default_factory=list)
-    # deferred evictions: [(parts, values_dev, state_dev)] — the device->host
-    # copy is started async at swap time and the host-array write lands at the
-    # NEXT swap/flush, so the new state's compute overlaps the writeback
-    # (AsyncWriteBlock analogue, buffer.cpp:222-322)
+    # deferred evictions — the device->host copy is started async at swap time
+    # and the host-array write lands at the NEXT swap/flush, so the new
+    # state's compute overlaps the writeback (AsyncWriteBlock analogue,
+    # buffer.cpp:222-322). Entries are either
+    #   ("full", parts, values_dev, state_dev)            — whole-slot blocks
+    #   ("sparse", p, ids, k, handle_v, handle_s)         — dirty rows only
+    dirty: Optional[jax.Array] = None
+    # (buffer_rows,) bool on device: rows modified since their slot was
+    # admitted. Maintained by the trainer's compiled step; evictions then
+    # write back ONLY dirty rows (exact — untouched rows are already host-
+    # authoritative). The reference always writes whole partitions
+    # (buffer.cpp:222-322); dirty-row writeback cuts eviction bytes ~3-5x,
+    # which matters whenever the device->host link is the bottleneck.
 
     @property
     def psize(self) -> int:
@@ -100,28 +110,36 @@ class PartitionBuffer:
                 key, cfg, (padded, dim), jnp.float32, fans=(num_nodes, dim)), dtype)
         else:
             # big tables: init host-side — the chunked-init analogue
-            # (io.cpp:167-188) without pulling GBs through the device
+            # (io.cpp:167-188) without pulling GBs through the device.
+            # Chunked float32 sampling: full-array float64 RNG at 10+ GB
+            # scale costs minutes and 2x peak RAM.
             dist = cfg.distribution.upper()
             seed = int(np.asarray(jax.random.key_data(key)).sum()) & 0x7FFFFFFF
             rng = np.random.default_rng(seed)
-            if dist == "GLOROT_UNIFORM":
-                bound = float(np.sqrt(6.0 / (num_nodes + dim)))
-                values = rng.uniform(-bound, bound, (padded, dim)).astype(dtype)
-            elif dist == "GLOROT_NORMAL":
-                std = float(np.sqrt(2.0 / (num_nodes + dim)))
-                values = (rng.standard_normal((padded, dim)) * std).astype(dtype)
-            elif dist == "NORMAL":
-                values = (cfg.mean + cfg.std
-                          * rng.standard_normal((padded, dim))).astype(dtype)
-            elif dist == "UNIFORM":
-                values = rng.uniform(-cfg.scale_factor, cfg.scale_factor,
-                                     (padded, dim)).astype(dtype)
-            elif dist == "ZEROS":
-                values = np.zeros((padded, dim), dtype)
-            elif dist == "ONES":
-                values = np.ones((padded, dim), dtype)
-            else:
-                values = np.full((padded, dim), cfg.constant, dtype)
+            values = np.empty((padded, dim), dtype)
+            step = max(1, (64 << 20) // max(1, dim * 4))
+            for lo in range(0, padded, step):
+                shp = (min(step, padded - lo), dim)
+                if dist == "GLOROT_UNIFORM":
+                    bound = np.float32(np.sqrt(6.0 / (num_nodes + dim)))
+                    values[lo:lo + shp[0]] = \
+                        (rng.random(shp, np.float32) * 2 - 1) * bound
+                elif dist == "GLOROT_NORMAL":
+                    std = np.float32(np.sqrt(2.0 / (num_nodes + dim)))
+                    values[lo:lo + shp[0]] = \
+                        rng.standard_normal(shp, np.float32) * std
+                elif dist == "NORMAL":
+                    values[lo:lo + shp[0]] = (
+                        cfg.mean + cfg.std * rng.standard_normal(shp, np.float32))
+                elif dist == "UNIFORM":
+                    values[lo:lo + shp[0]] = (
+                        (rng.random(shp, np.float32) * 2 - 1) * cfg.scale_factor)
+                elif dist == "ZEROS":
+                    values[lo:lo + shp[0]] = 0
+                elif dist == "ONES":
+                    values[lo:lo + shp[0]] = 1
+                else:
+                    values[lo:lo + shp[0]] = cfg.constant
         values[num_nodes:] = 0.0
         return PartitionBuffer(
             num_nodes=num_nodes, num_partitions=num_partitions,
@@ -140,35 +158,87 @@ class PartitionBuffer:
     def load(self, partitions: Sequence[int]) -> None:
         """Admit an initial resident set (PartitionBuffer::load)."""
         self._drain_writebacks()
+        # drop the previous epoch's device arrays BEFORE allocating the new
+        # ones — holding both doubles the resident footprint and OOMs
+        # beyond-HBM-scale buffers
+        self.device_values = None
+        self.device_state = None
         parts = list(int(p) for p in partitions)
         assert len(parts) <= self.capacity
         parts = parts + [-1] * (self.capacity - len(parts))
-        blocks_v, blocks_s = [], []
-        for p in parts:
-            if p < 0:
-                blocks_v.append(np.zeros((self.psize, self.dim), self.host_values.dtype))
-                blocks_s.append(np.zeros((self.psize, self.dim), self.host_state.dtype))
-            else:
-                blocks_v.append(self.host_values[self.part_rows(p)])
-                blocks_s.append(self.host_state[self.part_rows(p)])
-        self.device_values = _place(np.concatenate(blocks_v, axis=0),
-                                    self.sharding)
-        self.device_state = _place(np.concatenate(blocks_s, axis=0),
-                                   self.sharding)
+        if transfer.chunked_enabled():
+            # stream per-partition chunks into a zero buffer: no host-side
+            # concatenation copy, no single multi-GB put (see storage/transfer).
+            # The two tiers fill sequentially to keep peak in-flight memory at
+            # one buffer + one transfer window.
+            dv = transfer.alloc_rows(self.buffer_rows, self.dim,
+                                     self.host_values.dtype, self.sharding)
+            for slot, p in enumerate(parts):
+                if p >= 0:
+                    dv = transfer.write_rows(
+                        dv, self.host_values[self.part_rows(p)], slot * self.psize)
+            ds = transfer.alloc_rows(self.buffer_rows, self.dim,
+                                     self.host_state.dtype, self.sharding)
+            for slot, p in enumerate(parts):
+                if p >= 0:
+                    block = self.host_state[self.part_rows(p)]
+                    # optimizer state is all-zero until a partition has
+                    # trained; the alloc is already zeros — skip the transfer
+                    # (a host scan is ~100x cheaper than moving the block)
+                    if block.any():
+                        ds = transfer.write_rows(ds, block, slot * self.psize)
+            self.device_values, self.device_state = dv, ds
+        else:
+            blocks_v, blocks_s = [], []
+            for p in parts:
+                if p < 0:
+                    blocks_v.append(np.zeros((self.psize, self.dim), self.host_values.dtype))
+                    blocks_s.append(np.zeros((self.psize, self.dim), self.host_state.dtype))
+                else:
+                    blocks_v.append(self.host_values[self.part_rows(p)])
+                    blocks_s.append(self.host_state[self.part_rows(p)])
+            self.device_values = _place(np.concatenate(blocks_v, axis=0),
+                                        self.sharding)
+            self.device_state = _place(np.concatenate(blocks_s, axis=0),
+                                       self.sharding)
+        if self.dirty is not None:
+            self.dirty = jnp.zeros(self.buffer_rows, bool)
         self.resident = np.asarray(parts, np.int32)
         self.part_to_slot = np.full(self.num_partitions, -1, np.int32)
         for slot, p in enumerate(parts):
             if p >= 0:
                 self.part_to_slot[p] = slot
 
+    def enable_dirty_tracking(self) -> None:
+        """Opt in to dirty-row (sparse) writeback. The trainer's compiled step
+        must mark updated rows in ``self.dirty`` (scatter True at update ids);
+        evictions and flushes then move only those rows device->host.
+        Single-controller only (the mask read is a local d2h)."""
+        assert transfer.chunked_enabled(), \
+            "dirty tracking requires a single-controller runtime"
+        self.dirty = jnp.zeros(self.buffer_rows, bool)
+
     def _drain_writebacks(self) -> None:
         """Land all deferred eviction copies in the host arrays. By drain
         time the async device->host copies have overlapped at least one
-        state's compute, so np.asarray is (usually) a no-wait read."""
+        state's compute, so the reads are (usually) no-wait."""
         while self.pending_writebacks:
-            parts, vals_d, stats_d = self.pending_writebacks.pop(0)
-            vals = _to_host(vals_d)
-            stats = _to_host(stats_d)
+            entry = self.pending_writebacks.pop(0)
+            if entry[0] == "sparse":
+                _, p, ids, k, handle_v, handle_s = entry
+                vals = transfer.drain_read(handle_v)
+                stats = transfer.drain_read(handle_s)
+                rows = p * self.psize + ids[:k]
+                self.host_values[rows] = vals[:k]
+                self.host_state[rows] = stats[:k]
+                continue
+            _, parts, vals_d, stats_d = entry
+            if isinstance(vals_d, tuple):  # chunked read handles
+                vals = transfer.drain_read(vals_d)
+                stats = transfer.drain_read(stats_d)
+            else:
+                vals = _to_host(vals_d)
+                stats = _to_host(stats_d)
             for k, p in enumerate(parts):
                 rows = self.part_rows(p)
                 self.host_values[rows] = vals[k * self.psize:(k + 1) * self.psize]
@@ -192,44 +262,103 @@ class PartitionBuffer:
         # defer the host-array write to the next drain. The next state's
         # compute overlaps the transfer (buffer.cpp:222-322 AsyncWriteBlock).
         if evict:
-            slots = [int(self.part_to_slot[p]) for p in evict]
-            idx = _arg(np.concatenate(
-                [np.arange(s * self.psize, (s + 1) * self.psize)
-                 for s in slots]))
-            vals_d = jnp.take(self.device_values, idx, axis=0)
-            stats_d = jnp.take(self.device_state, idx, axis=0)
-            for arr in (vals_d, stats_d):
-                try:
-                    arr.copy_to_host_async()
-                except Exception:
-                    pass  # platforms without async copy fall back to drain-time reads
-            self.pending_writebacks.append((list(evict), vals_d, stats_d))
+            for p in evict:
+                self._evict_one(int(p))
             for p in evict:
                 self.resident[self.part_to_slot[p]] = -1
                 self.part_to_slot[p] = -1
 
         free_slots = [int(s) for s in np.where(self.resident < 0)[0]]
         if admit:
-            # batch all admits: ONE host->device transfer per array + one
-            # compiled multi-slot update (transfer latency dominates swaps on
-            # remote-attached devices)
             pairs = list(zip(admit, free_slots))
-            starts = _arg(np.asarray([slot * self.psize for _, slot in pairs],
-                                     np.int32))
-            blocks_v = _arg(np.stack(
-                [self.host_values[self.part_rows(p)] for p, _ in pairs]))
-            blocks_s = _arg(np.stack(
-                [self.host_state[self.part_rows(p)] for p, _ in pairs]))
-            self.device_values = _update_slots(self.device_values, blocks_v, starts)
-            self.device_state = _update_slots(self.device_state, blocks_s, starts)
+            if transfer.chunked_enabled():
+                # stream each partition into its slot (<=16 MB pieces; large
+                # single puts collapse on remote-attached runtimes). All-zero
+                # optimizer-state blocks (never-trained partitions) zero-fill
+                # on device instead of transferring zeros.
+                dv, ds = self.device_values, self.device_state
+                for p, slot in pairs:
+                    dv = transfer.write_rows(
+                        dv, self.host_values[self.part_rows(p)], slot * self.psize)
+                    block = self.host_state[self.part_rows(p)]
+                    if block.any():
+                        ds = transfer.write_rows(ds, block, slot * self.psize)
+                    else:
+                        ds = transfer.zero_rows(ds, slot * self.psize, self.psize)
+                self.device_values, self.device_state = dv, ds
+            else:
+                # multi-controller: ONE host->device transfer per array + one
+                # compiled multi-slot update
+                starts = _arg(np.asarray([slot * self.psize for _, slot in pairs],
+                                         np.int32))
+                blocks_v = _arg(np.stack(
+                    [self.host_values[self.part_rows(p)] for p, _ in pairs]))
+                blocks_s = _arg(np.stack(
+                    [self.host_state[self.part_rows(p)] for p, _ in pairs]))
+                self.device_values = _update_slots(self.device_values, blocks_v, starts)
+                self.device_state = _update_slots(self.device_state, blocks_s, starts)
             for p, slot in pairs:
                 self.resident[slot] = p
                 self.part_to_slot[p] = slot
+
+    def _evict_one(self, p: int) -> None:
+        """Queue the device->host writeback of partition ``p``'s slot."""
+        slot = int(self.part_to_slot[p])
+        start = slot * self.psize
+        if self.dirty is not None:
+            # sparse path: read the slot's dirty mask (small), gather only
+            # dirty rows into a slot-shaped padded block (one compiled take
+            # shape), and transfer just the chunks that cover them
+            mask = transfer.read_rows(self.dirty, start, self.psize)
+            ids = np.nonzero(mask)[0].astype(np.int32)
+            k = len(ids)
+            if k:
+                frac = k / float(self.psize)
+                if frac < 0.95:
+                    pad = np.full(self.psize, start, np.int32)
+                    pad[:k] = start + ids
+                    idx = _arg(pad)
+                    vals_d = jnp.take(self.device_values, idx, axis=0)
+                    stats_d = jnp.take(self.device_state, idx, axis=0)
+                    hv = transfer.read_rows_async(vals_d, 0, k)
+                    hs = transfer.read_rows_async(stats_d, 0, k)
+                    self.pending_writebacks.append(("sparse", p, ids, k, hv, hs))
+                else:  # nearly all rows dirty: whole-slot transfer is cheaper
+                    hv = transfer.read_rows_async(self.device_values, start, self.psize)
+                    hs = transfer.read_rows_async(self.device_state, start, self.psize)
+                    self.pending_writebacks.append(("full", [p], hv, hs))
+            self.dirty = _clear_range(self.dirty, self._dirty_zero(), start)
+            return
+        if transfer.chunked_enabled():
+            hv = transfer.read_rows_async(self.device_values, start, self.psize)
+            hs = transfer.read_rows_async(self.device_state, start, self.psize)
+            self.pending_writebacks.append(("full", [p], hv, hs))
+            return
+        idx = _arg(np.arange(start, start + self.psize))
+        vals_d = jnp.take(self.device_values, idx, axis=0)
+        stats_d = jnp.take(self.device_state, idx, axis=0)
+        for arr in (vals_d, stats_d):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass  # platforms without async copy fall back to drain-time reads
+        self.pending_writebacks.append(("full", [p], vals_d, stats_d))
+
+    def _dirty_zero(self) -> jax.Array:
+        if getattr(self, "_dirty_zero_block", None) is None or \
+                self._dirty_zero_block.shape[0] != self.psize:
+            self._dirty_zero_block = jnp.zeros(self.psize, bool)
+        return self._dirty_zero_block
 
     def flush(self) -> None:
         """Write all resident partitions back to host RAM (unload)."""
         self._drain_writebacks()
         if self.resident is None:
+            return
+        if self.dirty is not None or transfer.chunked_enabled():
+            for p in [int(p) for p in self.resident if p >= 0]:
+                self._evict_one(p)
+            self._drain_writebacks()
             return
         vals = _to_host(self.device_values)
         stats = _to_host(self.device_state)
@@ -261,6 +390,22 @@ class PartitionBuffer:
 @jax.jit
 def _update_slot(buf: jax.Array, block: jax.Array, start: int) -> jax.Array:
     return jax.lax.dynamic_update_slice(buf, block, (start, 0))
+
+
+@jax.jit
+def mark_dirty(dirty: jax.Array, ids: jax.Array) -> jax.Array:
+    """Set dirty[ids] = True (out-of-range ids drop) — trainers call the
+    .at[] form inline inside their compiled step; this wrapper serves host
+    callers/tests."""
+    return dirty.at[ids].set(True, mode="drop")
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, donate_argnums=(0,))
+def _clear_range(dirty: jax.Array, zeros_block: jax.Array, start) -> jax.Array:
+    return jax.lax.dynamic_update_slice(dirty, zeros_block, (start,))
 
 
 @jax.jit

@@ -1,0 +1,219 @@
+"""Chunked host<->device row transfers for large storage tiers.
+
+Remote-attached accelerator runtimes (and some PCIe stacks) degrade badly on
+single large transfers: on this environment's TPU tunnel a 52 MB host->device
+put sustains ~1.5 GB/s while a 524 MB put collapses to ~20 MB/s (75x), and the
+device->host direction is hard-capped near ~15 MB/s with a one-time multi-
+minute reverse-channel warmup.  Every partition-buffer admit/evict/flush
+(storage/partition_buffer.py) therefore streams rows in fixed-size chunks:
+
+- h2d: the destination buffer is allocated once on device and chunks are
+  written in place through a donated ``dynamic_update_slice`` jit (two
+  compiled shapes total per (chunk_rows, dim, dtype); the start offset is a
+  traced scalar, so arbitrary offsets reuse the same executable).
+- d2h: fixed-shape device-side slices are dispatched ahead (a small rolling
+  window, each tagged ``copy_to_host_async``) and drained into a
+  preallocated numpy buffer.
+
+This replaces the reference's single ``cudaMemcpyAsync`` per partition
+(storage/buffer.cpp:222-322); on TPU the chunking IS the async pipeline --
+XLA orders the in-place updates on the device stream and the host thread
+never holds more than a window of chunks in flight.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Default 16 MB: measured knee of the tunnel's h2d curve (1.5 GB/s at <=16 MB,
+# collapse above ~26 MB); d2h rate is flat in chunk size.
+CHUNK_BYTES = int(os.environ.get("MARIUS_TPU_TRANSFER_CHUNK_MB", "16")) * (1 << 20)
+# Direct device_put below this size -- chunking only adds dispatch overhead.
+DIRECT_BYTES = 32 << 20
+_D2H_WINDOW = 4
+
+
+def _chunk_rows(row_bytes: int) -> int:
+    return max(1, CHUNK_BYTES // max(1, row_bytes))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf: jax.Array, block: jax.Array, start) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, block, (start,) + (0,) * (buf.ndim - 1))
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def zero_rows(buf: jax.Array, start, rows: int) -> jax.Array:
+    """Zero-fill buf[start:start+rows] on device (no host transfer) — used
+    when an admitted block is known all-zero (fresh optimizer state)."""
+    z = jnp.zeros((rows,) + buf.shape[1:], buf.dtype)
+    return jax.lax.dynamic_update_slice(buf, z, (start,) + (0,) * (buf.ndim - 1))
+
+
+@jax.jit
+def _read_rows(buf: jax.Array, start, rows_shape: jax.Array) -> jax.Array:
+    # rows_shape only fixes the static slice length via its shape
+    return jax.lax.dynamic_slice(
+        buf, (start,) + (0,) * (buf.ndim - 1),
+        (rows_shape.shape[0],) + buf.shape[1:])
+
+
+def chunked_enabled() -> bool:
+    return jax.process_count() == 1
+
+
+def _put_retry(host_piece: np.ndarray, drain=None, tries: int = 6):
+    """device_put with drain-and-retry: remote-attached runtimes can throw
+    transient RESOURCE_EXHAUSTED when the transfer staging pool is saturated;
+    draining the in-flight queue and backing off recovers it."""
+    import time as _time
+    for attempt in range(tries):
+        try:
+            return jax.device_put(host_piece)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == tries - 1:
+                raise
+            if drain is not None:
+                try:
+                    jax.block_until_ready(drain)
+                except Exception:
+                    pass
+            _time.sleep(0.5 * (attempt + 1))
+    raise AssertionError("unreachable")
+
+
+def write_rows(buf: jax.Array, host_block: np.ndarray, start: int) -> jax.Array:
+    """Write ``host_block`` into ``buf[start:start+len(block)]`` streaming
+    <=CHUNK_BYTES pieces.  Donates ``buf`` (in-place on device); returns the
+    new buffer reference.  Falls back to a single put for small blocks or
+    multi-controller runs.
+
+    All chunk transfers are dispatched up front (device_put is async) so they
+    overlap each other and the in-place updates; chaining transfer+update per
+    chunk would serialize on per-call round-trip latency, which dominates on
+    remote-attached runtimes."""
+    n = host_block.shape[0]
+    row_bytes = int(host_block.nbytes // max(1, n)) if n else 0
+    if not chunked_enabled() or host_block.nbytes <= DIRECT_BYTES:
+        block = _put_retry(np.ascontiguousarray(host_block), drain=buf) \
+            if chunked_enabled() else jax.device_put(np.ascontiguousarray(host_block))
+        return _write_rows(buf, block, start)
+    cr = _chunk_rows(row_bytes)
+    spans = []
+    for lo in range(0, n, cr):
+        if lo + cr <= n:
+            spans.append((lo, start + lo))
+        else:
+            # tail: overlap-write the final full-size chunk (same data in the
+            # overlapped rows) so every chunk reuses one compiled shape
+            spans.append((n - cr, start + n - cr))
+    # windowed: dispatch a window of puts up front (transfers overlap each
+    # other and the in-place updates), then block before the next window so
+    # in-flight pieces never exceed ~window * CHUNK_BYTES of device memory
+    window = 24
+    for w0 in range(0, len(spans), window):
+        plan = [(_put_retry(np.ascontiguousarray(
+                    host_block[lo:lo + cr]), drain=buf), off)
+                for lo, off in spans[w0:w0 + window]]
+        for piece, off in plan:
+            buf = _write_rows(buf, piece, off)
+        if w0 + window < len(spans):
+            jax.block_until_ready(buf)
+    return buf
+
+
+def alloc_rows(rows: int, dim: int, dtype, sharding=None) -> jax.Array:
+    """Device allocation for a streamed buffer (zeros; rows are then written
+    in place by write_rows)."""
+    z = jnp.zeros((rows, dim), dtype)
+    if sharding is not None:
+        z = jax.device_put(z, sharding)
+    return z
+
+
+def put_rows_blocks(blocks, rows: int, dim: int, dtype, sharding=None) -> jax.Array:
+    """Build a (rows, dim) device array from an iterable of host row-blocks
+    laid end to end, streaming chunks (no host-side concatenation copy)."""
+    buf = alloc_rows(rows, dim, dtype, sharding)
+    off = 0
+    for b in blocks:
+        buf = write_rows(buf, b, off)
+        off += b.shape[0]
+    assert off == rows
+    return buf
+
+
+def read_rows_async(buf: jax.Array, start: int, rows: int):
+    """Dispatch device-side slices covering ``buf[start:start+rows]`` and tag
+    them for async d2h.  Returns an opaque handle for :func:`drain_read`.
+
+    Every dispatched slice has the SAME static shape (one compiled executable
+    per (chunk_rows, row_shape, dtype)); arbitrary start/rows are handled by
+    clamped offsets plus host-side keep ranges — variable-length device
+    slices would trigger a fresh compile per distinct length."""
+    if not chunked_enabled():
+        return ("sync", buf, start, rows)
+    row_bytes = int(buf.dtype.itemsize) * int(np.prod(buf.shape[1:], dtype=np.int64))
+    cr = _chunk_rows(row_bytes)
+    if buf.shape[0] <= cr:
+        # whole array fits one chunk: snapshot (the caller may later donate
+        # the source buffer), read it all, slice host-side
+        snap = jnp.copy(buf)
+        try:
+            snap.copy_to_host_async()
+        except Exception:
+            pass
+        return ("whole", snap, start, rows)
+    chunks = []  # (piece, piece_lo, out_lo, n)
+    lo = 0
+    while lo < rows:
+        n = min(cr, rows - lo)
+        off = min(start + lo, buf.shape[0] - cr)  # clamp: fixed-shape slice
+        piece = _read_rows(buf, off, _probe(cr))
+        try:
+            piece.copy_to_host_async()
+        except Exception:
+            pass
+        chunks.append((piece, start + lo - off, lo, n))
+        lo += n
+    return ("chunks", chunks, rows, buf.shape[1:], buf.dtype)
+
+
+_PROBES = {}
+
+
+def _probe(cr: int) -> jax.Array:
+    if cr not in _PROBES:
+        _PROBES[cr] = jnp.zeros((cr,), jnp.int8)
+    return _PROBES[cr]
+
+
+def drain_read(handle, out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Complete a read_rows_async: drain chunks into ``out`` (allocated if
+    None) and return it."""
+    if handle[0] == "sync":
+        _, buf, start, rows = handle
+        from marius_tpu.storage.partition_buffer import _to_host
+        return np.asarray(_to_host(buf)[start:start + rows])
+    if handle[0] == "whole":
+        _, buf, start, rows = handle
+        return np.asarray(buf)[start:start + rows]
+    _, chunks, rows, tail_shape, dtype = handle
+    if out is None:
+        out = np.empty((rows,) + tuple(tail_shape), dtype)
+    for piece, piece_lo, out_lo, n in chunks:
+        arr = np.asarray(piece)
+        out[out_lo:out_lo + n] = arr[piece_lo:piece_lo + n]
+    return out
+
+
+def read_rows(buf: jax.Array, start: int, rows: int,
+              out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Synchronous chunked device->host read of ``buf[start:start+rows]``."""
+    return drain_read(read_rows_async(buf, start, rows), out)

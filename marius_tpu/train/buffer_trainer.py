@@ -108,6 +108,11 @@ class PartitionBufferLPTrainer:
                                           # buffer's local ids are mapped
                                           # back to global via the resident
                                           # slot->partition table per batch
+        sparse_writeback: bool = True,    # evictions move only rows the
+                                          # trainer actually updated (exact;
+                                          # single-controller unsharded only)
+        profile_states: bool = False,     # per-state (prep, swap, compute)
+                                          # wall times in self.last_state_timings
     ):
         assert model.learning_task == LINK_PREDICTION
         assert model.has_embeddings, "partition-buffer LP needs an embedding table"
@@ -137,6 +142,12 @@ class PartitionBufferLPTrainer:
         self.buffer = PartitionBuffer.create(
             jax.random.fold_in(key, 0), num_nodes, model.encoder.embedding_dim,
             num_partitions, self.capacity, dtype=dtype)
+        self.sparse_writeback = bool(
+            sparse_writeback and mesh is None and jax.process_count() == 1)
+        if self.sparse_writeback:
+            self.buffer.enable_dirty_tracking()
+        self.profile_states = profile_states
+        self.last_state_timings: List[Tuple[float, float, float]] = []
         if mesh is not None:
             # row-shard the HBM working set over the node axis (replicate if
             # the buffer doesn't split evenly); batches shard over data inside
@@ -235,10 +246,10 @@ class PartitionBufferLPTrainer:
         buffer_rows = self.buffer.buffer_rows
         capacity = self.capacity
 
-        def state_fn(values, state, params, opt_state, key, edges, masks,
+        def state_fn(values, state, params, opt_state, key, dirty, edges, masks,
                      slot_valid, slot_parts, graph, feats_buf):
             def batch_step(carry, xs):
-                values, state, params, opt_state, key = carry
+                values, state, params, opt_state, key, dirty = carry
                 edges_b, mask_b = xs
                 if self.mesh is not None:
                     # GSPMD data parallelism over the batch (dense-grad psum
@@ -251,17 +262,31 @@ class PartitionBufferLPTrainer:
                     mask_b = jax.lax.with_sharding_constraint(
                         mask_b, NamedSharding(self.mesh, P(DATA_AXIS)))
                 key, k_dst, k_src = jax.random.split(key, 3)
+                num_deg = int(nneg * cfg.degree_fraction)
 
-                def in_buffer_negs(k):
-                    k1, k2 = jax.random.split(k)
+                def in_buffer_negs(k, inverse):
+                    """Mixture matching the in-memory sampler (negative.cpp:
+                    313-366): `degree_fraction` of each chunk's negatives are
+                    endpoints of uniformly-drawn batch edges (deg slots
+                    FIRST, like torch::cat({deg_sample, uniform})), the rest
+                    uniform over the resident buffer's valid rows."""
+                    k1, k2, k3 = jax.random.split(k, 3)
                     slots = jax.random.randint(k1, (c, nneg), 0, capacity)
                     offs = jax.random.randint(k2, (c, nneg), 0, psize)
                     valid = slot_valid[slots]
-                    return (slots * psize
-                            + offs % jnp.maximum(valid, 1)).astype(jnp.int32)
+                    uni = (slots * psize
+                           + offs % jnp.maximum(valid, 1)).astype(jnp.int32)
+                    if num_deg == 0:
+                        return uni, None
+                    rows = jax.random.randint(k3, (c, num_deg), 0, b,
+                                              dtype=jnp.int32)
+                    col = 0 if inverse else edges_b.shape[1] - 1
+                    deg = jnp.where(mask_b[rows], edges_b[:, col][rows],
+                                    uni[:, :num_deg])  # padded row -> uniform
+                    return jnp.concatenate([deg, uni[:, num_deg:]], axis=1), rows
 
-                dst_negs = in_buffer_negs(k_dst)
-                src_negs = in_buffer_negs(k_src)
+                dst_negs, dst_deg_rows = in_buffer_negs(k_dst, False)
+                src_negs, src_deg_rows = in_buffer_negs(k_src, True)
 
                 src = jnp.where(mask_b, edges_b[:, 0], buffer_rows)
                 dst = jnp.where(mask_b, edges_b[:, -1], buffer_rows)
@@ -283,6 +308,12 @@ class PartitionBufferLPTrainer:
                         dst_keys, to_global(src), rel, to_global(dst_negs))
                     src_filter = filter_mask_sampled(
                         src_keys, to_global(dst), rel, to_global(src_negs))
+                elif num_deg and (cfg.local_filter_mode or "DEG").upper() == "DEG":
+                    # DEG local filter (negative.cpp:21-48): mask deg-sampled
+                    # negative slots that reproduce their own source edge
+                    from marius_tpu.data.samplers.negative import deg_local_filter_mask
+                    dst_filter = deg_local_filter_mask(dst_deg_rows, b, nneg)
+                    src_filter = deg_local_filter_mask(src_deg_rows, b, nneg)
 
                 all_ids = jnp.concatenate(
                     [src, dst, dst_negs.reshape(-1), src_negs.reshape(-1)])
@@ -398,18 +429,22 @@ class PartitionBufferLPTrainer:
                 else:
                     values, state = sparse_adagrad_update_buffer(
                         values, state, update_ids, gx, model.sparse_lr)
+                if dirty is not None:
+                    # dirty-row tracking for sparse eviction writeback:
+                    # padding ids (== buffer_rows) drop out of range
+                    dirty = dirty.at[update_ids].set(True, mode="drop")
                 params, opt_state = apply_optimizer(
                     model.dense_optimizer, params, opt_state, gdense)
-                return (values, state, params, opt_state, key), loss
+                return (values, state, params, opt_state, key, dirty), loss
 
-            carry = (values, state, params, opt_state, key)
+            carry = (values, state, params, opt_state, key, dirty)
             carry, losses = jax.lax.scan(
                 batch_step, carry,
                 (edges.reshape(num_batches, b, edges.shape[-1]),
                  masks.reshape(num_batches, b)))
             return carry, jnp.sum(losses)
 
-        return jax.jit(state_fn, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(state_fn, donate_argnums=(0, 1, 2, 3, 5))
 
     # ------------------------------------------------------------------
     def _state_graph(self, max_edges: int):
@@ -455,7 +490,17 @@ class PartitionBufferLPTrainer:
             num_relations=self.num_relations)
 
     # ------------------------------------------------------------------
-    def train_epoch(self) -> Dict[str, float]:
+    def train_epoch(self, max_states: Optional[int] = None,
+                    time_budget_s: Optional[float] = None,
+                    final_flush: bool = True) -> Dict[str, float]:
+        """Train one epoch over the buffer schedule. ``max_states`` /
+        ``time_budget_s`` cut the schedule short after that many states /
+        seconds (benchmark time-boxing; the partial epoch is still exact for
+        the states it ran — evictions/flush land every update).
+        ``final_flush=False`` skips the end-of-epoch host writeback of the
+        resident set (benchmarks that discard the state; the next epoch's
+        load() re-reads the host table, so unflushed resident updates are
+        dropped)."""
         t0 = time.perf_counter()
         states, assignment = self._plan_epoch()
         from marius_tpu import native
@@ -466,10 +511,16 @@ class PartitionBufferLPTrainer:
             state_sizes.append(sum(
                 int(self.bucket_offsets[i * P + j + 1]
                     - self.bucket_offsets[i * P + j]) for i, j in buckets))
-        # round the padded batch count up to a power of two so different BETA
-        # schedules across epochs reuse the same compiled state function
+        # round the padded batch count up so different BETA schedules across
+        # epochs reuse the same compiled state function: powers of two up to
+        # 256, then ~1/16-granularity buckets (pure pow2 wastes up to 2x in
+        # masked batches at thousands-of-batches states)
         max_batches = max(1, max(-(-s // self.batch_size) for s in state_sizes))
-        max_batches = 1 << (max_batches - 1).bit_length()
+        if max_batches <= 256:
+            max_batches = 1 << (max_batches - 1).bit_length()
+        else:
+            step = 1 << max(max_batches.bit_length() - 4, 8)
+            max_batches = -(-max_batches // step) * step
         max_graph_edges = 0
         if self.nbr_configs:
             max_graph_edges = 1 << (max(1, max(
@@ -510,6 +561,9 @@ class PartitionBufferLPTrainer:
                 * 1009 + s_idx)
 
         losses = []
+        edges_trained = 0
+        states_run = 0
+        self.last_state_timings = []
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
             # storage.prefetching=false: next-state host prep runs inline
             # after the current state (the reference's synchronous IO mode)
@@ -517,14 +571,17 @@ class PartitionBufferLPTrainer:
                 (lambda f, *a: _Immediate(f, *a))
             fut = submit(prep, 0)
             for s_idx, st in enumerate(states):
+                t_s0 = time.perf_counter()
                 edges_global = fut.result()
                 if s_idx + 1 < len(states):
                     fut = submit(prep, s_idx + 1)
+                t_s1 = time.perf_counter()
                 self.buffer.swap_to_state(st)
                 if self.feature_cache is not None:
                     # mirror the embedding buffer's slots: local ids must
                     # index both tiers identically
                     self.feature_cache.mirror_layout(self.buffer.resident)
+                t_s2 = time.perf_counter()
                 local = edges_global
                 for col in (0, cols - 1):
                     local[:, col] = native.global_to_local(
@@ -537,26 +594,42 @@ class PartitionBufferLPTrainer:
                 graph = (self._state_graph(max_graph_edges)
                          if self.nbr_configs else _EMPTY_GRAPH)
                 (self.buffer.device_values, self.buffer.device_state,
-                 self.params, self.opt_state, key), loss = self._state_fn(
+                 self.params, self.opt_state, key,
+                 self.buffer.dirty), loss = self._state_fn(
                     self.buffer.device_values, self.buffer.device_state,
-                    self.params, self.opt_state, key,
+                    self.params, self.opt_state, key, self.buffer.dirty,
                     _arg(padded), _arg(masks),
                     _arg(self.buffer.slot_valid_counts()),
                     _arg(np.asarray(self.buffer.resident, np.int32)), graph,
                     self.feature_cache.device
                     if self.feature_cache is not None else None)
                 losses.append(loss)  # lazy: don't block the dispatch queue
+                edges_trained += len(local)
+                states_run += 1
+                if self.profile_states:
+                    jax.block_until_ready(loss)
+                    self.last_state_timings.append(
+                        (t_s1 - t_s0, t_s2 - t_s1, time.perf_counter() - t_s2))
+                if (max_states is not None and states_run >= max_states) or \
+                        (time_budget_s is not None
+                         and time.perf_counter() - t0 > time_budget_s):
+                    break
 
         total_loss = float(jnp.sum(jnp.stack(losses)))
-        self.buffer.flush()
+        if final_flush:
+            self.buffer.flush()
+        else:
+            self.buffer._drain_writebacks()
         self.epoch += 1
         dt = time.perf_counter() - t0
         return {
             "loss": total_loss,
             "epoch_time_s": dt,
-            "edges_per_sec": self.num_edges / dt,
+            "edges_per_sec": edges_trained / dt,
             "num_edges": self.num_edges,
+            "edges_trained": edges_trained,
             "num_buffer_states": len(states),
+            "states_run": states_run,
         }
 
     def train(self, num_epochs: int):

@@ -85,6 +85,72 @@ int64_t gather_remap_buckets(const int32_t* edges, int cols,
     return out_off[num_sel];
 }
 
+// Stable counting sort of edge rows into row-major (src_part, dst_part)
+// buckets — the partition_edges hot path (torch_partitioner.py:12-46 does
+// this with two stable torch sorts; counting sort is O(n) and ~10x faster
+// at freebase86m scale). Parallel: per-thread histograms give each thread
+// exclusive, order-preserving output cursors per bucket.
+// edges: (n, cols) int32; out: (n, cols); bucket_sizes: (P*P,) int64.
+void partition_rows(const int32_t* edges, int64_t n, int cols, int32_t psize,
+                    int32_t num_partitions, int32_t* out,
+                    int64_t* bucket_sizes) {
+    const int64_t nb = static_cast<int64_t>(num_partitions) * num_partitions;
+    const int nt = std::max(1, std::min<int>(hw_threads(),
+                                             static_cast<int>(n / 65536 + 1)));
+    std::vector<std::vector<int64_t>> hist(nt, std::vector<int64_t>(nb, 0));
+    const int64_t chunk = (n + nt - 1) / nt;
+
+    auto bucket_of = [&](int64_t r) -> int64_t {
+        int32_t sp = edges[r * cols] / psize;
+        int32_t dp = edges[r * cols + cols - 1] / psize;
+        return static_cast<int64_t>(sp) * num_partitions + dp;
+    };
+
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t) {
+            ts.emplace_back([&, t] {
+                int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+                auto& h = hist[t];
+                for (int64_t r = lo; r < hi; ++r) ++h[bucket_of(r)];
+            });
+        }
+        for (auto& th : ts) th.join();
+    }
+    // bucket starts + per-thread bases (stable: thread t's rows for bucket b
+    // land after threads < t, and each thread scans its range in order)
+    std::vector<int64_t> start(nb + 1, 0);
+    for (int64_t b = 0; b < nb; ++b) {
+        int64_t total = 0;
+        for (int t = 0; t < nt; ++t) total += hist[t][b];
+        bucket_sizes[b] = total;
+        start[b + 1] = start[b] + total;
+    }
+    std::vector<std::vector<int64_t>> base(nt, std::vector<int64_t>(nb));
+    for (int64_t b = 0; b < nb; ++b) {
+        int64_t cur = start[b];
+        for (int t = 0; t < nt; ++t) {
+            base[t][b] = cur;
+            cur += hist[t][b];
+        }
+    }
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t) {
+            ts.emplace_back([&, t] {
+                int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+                auto& cursor = base[t];
+                for (int64_t r = lo; r < hi; ++r) {
+                    int64_t b = bucket_of(r);
+                    std::memcpy(out + cursor[b]++ * cols, edges + r * cols,
+                                cols * sizeof(int32_t));
+                }
+            });
+        }
+        for (auto& th : ts) th.join();
+    }
+}
+
 // In-place Fisher-Yates shuffle of (n, cols) int32 rows (single-threaded core
 // like the reference's chunked shuffle, storage.h:23; memory-bound anyway).
 void shuffle_rows_int32(int32_t* data, int64_t n, int cols, uint64_t seed) {

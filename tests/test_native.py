@@ -71,3 +71,22 @@ def test_global_to_local():
     out, misses = native.global_to_local(ids, part_to_slot, 10, fill=999)
     assert misses == 1
     assert out.tolist() == [10, 15, 999, 5]
+
+
+def test_partition_rows_matches_stable_argsort():
+    """Native counting-sort partitioner == the partitioner's double stable
+    argsort (torch_partitioner.py:12-46 order), bucket sizes included."""
+    import numpy as np
+    from marius_tpu import native
+
+    rng = np.random.default_rng(3)
+    e = np.stack([rng.integers(0, 100, 5000), rng.integers(0, 5, 5000),
+                  rng.integers(0, 100, 5000)], axis=1).astype(np.int32)
+    out, sizes = native.partition_rows(e, 100, 8)
+    psize = -(-100 // 8)
+    sp, dp = e[:, 0] // psize, e[:, -1] // psize
+    order = np.argsort(dp, kind="stable")
+    order = order[np.argsort(sp[order], kind="stable")]
+    np.testing.assert_array_equal(out, e[order])
+    np.testing.assert_array_equal(
+        sizes, np.bincount(sp * 8 + dp, minlength=64))
