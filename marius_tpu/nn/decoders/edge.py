@@ -138,6 +138,26 @@ _DECODER_SPECS = {
 }
 
 
+def _lookup_comparator(name: str):
+    if name in _COMPARATORS:
+        return _COMPARATORS[name]
+    from marius_tpu.nn import registry
+    custom = registry.comparator(name)
+    if custom is None:
+        raise ValueError(f"Unknown comparator: {name}")
+    return custom
+
+
+def _lookup_relation_op(name: str):
+    if name in _RELATION_OPS:
+        return _RELATION_OPS[name]
+    from marius_tpu.nn import registry
+    custom = registry.relation_op(name)
+    if custom is None:
+        raise ValueError(f"Unknown relation operator: {name}")
+    return custom
+
+
 @dataclasses.dataclass(frozen=True)
 class EdgeDecoder:
     """A comparator ∘ relation-operator edge decoder (edge_decoder.cpp:7-21)."""
@@ -149,14 +169,21 @@ class EdgeDecoder:
 
     @property
     def _spec(self):
-        if self.decoder_type.upper() not in _DECODER_SPECS:
+        dt = self.decoder_type.upper()
+        if dt in _DECODER_SPECS:
+            return _DECODER_SPECS[dt]
+        from marius_tpu.nn import registry
+        custom = registry.edge_decoder(dt)
+        if custom is None:
             raise ValueError(f"Unknown edge decoder: {self.decoder_type}")
-        return _DECODER_SPECS[self.decoder_type.upper()]
+        return custom
 
     def init_params(self, dtype=jnp.float32) -> Dict[str, Array]:
         _, _, style = self._spec
         shape = (self.num_relations, self.embedding_dim)
-        if style == "ones":
+        if callable(style):  # registered custom relation init
+            base = jnp.asarray(style(shape, dtype))
+        elif style == "ones":
             base = jnp.ones(shape, dtype)
         elif style == "zeros":
             base = jnp.zeros(shape, dtype)
@@ -176,7 +203,7 @@ class EdgeDecoder:
 
     def apply_relation(self, embs: Array, rels: Optional[Array]) -> Array:
         _, rel_op, _ = self._spec
-        return _RELATION_OPS[rel_op](embs, rels)
+        return _lookup_relation_op(rel_op)(embs, rels)
 
     def select_relations(self, params, rel_ids: Optional[Array], inverse: bool = False):
         if rel_ids is None:
@@ -185,11 +212,11 @@ class EdgeDecoder:
         return jnp.take(table, rel_ids, axis=0)
 
     def pos_scores(self, adjusted_src: Array, dst: Array) -> Array:
-        pos_fn, _ = _COMPARATORS[self._spec[0]]
+        pos_fn, _ = _lookup_comparator(self._spec[0])
         return pos_fn(adjusted_src, dst)
 
     def neg_scores(self, adjusted_src: Array, neg_embs: Array, num_chunks: int) -> Array:
-        _, neg_fn = _COMPARATORS[self._spec[0]]
+        _, neg_fn = _lookup_comparator(self._spec[0])
         return neg_fn(adjusted_src, neg_embs, num_chunks)
 
     def node_corrupt_forward(

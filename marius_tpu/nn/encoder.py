@@ -92,7 +92,13 @@ def _apply_gnn(layer: LayerConfig, p, x, adj, degrees, node_ids_outer,
         return gat_layer(layer, p, x, adj, train=train, dropout_key=dropout_key)
     if g == "RGCN":
         return rgcn_layer(layer, p, x, adj)
-    raise ValueError(f"Unknown GNN type: {layer.gnn_type}")
+    from marius_tpu.nn import registry
+    custom = registry.gnn_layer(g)
+    if custom is None:
+        raise ValueError(f"Unknown GNN type: {layer.gnn_type}")
+    return custom[1](layer, p, x, adj, degrees=degrees,
+                     node_ids_outer=node_ids_outer, train=train,
+                     dropout_key=dropout_key)
 
 
 def encoder_forward(
@@ -135,7 +141,12 @@ def encoder_forward(
                     layer, p, current, adj, degrees, node_ids_outer, train,
                     None if dropout_key is None else jax.random.fold_in(dropout_key, i)))
             else:
-                raise ValueError(f"Unknown layer type: {layer.layer_type}")
+                from marius_tpu.nn import registry
+                custom = registry.stage_layer(lt)
+                if custom is None:
+                    raise ValueError(f"Unknown layer type: {layer.layer_type}")
+                stage_outputs.append(custom[1](layer, p, current,
+                                               embeddings, features))
         if any(l.layer_type.upper() == "GNN" for l in stage):
             gnn_seen += 1
         outputs = stage_outputs

@@ -111,13 +111,21 @@ def init_layer_params(key: jax.Array, config: LayerConfig, dtype=jnp.float32) ->
                 keys[0], config.init, (config.num_relations, d_in, d_out), dtype)
             params["self_matrix"] = initialize_tensor(keys[1], config.init, (d_in, d_out), dtype)
         else:
-            raise ValueError(f"Unknown GNN layer type: {config.gnn_type}")
+            from marius_tpu.nn import registry
+            custom = registry.gnn_layer(g)
+            if custom is None:
+                raise ValueError(f"Unknown GNN layer type: {config.gnn_type}")
+            params.update(custom[0](keys[0], config, dtype))
     elif lt == "REDUCTION" and config.reduction.upper() == "LINEAR":
         params["w"] = initialize_tensor(keys[0], config.init, (d_in, d_out), dtype)
     elif lt in ("EMBEDDING", "FEATURE", "REDUCTION"):
         pass
     else:
-        raise ValueError(f"Unknown layer type: {config.layer_type}")
+        from marius_tpu.nn import registry
+        custom = registry.stage_layer(lt)
+        if custom is None:
+            raise ValueError(f"Unknown layer type: {config.layer_type}")
+        params.update(custom[0](keys[0], config, dtype))
 
     if config.bias:
         params["bias"] = initialize_tensor(keys[7], config.bias_init, (d_out,), dtype)
