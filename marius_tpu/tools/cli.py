@@ -71,6 +71,9 @@ def marius_preprocess(argv=None):
     p.add_argument("--partitioned_eval", action="store_true")
     p.add_argument("--no_remap_ids", action="store_true")
     p.add_argument("--sequential_train_nodes", action="store_true")
+    p.add_argument("--sequential_deg_nodes", type=int, default=0,
+                   help="assign the top-k highest-degree nodes sequential ids "
+                        "(partition-buffer locality)")
     p.add_argument("--delim", default="\t")
     p.add_argument("--columns", nargs="+", type=int, default=[0, 1, 2],
                    help="src [rel] dst column indices")
@@ -127,6 +130,7 @@ def marius_preprocess(argv=None):
             ChunkedEdgeListConverter(**kwargs).convert()
         else:
             from marius_tpu.tools.preprocess.converter import EdgeListConverter
+            kwargs["sequential_deg_nodes"] = args.sequential_deg_nodes
             EdgeListConverter(**kwargs).convert()
     else:
         p.error("either --dataset or --edges is required")
@@ -181,7 +185,9 @@ def marius_config_generator(argv=None):
     p.add_argument("--num_epochs", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=1000)
     p.add_argument("--learning_rate", type=float, default=0.1)
-    p.add_argument("--num_partitions", type=int, default=1)
+    p.add_argument("--num_partitions", type=int, default=None,
+                   help="default: sized automatically from dataset stats + "
+                        "chip memory (partition buffer only when needed)")
     args = p.parse_args(argv)
     task = {"lp": "LINK_PREDICTION", "nc": "NODE_CLASSIFICATION"}.get(
         args.task, args.task)
@@ -215,6 +221,11 @@ def marius_db2graph(argv=None):
     return 0
 
 
+def marius_verify_baselines(argv=None):
+    from marius_tpu.tools.verify_baselines import main as run
+    return run(argv)
+
+
 def main(argv=None):
     """`marius <subcommand>` umbrella (marius.cpp:187 main dispatch)."""
     commands = {
@@ -223,6 +234,7 @@ def main(argv=None):
         "postprocess": marius_postprocess,
         "config_generator": marius_config_generator,
         "env_info": marius_env_info, "db2graph": marius_db2graph,
+        "verify_baselines": marius_verify_baselines,
     }
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in commands:
