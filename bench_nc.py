@@ -74,7 +74,8 @@ def main():
     n_epochs = 2
     t0 = time.perf_counter()
     for _ in range(n_epochs):
-        trainer.state, loss = trainer._epoch_fn(trainer.state, trainer.train_nodes)
+        trainer.state, (loss, _ov) = trainer._epoch_fn(
+            trainer.state, trainer.train_nodes, None)
     _jax.block_until_ready(loss)
     nps = n_epochs * NUM_TRAIN / (time.perf_counter() - t0)
 

@@ -60,9 +60,14 @@ class NeighborBatch:
     prepareForNextLayer, graph.cpp:290-320 — here each hop is its own array).
     """
 
-    node_ids: Tuple[Array, ...]    # per-hop global node ids, sorted, padded with num_nodes
+    node_ids: Tuple[Array, ...]    # per-hop global node ids, padded with num_nodes
+                                   # (frontier-prefix order: each hop's set is a
+                                   # prefix of the next; sorted in the fallback path)
     node_masks: Tuple[Array, ...]  # per-hop validity
     layers: Tuple[LayerAdjacency, ...]  # len == num GNN layers
+    # distinct neighbor ids dropped by tight hop caps across all hops (0 under
+    # worst-case caps; >0 means uniform frontier truncation — trainers log it)
+    overflow: Optional[Array] = None
 
     @property
     def seed_ids(self) -> Array:

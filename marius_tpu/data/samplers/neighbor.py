@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from marius_tpu.data.batch import LayerAdjacency, NeighborBatch
 from marius_tpu.data.graph import DeviceGraph
 from marius_tpu.ops.gather1d import take_1d
-from marius_tpu.ops.unique import unique_padded_auto
+from marius_tpu.ops.unique import (
+    PREFIX_BITMAP_LIMIT,
+    prefix_unique_padded,
+    unique_padded_auto,
+)
 
 Array = jax.Array
 
@@ -54,6 +58,71 @@ def estimate_hop_caps(batch_size: int, configs: Sequence[NeighborSamplingConfig]
     for cfg in reversed(list(configs)):
         fan = cfg.max_neighbors * (int(cfg.use_incoming) + int(cfg.use_outgoing))
         caps.append(min(caps[-1] * (1 + fan), num_nodes + 1))
+    return caps
+
+
+def estimate_hop_caps_empirical(
+    edges, num_nodes: int, configs: Sequence[NeighborSamplingConfig],
+    batch_size: int, seed: int = 0, trials: int = 6, margin: float = 1.35,
+) -> List[int]:
+    """Data-sized hop caps: simulate the hop expansion on the host over a few
+    random seed batches and cap each hop at (max observed unique count) x
+    ``margin`` (bucketed), clamped to the worst-case bound.
+
+    Worst-case caps (estimate_hop_caps) grow geometrically and saturate at
+    num_nodes, so sampled-fanout batches pay padded compute for frontier
+    nodes that never materialize — on ogbn-arxiv shapes the observed unique
+    counts are 2-4x smaller than worst case per hop. Tight caps are SAFE
+    with the frontier-prefix sampler: an overflow degrades to uniform
+    neighbor truncation (masked + counted), never to aliased reads.
+    """
+    import numpy as np
+
+    e = np.asarray(edges)
+    worst = estimate_hop_caps(batch_size, configs, num_nodes)
+    if not len(e):
+        return worst
+    rng = np.random.default_rng(seed)
+    # neighbor sets per direction as CSR (host, once)
+    def csr(anchor, other):
+        order = np.argsort(anchor, kind="stable")
+        offs = np.searchsorted(anchor[order], np.arange(num_nodes + 1))
+        return offs, other[order]
+
+    out_offs, out_cols = csr(e[:, 0], e[:, -1])
+    in_offs, in_cols = csr(e[:, -1], e[:, 0])
+
+    maxes = [batch_size] * (len(configs) + 1)
+    for _ in range(trials):
+        cur = np.unique(rng.integers(0, num_nodes, batch_size))
+        for depth, cfg in enumerate(reversed(list(configs))):
+            fan = cfg.max_neighbors
+            cand = [cur]
+            dirs = []
+            if cfg.use_incoming:
+                dirs.append((in_offs, in_cols))
+            if cfg.use_outgoing:
+                dirs.append((out_offs, out_cols))
+            for offs, cols in dirs:
+                deg = offs[cur + 1] - offs[cur]
+                take = np.minimum(deg, fan)
+                # uniform-with-replacement like the device sampler; for
+                # cap-sizing the union of draws is what matters
+                rows = np.repeat(cur, take)
+                base = np.repeat(offs[cur], take)
+                within = rng.integers(0, 1 << 30, len(rows)) % np.maximum(
+                    np.repeat(deg, take), 1)
+                cand.append(cols[base + within])
+            cur = np.unique(np.concatenate(cand))
+            maxes[depth + 1] = max(maxes[depth + 1], len(cur))
+
+    caps = [batch_size]
+    for depth in range(1, len(configs) + 1):
+        want = int(maxes[depth] * margin) + batch_size
+        # bucket to ~1/8 granularity so nearby datasets share compiles
+        step = 1 << max(want.bit_length() - 3, 6)
+        want = -(-want // step) * step
+        caps.append(min(want, worst[depth]))
     return caps
 
 
@@ -108,21 +177,34 @@ def sample_neighbor_batch(
 ) -> NeighborBatch:
     """Expand seeds outward hop by hop, dedup each hop, and emit the
     batch-local adjacency used by the encoder (innermost config applied to the
-    seed expansion, matching the reference's layer ordering)."""
+    seed expansion, matching the reference's layer ordering).
+
+    Dedup uses the frontier-prefix layout (ops/unique.prefix_unique_padded)
+    when the id-space bitmap is affordable: each hop's node set is a PREFIX
+    of the next (self_idx == iota), so a tight cap can only drop NEW
+    neighbor ids — those drops are masked exactly (the aggregation treats
+    them as absent neighbors) and counted in ``NeighborBatch.overflow``.
+    This makes empirically-sized caps (estimate_hop_caps_empirical) safe:
+    worst-case caps guarantee overflow == 0; tighter caps degrade to
+    uniform neighbor truncation, never to aliased reads. Graphs beyond the
+    bitmap limit keep the sorted-unique path and must use worst-case caps.
+    """
     num_layers = len(configs)
     assert len(hop_caps) == num_layers + 1
 
     fill = graph.num_nodes
+    use_prefix = fill <= PREFIX_BITMAP_LIMIT
     ids_per_hop = [seeds]
     masks_per_hop = [seed_mask]
     layers: List[LayerAdjacency] = []
+    overflow = jnp.zeros((), jnp.int32)
 
     cur_ids, cur_mask = seeds, seed_mask
     # iterate innermost (closest to seeds) -> outermost expansion
     for depth, cfg in enumerate(reversed(list(configs))):
         k = jax.random.fold_in(key, depth)
         n = cur_ids.shape[0]
-        parts = [jnp.where(cur_mask, cur_ids, fill)]
+        parts = []
         in_nbrs = out_nbrs = None
         in_mask = out_mask = None
         in_rel = out_rel = None
@@ -139,23 +221,59 @@ def sample_neighbor_batch(
                 rels=graph.out_rels)
             parts.append(jnp.where(out_mask, out_nbrs, fill).reshape(-1))
 
-        candidates = jnp.concatenate([p.reshape(-1) for p in parts])
+        nbr_candidates = jnp.concatenate(parts) if parts else \
+            jnp.zeros((0,), jnp.int32)
         cap = int(hop_caps[depth + 1])
-        uniq = unique_padded_auto(candidates, size=cap, fill_value=fill)
-
-        self_idx = uniq.inverse[:n]
-        off = n
         zero_idx = jnp.zeros((n, cfg.max_neighbors), jnp.int32)
         false_mask = jnp.zeros((n, cfg.max_neighbors), bool)
-        if cfg.use_incoming:
-            in_idx = uniq.inverse[off:off + n * cfg.max_neighbors].reshape(n, cfg.max_neighbors)
-            off += n * cfg.max_neighbors
+
+        # prefix layout needs the cap to cover the (padded) current frontier;
+        # when the cap clamps at num_nodes below n, dedup must SHRINK the
+        # set — use the sorted path for that hop (cap == N+1 covers all ids,
+        # so nothing real can drop there)
+        if use_prefix and cap >= n:
+            uniq = prefix_unique_padded(cur_ids, cur_mask, nbr_candidates,
+                                        size=cap, fill_value=fill)
+            overflow = overflow + uniq.overflow
+            self_idx = jnp.arange(n, dtype=jnp.int32)
+            # overflowed new ids alias inside the kept range: mask any slot
+            # whose mapped id differs from the candidate it came from
+            ok = (jnp.take(uniq.ids, uniq.inverse.reshape(-1), mode="clip")
+                  == nbr_candidates).reshape(uniq.inverse.shape)
+            inverse = uniq.inverse
+            off = 0
+            if cfg.use_incoming:
+                in_idx = inverse[off:off + n * cfg.max_neighbors].reshape(
+                    n, cfg.max_neighbors)
+                in_mask = in_mask & ok[off:off + n * cfg.max_neighbors].reshape(
+                    n, cfg.max_neighbors)
+                off += n * cfg.max_neighbors
+            else:
+                in_idx, in_mask = zero_idx, false_mask
+            if cfg.use_outgoing:
+                out_idx = inverse[off:off + n * cfg.max_neighbors].reshape(
+                    n, cfg.max_neighbors)
+                out_mask = out_mask & ok[off:off + n * cfg.max_neighbors].reshape(
+                    n, cfg.max_neighbors)
+            else:
+                out_idx, out_mask = zero_idx, false_mask
+            next_ids, next_mask = uniq.ids, uniq.ids < fill
         else:
-            in_idx, in_mask = zero_idx, false_mask
-        if cfg.use_outgoing:
-            out_idx = uniq.inverse[off:off + n * cfg.max_neighbors].reshape(n, cfg.max_neighbors)
-        else:
-            out_idx, out_mask = zero_idx, false_mask
+            candidates = jnp.concatenate(
+                [jnp.where(cur_mask, cur_ids, fill), nbr_candidates])
+            uniq = unique_padded_auto(candidates, size=cap, fill_value=fill)
+            self_idx = uniq.inverse[:n]
+            off = n
+            if cfg.use_incoming:
+                in_idx = uniq.inverse[off:off + n * cfg.max_neighbors].reshape(n, cfg.max_neighbors)
+                off += n * cfg.max_neighbors
+            else:
+                in_idx, in_mask = zero_idx, false_mask
+            if cfg.use_outgoing:
+                out_idx = uniq.inverse[off:off + n * cfg.max_neighbors].reshape(n, cfg.max_neighbors)
+            else:
+                out_idx, out_mask = zero_idx, false_mask
+            next_ids, next_mask = uniq.ids, uniq.ids < fill
 
         layers.append(LayerAdjacency(
             self_idx=self_idx.astype(jnp.int32),
@@ -164,8 +282,7 @@ def sample_neighbor_batch(
             node_mask=cur_mask,
             in_rel=in_rel, out_rel=out_rel,
         ))
-        cur_ids = uniq.ids
-        cur_mask = uniq.ids < fill
+        cur_ids, cur_mask = next_ids, next_mask
         ids_per_hop.append(cur_ids)
         masks_per_hop.append(cur_mask)
 
@@ -175,6 +292,7 @@ def sample_neighbor_batch(
         node_ids=tuple(reversed(ids_per_hop)),
         node_masks=tuple(reversed(masks_per_hop)),
         layers=tuple(reversed(layers)),
+        overflow=overflow,
     )
 
 

@@ -345,8 +345,11 @@ class NodeClassificationTrainer:
 
     def _batch_step(self, state: TrainState, seeds: Array, mask_b: Array,
                     fg=None):
+        """Returns (state, (loss, overflow)); overflow counts frontier ids
+        dropped by tight hop caps this batch (always 0 in full-graph mode)."""
         if self.full_graph is not None:
-            return self._batch_step_full_graph(state, seeds, mask_b, fg=fg)
+            s, loss = self._batch_step_full_graph(state, seeds, mask_b, fg=fg)
+            return s, (loss, jnp.zeros((), jnp.int32))
         if self.mesh is None:
             return self._batch_step_local(state, seeds, mask_b, None)
         return self._sharded_batch_step(state, seeds, mask_b)
@@ -514,13 +517,16 @@ class NodeClassificationTrainer:
             loss, g_dense = jax.value_and_grad(loss_fn, argnums=1)(None, state.params)
             new_table = state.table
 
+        overflow = (nb.overflow if nb.overflow is not None
+                    else jnp.zeros((), jnp.int32))
         if data_axis is not None:
             g_dense = jax.lax.psum(g_dense, data_axis)
             loss = jax.lax.psum(loss, data_axis)
+            overflow = jax.lax.psum(overflow, data_axis)
         new_params, new_opt = apply_optimizer(
             model.dense_optimizer, state.params, state.opt_state, g_dense)
         return TrainState(table=new_table, params=new_params, opt_state=new_opt,
-                          key=key, epoch=state.epoch), loss
+                          key=key, epoch=state.epoch), (loss, overflow)
 
     def _sharded_batch_step(self, state: TrainState, seeds: Array, mask_b: Array):
         from jax.sharding import PartitionSpec as P
@@ -531,7 +537,7 @@ class NodeClassificationTrainer:
             lambda s, sd, m: self._batch_step_local(s, sd, m, DATA_AXIS),
             mesh=self.mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P()), check_vma=False)
+            out_specs=(P(), (P(), P())), check_vma=False)
         return fn(state, seeds, mask_b)
 
     def _build_epoch_fn(self):
@@ -573,7 +579,7 @@ class NodeClassificationTrainer:
 
                 state, losses = jax.lax.scan(body, state, (shuffled, masks))
                 return (dataclasses.replace(state, epoch=state.epoch + 1),
-                        jnp.sum(losses))
+                        (jnp.sum(losses), jnp.zeros((), jnp.int32)))
 
             return epoch_fn_fg
 
@@ -587,9 +593,10 @@ class NodeClassificationTrainer:
             def body(carry, xs):
                 return self._batch_step(carry, xs[0], xs[1], fg)
 
-            state, losses = jax.lax.scan(
+            state, (losses, ovs) = jax.lax.scan(
                 body, state, (shuffled.reshape(nb, b), masks.reshape(nb, b)))
-            return dataclasses.replace(state, epoch=state.epoch + 1), jnp.sum(losses)
+            return (dataclasses.replace(state, epoch=state.epoch + 1),
+                    (jnp.sum(losses), jnp.sum(ovs)))
 
         return epoch_fn
 
@@ -675,15 +682,24 @@ class NodeClassificationTrainer:
             # already synced
             epoch = int(jax.device_get(self.state.epoch))
             self._fg_ensure_budget(epoch)
-        self.state, total_loss = self._epoch_fn(
+        self.state, (total_loss, overflow) = self._epoch_fn(
             self.state, self.train_nodes, self._fg_struct)
         if epoch is not None:
             # size the NEXT epoch's budget while the chip runs this one
             self._fg_epoch_need(epoch + 1)
         total_loss = float(total_loss)
+        overflow = int(overflow)
+        if overflow:
+            import logging
+            logging.getLogger("marius_tpu").warning(
+                "hop caps truncated %d frontier ids this epoch (uniform "
+                "neighbor truncation; raise hop_caps or the empirical "
+                "margin for exact frontiers)", overflow)
         dt = time.perf_counter() - t0
         return {"loss": total_loss, "epoch_time_s": dt,
-                "nodes_per_sec": self.num_train / dt, "num_nodes": self.num_train}
+                "nodes_per_sec": self.num_train / dt,
+                "num_nodes": self.num_train,
+                "truncated_frontier_ids": overflow}
 
     def train(self, num_epochs: int):
         return [self.train_epoch() for _ in range(num_epochs)]
