@@ -16,6 +16,55 @@ from marius_tpu.storage.dataset import load_stats
 
 LP_DECODERS = ("DISTMULT", "COMPLEX", "TRANSE")
 
+# fraction of chip memory usable by the resident embedding working set; the
+# rest is headroom for batch blocks, scatter temps, and dense params
+_HBM_WORKING_FRACTION = 0.6
+_DEFAULT_HBM_GB = 16.0  # one v5e chip
+
+
+def _device_hbm_bytes() -> float:
+    """Best-effort chip memory detection; falls back to a v5e's 16 GB."""
+    try:
+        import jax
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return _DEFAULT_HBM_GB * 1e9
+
+
+def size_partition_buffer(
+    num_nodes: int,
+    embedding_dim: int,
+    hbm_bytes: Optional[float] = None,
+    dtype_bytes: int = 4,
+    optimizer_state_factor: float = 2.0,  # values + Adagrad accumulator
+) -> Optional[dict]:
+    """Partition-count / buffer-capacity sizing from dataset stats — the
+    reference generator's partition heuristics (marius_config_generator.py
+    sizing block), re-derived for the HBM tier.
+
+    Returns None when the full table (+ optimizer state) fits the chip's
+    working fraction (no buffer needed); otherwise the smallest schedule that
+    fits: capacity 8 (COMET-compatible: divisible by the fine-to-coarse
+    ratio 2 with coarse capacity >= 2) and the smallest even partition count
+    with capacity/num_partitions * table <= budget. More partitions than
+    necessary only adds swap traffic (each admit moves psize*dim rows both
+    ways), so the count is minimized, not maximized."""
+    hbm = hbm_bytes if hbm_bytes is not None else _device_hbm_bytes()
+    budget = hbm * _HBM_WORKING_FRACTION
+    table = float(num_nodes) * embedding_dim * dtype_bytes * optimizer_state_factor
+    if table <= budget:
+        return None
+    capacity = 8
+    # capacity/n <= budget/table  =>  n >= capacity * table / budget
+    n = capacity * table / budget
+    num_partitions = int(-(-n // 2) * 2)  # round up to even (COMET ratio 2)
+    num_partitions = max(num_partitions, capacity * 2)
+    return {"num_partitions": num_partitions, "buffer_capacity": capacity,
+            "edge_bucket_ordering": "COMET"}
+
 
 def generate_config(
     dataset_dir: str,
@@ -26,8 +75,9 @@ def generate_config(
     num_epochs: int = 10,
     batch_size: int = 1000,
     learning_rate: float = 0.1,
-    num_partitions: int = 1,
+    num_partitions: Optional[int] = None,  # None = size from stats + HBM
     buffer_capacity: int = 8,
+    hbm_bytes: Optional[float] = None,
 ) -> dict:
     stats = load_stats(dataset_dir)
     task = task.upper()
@@ -95,7 +145,14 @@ def generate_config(
 
     storage: dict = {"device_type": "tpu",
                      "dataset": {"dataset_dir": os.path.abspath(dataset_dir)}}
-    if num_partitions > 1:
+    if num_partitions is None and task == "LINK_PREDICTION":
+        # size the storage tier from dataset stats + chip memory
+        sized = size_partition_buffer(stats.num_nodes, embedding_dim,
+                                      hbm_bytes=hbm_bytes)
+        if sized is not None:
+            storage["embeddings"] = {"type": "PARTITION_BUFFER",
+                                     "options": sized}
+    elif num_partitions is not None and num_partitions > 1:
         storage["embeddings"] = {
             "type": "PARTITION_BUFFER",
             "options": {"num_partitions": num_partitions,

@@ -104,6 +104,8 @@ class EdgeListConverter:
         edge_weight_column: Optional[int] = None,
         remap_ids: bool = True,
         sequential_train_nodes: bool = False,
+        sequential_deg_nodes: int = 0,   # top-k highest-degree nodes get
+                                         # sequential ids (torch_converter.py:101)
         num_nodes: Optional[int] = None,
         num_rels: Optional[int] = None,
         num_partitions: int = 1,
@@ -124,6 +126,7 @@ class EdgeListConverter:
         self.weight_column = edge_weight_column
         self.remap_ids = remap_ids
         self.sequential_train_nodes = sequential_train_nodes
+        self.sequential_deg_nodes = int(sequential_deg_nodes)
         self.num_nodes = num_nodes
         self.num_rels = num_rels
         self.num_partitions = num_partitions
@@ -151,18 +154,35 @@ class EdgeListConverter:
             uniq_nodes, new_node_ids, node_map, node_norm = _remap(
                 src_cols + dst_cols, self.known_node_ids, rng)
             num_nodes = len(uniq_nodes)
-            if self.sequential_train_nodes:
-                # train nodes get ids [0, num_train) (torch_converter.py
-                # sequential_train_nodes): known_node_ids[0] = train nodes
-                assert self.known_node_ids, \
-                    "sequential_train_nodes needs known_node_ids[0] = train nodes"
-                train_ids = np.unique(node_norm(self.known_node_ids[0]))
-                is_train = np.isin(uniq_nodes, train_ids)
+            if self.sequential_train_nodes or self.sequential_deg_nodes > 0:
+                # sequential-prefix remap (torch_converter.py:265-330):
+                # train nodes and/or the top-k highest-degree nodes get ids
+                # [0, k) — locality for the partition-buffer tier (hot rows
+                # cluster in the first partitions)
+                seq_idx = None  # positions in uniq_nodes, in id-assignment order
+                if self.sequential_train_nodes:
+                    assert self.known_node_ids, \
+                        "sequential_train_nodes needs known_node_ids[0] = train nodes"
+                    train_ids = np.unique(node_norm(self.known_node_ids[0]))
+                    seq_idx = np.flatnonzero(np.isin(uniq_nodes, train_ids))
+                if self.sequential_deg_nodes > 0:
+                    deg = np.zeros(len(uniq_nodes), np.int64)
+                    for col in (raw[0][:, 0], raw[0][:, -1]):
+                        idx = np.searchsorted(uniq_nodes, node_norm(col))
+                        deg += np.bincount(idx, minlength=len(uniq_nodes))
+                    top = np.argsort(-deg, kind="stable")[:self.sequential_deg_nodes]
+                    if seq_idx is None:
+                        seq_idx = top  # degree-descending id order
+                    else:  # union of train + high-degree, shuffled
+                        seq_idx = np.union1d(seq_idx, top)
+                        rng.shuffle(seq_idx)
+                k = len(seq_idx)
+                in_seq = np.zeros(len(uniq_nodes), bool)
+                in_seq[seq_idx] = True
                 new_node_ids = np.empty(len(uniq_nodes), np.int32)
-                new_node_ids[is_train] = np.arange(is_train.sum(), dtype=np.int32)
-                new_node_ids[~is_train] = (
-                    is_train.sum()
-                    + rng.permutation(int((~is_train).sum())).astype(np.int32))
+                new_node_ids[seq_idx] = np.arange(k, dtype=np.int32)
+                new_node_ids[~in_seq] = (
+                    k + rng.permutation(int((~in_seq).sum())).astype(np.int32))
                 node_map = lambda col: new_node_ids[np.searchsorted(uniq_nodes, node_norm(col))]  # noqa: E731
             if self.has_rels:
                 rel_cols = [r[:, 1] for r in raw if r is not None]

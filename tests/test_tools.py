@@ -105,6 +105,70 @@ def test_sequential_train_nodes(tmp_path):
     assert got == list(range(len(train_nodes)))
 
 
+def test_sequential_deg_nodes(tmp_path):
+    """Top-k highest-degree nodes get sequential ids [0, k) in degree order
+    (torch_converter.py:101,265-330 sequential_deg_nodes)."""
+    rng = np.random.default_rng(1)
+    # node 7 appears most, then 3, then 11
+    hot = np.array([[7, 3]] * 30 + [[3, 11]] * 20 + [[11, 7]] * 10)
+    rest = rng.integers(12, 40, (100, 2))
+    edges = np.concatenate([hot, rest]).astype(np.int64)
+    out = tmp_path / "ds_deg"
+    res = EdgeListConverter(
+        output_dir=str(out), train_edges=edges, format="numpy",
+        edge_type_column=None, dst_column=1, splits=(1.0,),
+        sequential_deg_nodes=3).convert()
+    mapping = {int(r): int(n) for r, n in res.node_mapping}
+    # degrees: 7 -> 40, 3 -> 50, 11 -> 30 => order 3, 7, 11
+    assert mapping[3] == 0 and mapping[7] == 1 and mapping[11] == 2
+    assert all(v >= 3 for r, v in mapping.items() if r not in (3, 7, 11))
+
+
+def test_sequential_train_and_deg_union(tmp_path):
+    edges = np.random.default_rng(2).integers(0, 30, (400, 2)).astype(np.int64)
+    train_nodes = np.arange(25, 30)
+    out = tmp_path / "ds_both"
+    res = EdgeListConverter(
+        output_dir=str(out), train_edges=edges, format="numpy",
+        edge_type_column=None, dst_column=1, splits=(1.0,),
+        sequential_train_nodes=True, sequential_deg_nodes=4,
+        known_node_ids=[train_nodes]).convert()
+    mapping = {int(r): int(n) for r, n in res.node_mapping}
+    seq_ids = {mapping[t] for t in train_nodes}
+    # all train nodes are inside the sequential prefix (union with top-deg)
+    assert max(seq_ids) < len(train_nodes) + 4
+
+
+def test_model_dir_auto_versioning(tmp_path):
+    """load_config picks the next free model_<i> instead of silently
+    overwriting model_0 (marius_config.py:47-56)."""
+    from marius_tpu.config.schema import load_config
+    from marius_tpu.tools.preprocess import generate_random_dataset_lp
+    ds = str(tmp_path / "ds_mv")
+    generate_random_dataset_lp(ds, num_nodes=20, num_edges=100,
+                               num_relations=2)
+    raw = {
+        "model": {"learning_task": "LINK_PREDICTION",
+                  "encoder": {"layers": [[{"type": "EMBEDDING",
+                                           "output_dim": 8}]]},
+                  "decoder": {"type": "DISTMULT", "options": {"input_dim": 8}}},
+        "storage": {"dataset": {"dataset_dir": ds}},
+        "training": {"batch_size": 50, "num_epochs": 1,
+                     "negative_sampling": {"num_chunks": 2,
+                                           "negatives_per_positive": 4}},
+        "evaluation": {"batch_size": 50},
+    }
+    cfg0 = load_config(dict(raw))
+    assert cfg0.storage.model_dir.endswith("model_0")
+    os.makedirs(os.path.join(ds, "model_0"))
+    cfg1 = load_config(dict(raw))
+    assert cfg1.storage.model_dir.endswith("model_1")
+    for i in range(1, 11):
+        os.makedirs(os.path.join(ds, f"model_{i}"), exist_ok=True)
+    cfg_sat = load_config(dict(raw))
+    assert cfg_sat.storage.model_dir.endswith("model_10")  # saturates
+
+
 def _train_tiny_model(tmp_path):
     import yaml
     from marius_tpu.tools.preprocess import generate_random_dataset_lp
@@ -148,6 +212,46 @@ def test_train_predict_postprocess_cli(tmp_path, capsys):
                                "--output_dir", emb_out]) == 0
     lines = open(os.path.join(emb_out, "embeddings.csv")).readlines()
     assert len(lines) >= 40  # table has a sentinel row
+
+
+def test_partition_buffer_sizing():
+    from marius_tpu.tools.config_generator import size_partition_buffer
+    # fits in HBM: no buffer
+    assert size_partition_buffer(1_000_000, 50, hbm_bytes=16e9) is None
+    # freebase86m shape: 86M x d=50 f32 + Adagrad = 34.4 GB on a 16 GB chip
+    sized = size_partition_buffer(86_000_000, 50, hbm_bytes=16e9)
+    assert sized is not None
+    n, c = sized["num_partitions"], sized["buffer_capacity"]
+    resident = c / n * 86_000_000 * 50 * 4 * 2
+    assert resident <= 16e9 * 0.6  # fits the working fraction
+    assert n % 2 == 0 and c % 2 == 0 and c >= 4  # COMET-compatible
+    assert n <= 64  # minimal: no gratuitous swap traffic
+    # 10x the table, tiny chip: still a valid schedule
+    sized2 = size_partition_buffer(860_000_000, 100, hbm_bytes=8e9)
+    assert sized2["buffer_capacity"] / sized2["num_partitions"] \
+        * 860_000_000 * 100 * 4 * 2 <= 8e9 * 0.6
+
+
+def test_config_generator_auto_sizing(tmp_path):
+    """Generated config for a big-table dataset includes a sized
+    PARTITION_BUFFER tier; a small one stays in device memory."""
+    import yaml
+    from marius_tpu.storage.dataset import DatasetStats, save_stats
+    from marius_tpu.tools.config_generator import generate_config
+    big = str(tmp_path / "big")
+    os.makedirs(big)
+    save_stats(big, DatasetStats(num_nodes=90_000_000, num_edges=300_000_000,
+                                 num_relations=10, num_train=300_000_000))
+    raw = generate_config(big, embedding_dim=100, hbm_bytes=16e9)
+    emb = raw["storage"]["embeddings"]
+    assert emb["type"] == "PARTITION_BUFFER"
+    assert emb["options"]["num_partitions"] > emb["options"]["buffer_capacity"]
+    small = str(tmp_path / "small")
+    os.makedirs(small)
+    save_stats(small, DatasetStats(num_nodes=10_000, num_edges=100_000,
+                                   num_relations=10, num_train=100_000))
+    raw2 = generate_config(small, embedding_dim=50, hbm_bytes=16e9)
+    assert "embeddings" not in raw2["storage"]
 
 
 def test_config_generator_roundtrip(tmp_path):
