@@ -134,7 +134,17 @@ def main_oocore():
             "error": str(e)[:200]}), flush=True)
 
 
+def main_nc_sampled():
+    """Fourth metric: the sampled-fanout GNN path (fanout 8/direction, the
+    path a RELU/dropout model on a beyond-full-graph-scale graph takes) at
+    the arxiv-shaped bench_nc workload with EXACT caps (zero frontier
+    truncation; saturated hops ride the identity fast path)."""
+    import bench_nc
+    bench_nc.main()
+
+
 if __name__ == "__main__":
     main_oocore()
+    main_nc_sampled()
     main()
     main_nc()

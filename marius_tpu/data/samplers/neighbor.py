@@ -227,11 +227,30 @@ def sample_neighbor_batch(
         zero_idx = jnp.zeros((n, cfg.max_neighbors), jnp.int32)
         false_mask = jnp.zeros((n, cfg.max_neighbors), bool)
 
+        if cap == fill + 1:
+            # saturated hop: the cap covers EVERY node id, so the hop set is
+            # the identity mapping (slot == id). No dedup machinery at all —
+            # the mark scatter + inverse gather of a dedup pass cost ~6ns +
+            # ~4ns per candidate, the dominant non-layer cost at saturated
+            # shapes — and the outer representation gather becomes the whole
+            # table (no gather).
+            self_idx = jnp.where(cur_mask, cur_ids, fill).astype(jnp.int32)
+            off = 0
+            if cfg.use_incoming:
+                in_idx = jnp.where(in_mask, in_nbrs, fill).astype(jnp.int32)
+            else:
+                in_idx, in_mask = zero_idx, false_mask
+            if cfg.use_outgoing:
+                out_idx = jnp.where(out_mask, out_nbrs, fill).astype(jnp.int32)
+            else:
+                out_idx, out_mask = zero_idx, false_mask
+            next_ids = jnp.arange(cap, dtype=jnp.int32)
+            next_mask = next_ids < fill
         # prefix layout needs the cap to cover the (padded) current frontier;
         # when the cap clamps at num_nodes below n, dedup must SHRINK the
         # set — use the sorted path for that hop (cap == N+1 covers all ids,
         # so nothing real can drop there)
-        if use_prefix and cap >= n:
+        elif use_prefix and cap >= n:
             uniq = prefix_unique_padded(cur_ids, cur_mask, nbr_candidates,
                                         size=cap, fill_value=fill)
             overflow = overflow + uniq.overflow

@@ -69,17 +69,14 @@ def test_prefix_sampler_hop_sets_nest():
     nb = sample_neighbor_batch(jax.random.key(0), g, seeds,
                                jnp.ones(32, bool), cfgs, caps)
     assert int(nb.overflow) == 0
-    # node_ids stored outermost-first; each inner set's VALID rows keep their
-    # slots in the outer set (holes may be refilled by new ids)
-    for inner, imask, outer in zip(nb.node_ids[1:], nb.node_masks[1:],
-                                   nb.node_ids[:-1]):
+    # self mapping invariant: every valid inner node's self_idx points at its
+    # own id in the outer set (iota for prefix hops, id for saturated hops)
+    for inner, imask, outer, layer in zip(nb.node_ids[1:], nb.node_masks[1:],
+                                          nb.node_ids[:-1], nb.layers):
         inner, imask = np.asarray(inner), np.asarray(imask)
-        np.testing.assert_array_equal(
-            np.asarray(outer)[:len(inner)][imask], inner[imask])
-    for layer in nb.layers:
-        np.testing.assert_array_equal(
-            np.asarray(layer.self_idx),
-            np.arange(layer.self_idx.shape[0]))
+        outer = np.asarray(outer)
+        sidx = np.asarray(layer.self_idx)
+        np.testing.assert_array_equal(outer[sidx[imask]], inner[imask])
 
 
 def test_prefix_sampler_tight_caps_truncate_loudly():
