@@ -47,28 +47,44 @@ def build_edge_key_set(edges: np.ndarray, corrupt_dst: bool) -> EdgeKeySet:
     rel = e[:, 1].astype(np.int32) if has_rel else np.zeros_like(src)
     anchor, other = (src, dst) if corrupt_dst else (dst, src)
     order = np.lexsort((other, rel, anchor))
+    anchor, rel, other = anchor[order], rel[order], other[order]
+    # dedupe exact triples: membership is unchanged, and the rank-correction
+    # path (true_tail_counts) must count each true candidate exactly once
+    if len(anchor):
+        keep = np.concatenate([[True], (np.diff(anchor) != 0)
+                               | (np.diff(rel) != 0) | (np.diff(other) != 0)])
+        anchor, rel, other = anchor[keep], rel[keep], other[keep]
     from marius_tpu.parallel.mesh import put_closure
     return EdgeKeySet(
-        anchor=put_closure(anchor[order]),
-        rel=put_closure(rel[order]),
-        other=put_closure(other[order]),
+        anchor=put_closure(anchor),
+        rel=put_closure(rel),
+        other=put_closure(other),
     )
+
+
+def max_anchor_tail(edges: np.ndarray, corrupt_dst: bool) -> int:
+    """Max number of DISTINCT candidates sharing one (anchor, rel) key —
+    the static pad width of per-edge true-candidate lists."""
+    e = np.asarray(edges)
+    has_rel = e.shape[-1] == 3
+    src = e[:, 0].astype(np.int64)
+    dst = e[:, -1].astype(np.int64)
+    rel = e[:, 1].astype(np.int64) if has_rel else np.zeros_like(src)
+    anchor, other = (src, dst) if corrupt_dst else (dst, src)
+    trip = np.unique(np.stack([anchor, rel, other], 1), axis=0)
+    if not len(trip):
+        return 1
+    pair = trip[:, 0] * (trip[:, 1].max() + 1) + trip[:, 1]
+    _, counts = np.unique(pair, return_counts=True)
+    return int(counts.max())
 
 
 def _lex_less(a1, r1, o1, a2, r2, o2):
     return (a1 < a2) | ((a1 == a2) & ((r1 < r2) | ((r1 == r2) & (o1 < o2))))
 
 
-def isin_triples(keys: EdgeKeySet, anchor: Array, rel: Optional[Array], other: Array) -> Array:
-    """Vectorized membership of (anchor, rel, other) queries (any broadcastable
-    shapes) against the sorted key set. Returns bool array of the query shape."""
-    qa, qr, qo = jnp.broadcast_arrays(
-        anchor.astype(jnp.int32),
-        (rel if rel is not None else jnp.zeros_like(anchor)).astype(jnp.int32),
-        other.astype(jnp.int32))
-    shape = qa.shape
-    qa, qr, qo = qa.reshape(-1), qr.reshape(-1), qo.reshape(-1)
-
+def _lex_lower_bound(keys: EdgeKeySet, qa: Array, qr: Array, qo: Array) -> Array:
+    """Insertion point of each flat (qa, qr, qo) query in the sorted set."""
     n = keys.anchor.shape[0]
     assert n < np.iinfo(np.int32).max, \
         "edge key set exceeds int32 rows; shard the filter edge set"
@@ -87,16 +103,45 @@ def isin_triples(keys: EdgeKeySet, anchor: Array, rel: Optional[Array], other: A
         midc = jnp.minimum(mid, n - 1)
         # scalar gathers serialize on TPU; take_1d vectorizes them — the
         # binary search does ~log2(E) rounds of three gathers over every
-        # query, which dominates streamed filtered evaluation
+        # query
         less = _lex_less(take_1d(keys.anchor, midc), take_1d(keys.rel, midc),
                          take_1d(keys.other, midc), qa, qr, qo)
         return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def isin_triples(keys: EdgeKeySet, anchor: Array, rel: Optional[Array], other: Array) -> Array:
+    """Vectorized membership of (anchor, rel, other) queries (any broadcastable
+    shapes) against the sorted key set. Returns bool array of the query shape."""
+    qa, qr, qo = jnp.broadcast_arrays(
+        anchor.astype(jnp.int32),
+        (rel if rel is not None else jnp.zeros_like(anchor)).astype(jnp.int32),
+        other.astype(jnp.int32))
+    shape = qa.shape
+    qa, qr, qo = qa.reshape(-1), qr.reshape(-1), qo.reshape(-1)
+    n = keys.anchor.shape[0]
+    lo = _lex_lower_bound(keys, qa, qr, qo)
+    from marius_tpu.ops.gather1d import take_1d
     pos = jnp.minimum(lo, n - 1)
     found = ((lo < n) & (take_1d(keys.anchor, pos) == qa)
              & (take_1d(keys.rel, pos) == qr) & (take_1d(keys.other, pos) == qo))
     return found.reshape(shape)
+
+
+def anchor_ranges(keys: EdgeKeySet, anchors: Array,
+                  rels: Optional[Array]) -> tuple:
+    """Per-query [lo, hi) row range of the key set holding (anchor, rel, *):
+    two binary searches per query — the all-node filtered-ranking correction
+    needs each edge's TRUE-candidate list, which is exactly this contiguous
+    run (the set is (anchor, rel, other)-lexsorted)."""
+    qa = anchors.astype(jnp.int32)
+    qr = (rels if rels is not None else jnp.zeros_like(anchors)).astype(jnp.int32)
+    lo = _lex_lower_bound(keys, qa, qr, jnp.full_like(qa, -1))
+    hi = _lex_lower_bound(keys, qa, qr,
+                          jnp.full_like(qa, np.iinfo(np.int32).max))
+    return lo, hi
 
 
 def filter_mask_all_nodes(keys: EdgeKeySet, anchors: Array, rels: Optional[Array],

@@ -68,6 +68,7 @@ class LinkPredictionEvaluator:
                                     # eval samplers being ALL)
         fg_ops=None,                # pre-prepared ops (share the const-agg /
                                     # inverse-map work across evaluators)
+        node_chunk: Optional[int] = None,  # streamed-scan chunk override
     ):
         self.model = model
         self.num_nodes = num_nodes
@@ -102,37 +103,73 @@ class LinkPredictionEvaluator:
             # train+valid+test (+extra filter edges) in both directions.
             self.dst_keys = build_edge_key_set(all_edges, corrupt_dst=True)
             self.src_keys = build_edge_key_set(all_edges, corrupt_dst=False)
+            # static pad width of per-edge true-candidate lists (the rank
+            # correction; 64-multiples bound recompiles across datasets)
+            from marius_tpu.ops.edge_keys import max_anchor_tail
+            self.dst_tail_cap = -(-max_anchor_tail(all_edges, True) // 64) * 64
+            self.src_tail_cap = -(-max_anchor_tail(all_edges, False) // 64) * 64
 
         # filtered mode streams all-node scoring over fixed node chunks so
         # device memory stays (B, chunk) regardless of graph size (the (B, N)
-        # score matrix at 1M nodes would be 4GB/batch)
-        self.node_chunk = min(_pow2_ceil(num_nodes), 8192)
+        # score matrix at 1M nodes would be 4GB/batch). Chunk sizing: per-
+        # chunk scan overhead is ~fixed, so large graphs want large chunks
+        # (N/8192 scan steps at 86M nodes = 10.5k steps/batch); 32k chunks
+        # measured best at >=10M nodes on v5e (bench_eval_scale.py), 8k
+        # below that. Overridable via ``node_chunk``.
+        if node_chunk is not None:
+            self.node_chunk = min(_pow2_ceil(num_nodes), int(node_chunk))
+        else:
+            self.node_chunk = min(_pow2_ceil(num_nodes),
+                                  32_768 if num_nodes >= 4_000_000 else 8_192)
 
         self._eval_fn = jax.jit(self._build_eval_fn())
 
     # ------------------------------------------------------------------
     def _streamed_filtered_ranks(self, encoded: Array, adj_anchor: Array,
                                  pos: Array, anchors: Array,
-                                 rels: Optional[Array], keys) -> Array:
-        """rank-1 counts vs ALL nodes, scanned in node chunks: rank_i =
-        sum_j [score(i, j) >= pos_i and (anchor_i, rel_i, j) not a true edge].
-        Replaces materializing the (B, num_nodes) matrix + filter mask."""
+                                 rels: Optional[Array], keys,
+                                 tail_cap: int) -> Array:
+        """Filtered rank vs ALL nodes = (unfiltered >=-count) minus the
+        true-candidate >=-count, plus 1.
+
+        The unfiltered pass is a pure matmul+compare scan over node chunks.
+        The correction gathers each edge's TRUE-candidate list — a contiguous
+        run of the (anchor, rel, other)-sorted key set found with two binary
+        searches per edge — and rescores only those (<= tail_cap per edge).
+        The positive itself appears in both counts and cancels. This replaces
+        the old per-(edge x node) membership test, whose E x N binary
+        searches dominated large-N evaluation (~50x slower at N=50k and
+        crashing the TPU runtime beyond ~100k nodes)."""
+        from marius_tpu.ops.edge_keys import anchor_ranges
+        from marius_tpu.ops.gather1d import take_1d
+
         decoder = self.model.decoder
         num_nodes = self.num_nodes
         C = self.node_chunk
         num_chunks = -(-num_nodes // C)
         b = pos.shape[0]
 
+        lo, hi = anchor_ranges(keys, anchors, rels)
+        rows = lo[:, None] + jnp.arange(tail_cap, dtype=jnp.int32)[None, :]
+        tvalid = rows < hi[:, None]
+        n_keys = keys.other.shape[0]
+        cand = take_1d(keys.other, jnp.minimum(rows, n_keys - 1))  # (B, K)
+
         def body(counts, start):
             ids = start + jnp.arange(C, dtype=jnp.int32)
             embs = encoded[jnp.minimum(ids, num_nodes - 1)]
             scores = decoder.neg_scores(adj_anchor, embs[None, :, :], num_chunks=1)
             valid = ids < num_nodes
-            fmask = isin_triples(
-                keys, anchors[:, None],
-                None if rels is None else rels[:, None], ids[None, :])
-            ge = (scores >= pos[:, None]) & valid[None, :] & ~fmask
-            return counts + jnp.sum(ge, axis=1).astype(jnp.int32), None
+            ge = (scores >= pos[:, None]) & valid[None, :]
+            # subtract true candidates that fall in THIS chunk, read from the
+            # SAME score matrix — exact cancellation (the positive included),
+            # no second scoring pass, no per-(edge x node) membership test
+            rel_col = cand - start
+            in_chunk = tvalid & (rel_col >= 0) & (rel_col < C)
+            g = jnp.take_along_axis(scores, jnp.clip(rel_col, 0, C - 1), axis=1)
+            true_ge = in_chunk & (g >= pos[:, None])
+            delta = (jnp.sum(ge, axis=1) - jnp.sum(true_ge, axis=1))
+            return counts + delta.astype(jnp.int32), None
 
         starts = jnp.arange(num_chunks, dtype=jnp.int32) * C
         counts, _ = jax.lax.scan(body, jnp.zeros((b,), jnp.int32), starts)
@@ -158,7 +195,8 @@ class LinkPredictionEvaluator:
         pos = decoder.pos_scores(adj_src, dst_e)
         if self.filtered:
             ranks = self._streamed_filtered_ranks(
-                encoded, adj_src, pos, src, rel, self.dst_keys)
+                encoded, adj_src, pos, src, rel, self.dst_keys,
+                self.dst_tail_cap)
             directions.append((ranks, pos))
         else:
             k = jax.random.fold_in(jax.random.key(self.seed), idx)
@@ -186,7 +224,8 @@ class LinkPredictionEvaluator:
             inv_pos = decoder.pos_scores(adj_dst, src_e)
             if self.filtered:
                 inv_ranks = self._streamed_filtered_ranks(
-                    encoded, adj_dst, inv_pos, dst, rel, self.src_keys)
+                    encoded, adj_dst, inv_pos, dst, rel, self.src_keys,
+                    self.src_tail_cap)
                 directions.append((inv_ranks, inv_pos))
             else:
                 k = jax.random.fold_in(jax.random.key(self.seed), idx)
@@ -243,11 +282,14 @@ class LinkPredictionEvaluator:
             return adj, decoder.pos_scores(adj, other_e)
 
         @jax.jit
-        def tile_counts(adj, pos, anchors, rels, tile, tile_start, keys):
-            # scan 8192-node sub-chunks of the tile: the transient score
-            # block stays (edge_slice, 8192) — the full (edge_slice,
-            # node_tile) matrix at the defaults would be multi-GB, defeating
-            # the host-streaming mode's whole memory bound
+        def tile_counts(adj, pos, tile, tile_start, cand, tvalid):
+            # filtered >=-counts over one node tile, scanned in 8192-node
+            # sub-chunks: the transient score block stays (edge_slice, 8192)
+            # — the full (edge_slice, node_tile) matrix at the defaults
+            # would be multi-GB, defeating the host-streaming memory bound.
+            # True candidates falling inside each sub-chunk are subtracted
+            # from the SAME score matrix (exact cancellation; same
+            # restructure as _streamed_filtered_ranks).
             sub = min(8192, tile.shape[0])
             n_sub = tile.shape[0] // sub
 
@@ -257,18 +299,26 @@ class LinkPredictionEvaluator:
                 scores = decoder.neg_scores(adj, blk[None, :, :], num_chunks=1)
                 ids = tile_start + start_c + jnp.arange(sub, dtype=jnp.int32)
                 valid = ids < num_nodes
-                fmask = isin_triples(keys, anchors[:, None],
-                                     None if rels is None else rels[:, None],
-                                     ids[None, :])
-                ge = (scores >= pos[:, None]) & valid[None, :] & ~fmask
-                return counts + jnp.sum(ge, axis=1).astype(jnp.int32), None
+                ge = (scores >= pos[:, None]) & valid[None, :]
+                rel_col = cand - (tile_start + start_c)
+                in_chunk = tvalid & (rel_col >= 0) & (rel_col < sub)
+                g = jnp.take_along_axis(scores, jnp.clip(rel_col, 0, sub - 1),
+                                        axis=1)
+                true_ge = in_chunk & (g >= pos[:, None])
+                delta = jnp.sum(ge, axis=1) - jnp.sum(true_ge, axis=1)
+                return counts + delta.astype(jnp.int32), None
 
             counts, _ = jax.lax.scan(
                 body, jnp.zeros((adj.shape[0],), jnp.int32),
                 jnp.arange(n_sub, dtype=jnp.int32))
             return counts
 
-        self._host_fns_cache = (adjust, tile_counts)
+        @jax.jit
+        def slice_ranges(keys, anchors, rels):
+            from marius_tpu.ops.edge_keys import anchor_ranges
+            return anchor_ranges(keys, anchors, rels)
+
+        self._host_fns_cache = (adjust, tile_counts, slice_ranges)
         return self._host_fns_cache
 
     def evaluate_from_host_table(self, host_values: "np.ndarray", params,
@@ -307,23 +357,25 @@ class LinkPredictionEvaluator:
         node_tile = min(node_tile, _pow2_ceil(num_nodes))
         edge_slice = min(edge_slice, _pow2_ceil(len(edges)))
 
-        adjust, tile_counts = self._host_fns()
+        adjust, tile_counts, slice_ranges = self._host_fns()
 
         directions = []
         src_e = put_arg(host[edges[:, 0]])
         dst_e = put_arg(host[edges[:, -1]])
         rel_j = None if rels_np is None else put_arg(rels_np)
         adj, pos = adjust(params, src_e, dst_e, rel_j, False)
-        directions.append((adj, pos, put_arg(edges[:, 0]), self.dst_keys))
+        directions.append((adj, pos, put_arg(edges[:, 0]), self.dst_keys,
+                           self.dst_tail_cap))
         if decoder.use_inverse_relations and rels_np is not None:
             adj2, pos2 = adjust(params, dst_e, src_e, rel_j, True)
-            directions.append((adj2, pos2, put_arg(edges[:, -1]), self.src_keys))
+            directions.append((adj2, pos2, put_arg(edges[:, -1]),
+                               self.src_keys, self.src_tail_cap))
 
         e = len(edges)
         n_slices = -(-e // edge_slice)
 
         all_ranks = []
-        for adj, pos, anchors, keys in directions:
+        for adj, pos, anchors, keys, tail_cap in directions:
             # pre-pad every edge slice ONCE (devices arrays; reused across all
             # node tiles — re-converting per tile would re-transfer the whole
             # E x d anchor block thousands of times)
@@ -343,6 +395,21 @@ class LinkPredictionEvaluator:
                     None if rels_np is None else
                     put_arg(np.pad(rels_np[sl.start:sl.stop], (0, pad))),
                 ))
+            # per-slice true-candidate lists (contiguous runs of the
+            # sorted key set; two binary searches per edge)
+            slice_cands = []
+            for sl, a, p, an, r in slices:
+                lo, hi = slice_ranges(keys, an, r)
+                lo_np = np.asarray(lo)
+                hi_np = np.asarray(hi)
+                rows = lo_np[:, None] + np.arange(tail_cap)
+                tvalid = rows < hi_np[:, None]
+                n_keys = int(keys.other.shape[0])
+                cand = np.asarray(jnp.take(
+                    keys.other, jnp.asarray(np.minimum(rows, n_keys - 1))))
+                cand = np.where(tvalid, cand, -1)
+                slice_cands.append((put_arg(cand.astype(np.int32)),
+                                    put_arg(tvalid)))
             counts = np.zeros(e, np.int64)
             for start in range(0, num_nodes, node_tile):
                 block = host[start:start + node_tile]
@@ -351,8 +418,8 @@ class LinkPredictionEvaluator:
                         [block, np.zeros((node_tile - len(block),
                                           block.shape[1]), block.dtype)])
                 tile = put_arg(block)
-                for sl, a, p, an, r in slices:
-                    c = np.asarray(tile_counts(a, p, an, r, tile, start, keys))
+                for (sl, a, p, an, r), (cd, tv) in zip(slices, slice_cands):
+                    c = np.asarray(tile_counts(a, p, tile, start, cd, tv))
                     counts[sl] += c[:sl.stop - sl.start]
             all_ranks.append(counts + 1)
 
