@@ -245,13 +245,29 @@ def gat_layer(config: LayerConfig, params, inputs: Array, adj: LayerAdjacency,
 def rgcn_layer(config: LayerConfig, params, inputs: Array, adj: LayerAdjacency) -> Array:
     """RGCN over outgoing neighbors with per-relation matrices (rgcn_layer.cpp).
 
-    The reference bmm's one (d_out, d_in) matrix per neighbor; here we gather
-    relation matrices per fanout slot and contract on the MXU.
+    The reference bmm's one (d_out, d_in) matrix per neighbor. Two MXU
+    formulations, chosen by relation count:
+    - few relations (the typical NC RGCN): one masked MXU pass per relation
+      over the flat slot block — O(n*F*d) memory, R x the matmul flops;
+    - many relations: gather a (d_in, d_out) matrix per slot and contract —
+      flop-minimal but materializes (n, F, d_in, d_out), which explodes at
+      large sampled frontiers (30 GB at a 56k x 8-slot hop with d=128).
     """
     self_embs, _, out_embs = _gather_neighbors(inputs, adj)
     rel = adj.out_rel if adj.out_rel is not None else jnp.zeros_like(adj.out_nbr_idx)
-    rel_mats = params["relation_matrices"][rel]          # (n, F, d_in, d_out)
-    transformed = jnp.einsum("nfd,nfdo->nfo", out_embs, rel_mats)
+    W = params["relation_matrices"]                      # (R, d_in, d_out)
+    n, F, d_in = out_embs.shape
+    if config.num_relations <= 64:
+        flat = out_embs.reshape(n * F, d_in)
+        relf = rel.reshape(n * F)
+        acc = jnp.zeros((n * F, W.shape[-1]), out_embs.dtype)
+        for r in range(config.num_relations):
+            acc = acc + jnp.where((relf == r)[:, None],
+                                  flat @ W[r].astype(out_embs.dtype), 0)
+        transformed = acc.reshape(n, F, -1)
+    else:
+        rel_mats = W[rel]                                # (n, F, d_in, d_out)
+        transformed = jnp.einsum("nfd,nfdo->nfo", out_embs, rel_mats)
     a = masked_mean(transformed, adj.out_mask)
     out = a + self_embs @ params["self_matrix"]
     return post_hook(config, params, out)
