@@ -91,7 +91,7 @@ def main():
         "value": round(nps, 1),
         "unit": "nodes/s",
         "vs_baseline": round(nps / BASELINE_NODES_PER_SEC, 3),
-        "truncated_frontier_ids": 0,
+        "truncated_frontier_ids": int(_ov),  # measured, 0 iff caps are exact
     }), flush=True)
 
 

@@ -243,6 +243,16 @@ def _negative_sampling(d: Optional[Dict]) -> NegativeSamplingConfig:
     )
 
 
+def _hop_caps_auto_flag(raw) -> bool:
+    if not isinstance(raw, str):
+        return False
+    if raw.lower() != "auto":
+        raise ValueError(
+            f"model.encoder.hop_caps: unknown string {raw!r} — expected "
+            f"'auto' or a list of per-hop integer caps")
+    return True
+
+
 def _next_model_dir(dataset_dir: str) -> str:
     """First free <dataset_dir>/model_0..model_10 so repeated runs don't
     silently overwrite earlier models; saturates at model_10
@@ -445,8 +455,7 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
             default_outgoing=bool(enc_raw.get("use_outgoing_nbrs", True))),
         hop_caps=(() if isinstance(enc_raw.get("hop_caps"), str)
                   else tuple(int(x) for x in (enc_raw.get("hop_caps") or []))),
-        hop_caps_auto=(isinstance(enc_raw.get("hop_caps"), str)
-                       and str(enc_raw.get("hop_caps")).lower() == "auto"),
+        hop_caps_auto=_hop_caps_auto_flag(enc_raw.get("hop_caps")),
         all_cap_limit=int(enc_raw.get("all_cap_limit", 4096)),
         full_graph=str(enc_raw.get("full_graph", "AUTO")).upper(),
         learning_task=learning_task,

@@ -64,6 +64,7 @@ def estimate_hop_caps(batch_size: int, configs: Sequence[NeighborSamplingConfig]
 def estimate_hop_caps_empirical(
     edges, num_nodes: int, configs: Sequence[NeighborSamplingConfig],
     batch_size: int, seed: int = 0, trials: int = 6, margin: float = 1.35,
+    seed_pool=None,
 ) -> List[int]:
     """Data-sized hop caps: simulate the hop expansion on the host over a few
     random seed batches and cap each hop at (max observed unique count) x
@@ -92,9 +93,14 @@ def estimate_hop_caps_empirical(
     out_offs, out_cols = csr(e[:, 0], e[:, -1])
     in_offs, in_cols = csr(e[:, -1], e[:, 0])
 
+    # simulate from the ACTUAL seed distribution when known (train nodes
+    # cluster in dense regions on real graphs; uniform seeds undershoot)
+    pool = (np.asarray(seed_pool, np.int64) if seed_pool is not None
+            else np.arange(num_nodes, dtype=np.int64))
     maxes = [batch_size] * (len(configs) + 1)
     for _ in range(trials):
-        cur = np.unique(rng.integers(0, num_nodes, batch_size))
+        take = min(batch_size, len(pool))
+        cur = np.unique(rng.choice(pool, take, replace=False))
         for depth, cfg in enumerate(reversed(list(configs))):
             fan = cfg.max_neighbors
             cand = [cur]

@@ -376,19 +376,29 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 return _BufferNCEval(nodes) if len(nodes) else None
         else:
             auto_caps = None
+            from marius_tpu.ops.unique import PREFIX_BITMAP_LIMIT
             if cfg.hop_caps_auto and not cfg.hop_caps and train_nbr and \
-                    not any(c.sampling_type.upper() == "ALL" for c in train_nbr):
+                    not any(c.sampling_type.upper() == "ALL" for c in train_nbr) \
+                    and num_nodes <= PREFIX_BITMAP_LIMIT:
                 # `hop_caps: auto`: size caps from the graph's observed
                 # frontier growth instead of the geometric worst case; safe
-                # because the frontier-prefix sampler degrades overflow to
-                # counted uniform truncation (data/samplers/neighbor.py)
+                # ONLY below the prefix-bitmap limit, where the sampler
+                # degrades overflow to counted uniform truncation (beyond
+                # it the sorted dedup path would alias dropped ids, so we
+                # keep worst-case caps there)
                 from marius_tpu.data.samplers.neighbor import (
                     estimate_hop_caps_empirical,
                 )
                 auto_caps = estimate_hop_caps_empirical(
                     edges, num_nodes, train_nbr, nc_batch_size,
-                    seed=cfg.training.seed)
+                    seed=cfg.training.seed, seed_pool=train_nodes)
                 log.info("empirical hop caps: %s", auto_caps)
+            elif cfg.hop_caps_auto and num_nodes > PREFIX_BITMAP_LIMIT:
+                log.warning(
+                    "hop_caps: auto ignored at %d nodes (> prefix-bitmap "
+                    "limit %d): tight caps would alias on the sorted dedup "
+                    "path; using worst-case caps", num_nodes,
+                    PREFIX_BITMAP_LIMIT)
             trainer = NodeClassificationTrainer(
                 model, graph, features, labels, train_nodes,
                 train_nbr,
@@ -430,18 +440,25 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
     elif not train:
         # evaluation.checkpoint_dir overrides model_dir (marius.cpp:81-84)
         model_dir = cfg.evaluation.checkpoint_dir or cfg.storage.model_dir
-        if model_dir and not os.path.exists(os.path.join(model_dir, "meta.yaml")):
-            # auto-versioned model_dir (schema._next_model_dir) resolves to
+        if model_dir and not cfg.evaluation.checkpoint_dir \
+                and not os.path.exists(os.path.join(model_dir, "meta.yaml")):
+            # AUTO-versioned model_dir (schema._next_model_dir) resolves to
             # the next FREE model_<i> at load time; for eval, fall back to
-            # the newest sibling that actually holds a trained model
+            # the most recently trained sibling. Never applied to an
+            # explicitly-set checkpoint_dir — a typo there must fail loudly,
+            # not silently evaluate a different model.
             base = os.path.dirname(model_dir)
             tail = os.path.basename(model_dir)
             if tail.startswith("model_") and tail[6:].isdigit():
-                for i in reversed(range(11)):
-                    cand = os.path.join(base, f"model_{i}")
-                    if os.path.exists(os.path.join(cand, "meta.yaml")):
-                        model_dir = cand
-                        break
+                best = None
+                for i in range(11):
+                    meta = os.path.join(base, f"model_{i}", "meta.yaml")
+                    if os.path.exists(meta):
+                        mt = os.path.getmtime(meta)
+                        if best is None or mt > best[0]:
+                            best = (mt, os.path.join(base, f"model_{i}"))
+                if best is not None:
+                    model_dir = best[1]
         if model_dir and os.path.exists(os.path.join(model_dir, "meta.yaml")):
             state, meta = ckpt.load_state(model_dir, runtime.trainer.state)
             runtime.trainer.state = state

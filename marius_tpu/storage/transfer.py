@@ -100,11 +100,13 @@ def write_rows(buf: jax.Array, host_block: np.ndarray, start: int) -> jax.Array:
     remote-attached runtimes."""
     n = host_block.shape[0]
     row_bytes = int(host_block.nbytes // max(1, n)) if n else 0
-    if not chunked_enabled() or host_block.nbytes <= DIRECT_BYTES:
+    cr = _chunk_rows(row_bytes) if row_bytes else n
+    # single put when the block is small OR fits one chunk (a tail span with
+    # n < cr would go negative and silently misplace rows)
+    if not chunked_enabled() or host_block.nbytes <= DIRECT_BYTES or n <= cr:
         block = _put_retry(np.ascontiguousarray(host_block), drain=buf) \
             if chunked_enabled() else jax.device_put(np.ascontiguousarray(host_block))
         return _write_rows(buf, block, start)
-    cr = _chunk_rows(row_bytes)
     spans = []
     for lo in range(0, n, cr):
         if lo + cr <= n:

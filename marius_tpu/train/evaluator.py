@@ -45,6 +45,11 @@ def _pow2_ceil(x: int) -> int:
 
 HITS_KS = (1, 3, 5, 10, 50, 100)
 
+# max per-edge true-candidate pad width for the fast in-scan rank correction;
+# hub-heavy filter sets beyond this fall back to the per-chunk membership test
+# ((B, tail_cap) blocks at 1M-tail hubs would be multi-GB)
+TAIL_CAP_LIMIT = 32_768
+
 
 class LinkPredictionEvaluator:
     """Filtered (all-node) or unfiltered (sampled) ranking evaluation."""
@@ -149,11 +154,13 @@ class LinkPredictionEvaluator:
         num_chunks = -(-num_nodes // C)
         b = pos.shape[0]
 
-        lo, hi = anchor_ranges(keys, anchors, rels)
-        rows = lo[:, None] + jnp.arange(tail_cap, dtype=jnp.int32)[None, :]
-        tvalid = rows < hi[:, None]
-        n_keys = keys.other.shape[0]
-        cand = take_1d(keys.other, jnp.minimum(rows, n_keys - 1))  # (B, K)
+        use_tail = tail_cap <= TAIL_CAP_LIMIT
+        if use_tail:
+            lo, hi = anchor_ranges(keys, anchors, rels)
+            rows = lo[:, None] + jnp.arange(tail_cap, dtype=jnp.int32)[None, :]
+            tvalid = rows < hi[:, None]
+            n_keys = keys.other.shape[0]
+            cand = take_1d(keys.other, jnp.minimum(rows, n_keys - 1))  # (B, K)
 
         def body(counts, start):
             ids = start + jnp.arange(C, dtype=jnp.int32)
@@ -161,13 +168,22 @@ class LinkPredictionEvaluator:
             scores = decoder.neg_scores(adj_anchor, embs[None, :, :], num_chunks=1)
             valid = ids < num_nodes
             ge = (scores >= pos[:, None]) & valid[None, :]
-            # subtract true candidates that fall in THIS chunk, read from the
-            # SAME score matrix — exact cancellation (the positive included),
-            # no second scoring pass, no per-(edge x node) membership test
-            rel_col = cand - start
-            in_chunk = tvalid & (rel_col >= 0) & (rel_col < C)
-            g = jnp.take_along_axis(scores, jnp.clip(rel_col, 0, C - 1), axis=1)
-            true_ge = in_chunk & (g >= pos[:, None])
+            if use_tail:
+                # subtract true candidates that fall in THIS chunk, read
+                # from the SAME score matrix — exact cancellation (the
+                # positive included), no per-(edge x node) membership test
+                rel_col = cand - start
+                in_chunk = tvalid & (rel_col >= 0) & (rel_col < C)
+                g = jnp.take_along_axis(scores, jnp.clip(rel_col, 0, C - 1),
+                                        axis=1)
+                true_ge = in_chunk & (g >= pos[:, None])
+            else:
+                # hub-heavy filter set (a (B, tail_cap) candidate block
+                # would not fit): per-chunk membership test — slower but
+                # memory-bounded
+                true_ge = ge & isin_triples(
+                    keys, anchors[:, None],
+                    None if rels is None else rels[:, None], ids[None, :])
             delta = (jnp.sum(ge, axis=1) - jnp.sum(true_ge, axis=1))
             return counts + delta.astype(jnp.int32), None
 
@@ -281,8 +297,9 @@ class LinkPredictionEvaluator:
             adj = decoder.apply_relation(anchor_e, rels)
             return adj, decoder.pos_scores(adj, other_e)
 
-        @jax.jit
-        def tile_counts(adj, pos, tile, tile_start, cand, tvalid):
+        @partial(jax.jit, static_argnames=("use_tail",))
+        def tile_counts(adj, pos, tile, tile_start, cand, tvalid, anchors,
+                        rels, keys, use_tail=True):
             # filtered >=-counts over one node tile, scanned in 8192-node
             # sub-chunks: the transient score block stays (edge_slice, 8192)
             # — the full (edge_slice, node_tile) matrix at the defaults
@@ -300,11 +317,17 @@ class LinkPredictionEvaluator:
                 ids = tile_start + start_c + jnp.arange(sub, dtype=jnp.int32)
                 valid = ids < num_nodes
                 ge = (scores >= pos[:, None]) & valid[None, :]
-                rel_col = cand - (tile_start + start_c)
-                in_chunk = tvalid & (rel_col >= 0) & (rel_col < sub)
-                g = jnp.take_along_axis(scores, jnp.clip(rel_col, 0, sub - 1),
-                                        axis=1)
-                true_ge = in_chunk & (g >= pos[:, None])
+                if use_tail:
+                    rel_col = cand - (tile_start + start_c)
+                    in_chunk = tvalid & (rel_col >= 0) & (rel_col < sub)
+                    g = jnp.take_along_axis(scores,
+                                            jnp.clip(rel_col, 0, sub - 1),
+                                            axis=1)
+                    true_ge = in_chunk & (g >= pos[:, None])
+                else:
+                    true_ge = ge & isin_triples(
+                        keys, anchors[:, None],
+                        None if rels is None else rels[:, None], ids[None, :])
                 delta = jnp.sum(ge, axis=1) - jnp.sum(true_ge, axis=1)
                 return counts + delta.astype(jnp.int32), None
 
@@ -396,9 +419,16 @@ class LinkPredictionEvaluator:
                     put_arg(np.pad(rels_np[sl.start:sl.stop], (0, pad))),
                 ))
             # per-slice true-candidate lists (contiguous runs of the
-            # sorted key set; two binary searches per edge)
+            # sorted key set; two binary searches per edge); hub-heavy sets
+            # fall back to the per-chunk membership test (use_tail=False)
+            use_tail = tail_cap <= TAIL_CAP_LIMIT
             slice_cands = []
+            dummy = (put_arg(np.full((edge_slice, 1), -1, np.int32)),
+                     put_arg(np.zeros((edge_slice, 1), bool)))
             for sl, a, p, an, r in slices:
+                if not use_tail:
+                    slice_cands.append(dummy)
+                    continue
                 lo, hi = slice_ranges(keys, an, r)
                 lo_np = np.asarray(lo)
                 hi_np = np.asarray(hi)
@@ -419,7 +449,9 @@ class LinkPredictionEvaluator:
                                           block.shape[1]), block.dtype)])
                 tile = put_arg(block)
                 for (sl, a, p, an, r), (cd, tv) in zip(slices, slice_cands):
-                    c = np.asarray(tile_counts(a, p, tile, start, cd, tv))
+                    c = np.asarray(tile_counts(a, p, tile, start, cd, tv,
+                                               an, r, keys,
+                                               use_tail=use_tail))
                     counts[sl] += c[:sl.stop - sl.start]
             all_ranks.append(counts + 1)
 

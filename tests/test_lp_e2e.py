@@ -157,3 +157,44 @@ def test_training_is_exactly_reproducible():
     assert s1[0]["loss"] == s2[0]["loss"]
     assert s1[1]["loss"] == s2[1]["loss"]
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_filtered_eval_hub_fallback_matches_fast_path(monkeypatch):
+    """When tail_cap exceeds TAIL_CAP_LIMIT the evaluator falls back to the
+    per-chunk membership test — identical ranks either way."""
+    import marius_tpu.train.evaluator as EVM
+    train, valid, test = generate_random_lp_dataset()
+    trainer = LinkPredictionTrainer(
+        _model(), NUM_NODES, NUM_RELS, train,
+        NegativeSamplingConfig(num_chunks=5, negatives_per_positive=20),
+        batch_size=100, seed=0)
+    trainer.train(1)
+    all_edges = np.concatenate([train, valid, test])
+
+    ev_fast = LinkPredictionEvaluator(_model(), NUM_NODES, NUM_RELS, test,
+                                      all_edges=all_edges, batch_size=50,
+                                      filtered=True)
+    res_fast = ev_fast.evaluate(trainer.state)
+    monkeypatch.setattr(EVM, "TAIL_CAP_LIMIT", 1)  # force the fallback
+    ev_slow = LinkPredictionEvaluator(_model(), NUM_NODES, NUM_RELS, test,
+                                      all_edges=all_edges, batch_size=50,
+                                      filtered=True)
+    res_slow = ev_slow.evaluate(trainer.state)
+    assert abs(res_fast["mrr"] - res_slow["mrr"]) < 1e-6
+    host = np.asarray(trainer.state.table.values)
+    res_host = ev_slow.evaluate_from_host_table(
+        host, trainer.state.params, edge_slice=32, node_tile=16)
+    assert abs(res_fast["mrr"] - res_host["mrr"]) < 1e-5
+
+
+def test_transfer_block_smaller_than_chunk(monkeypatch):
+    """Regression: a block with DIRECT_BYTES < nbytes < CHUNK_BYTES must not
+    take a negative tail span (silently misplaced rows)."""
+    from marius_tpu.storage import transfer
+    monkeypatch.setattr(transfer, "DIRECT_BYTES", 1024)
+    monkeypatch.setattr(transfer, "CHUNK_BYTES", 1 << 20)  # chunk >> block
+    rng = np.random.default_rng(0)
+    host = rng.standard_normal((500, 7)).astype(np.float32)  # 14 KB
+    buf = transfer.alloc_rows(600, 7, np.float32)
+    buf = transfer.write_rows(buf, host, 50)
+    np.testing.assert_array_equal(transfer.read_rows(buf, 50, 500), host)
