@@ -86,7 +86,8 @@ def build_trainer():
     t0 = time.perf_counter()
     trainer = PartitionBufferLPTrainer(
         model, NUM_NODES, NUM_RELS, edges,
-        NegativeSamplingConfig(num_chunks=10, negatives_per_positive=500),
+        NegativeSamplingConfig(num_chunks=10, negatives_per_positive=500,
+                               degree_fraction=0.5),  # freebase86m_comet.yaml
         batch_size=BATCH, num_partitions=NUM_PARTITIONS,
         buffer_capacity=CAPACITY, seed=0, ordering="COMET",
         sparse_writeback=True, profile_states=True)
