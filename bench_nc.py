@@ -80,9 +80,10 @@ def main():
     import jax as _jax
     n_epochs = 2
     t0 = time.perf_counter()
+    data = trainer._data_args()
     for _ in range(n_epochs):
         trainer.state, (loss, _ov) = trainer._epoch_fn(
-            trainer.state, trainer.train_nodes, None)
+            trainer.state, trainer.train_nodes, None, data)
     _jax.block_until_ready(loss)
     nps = n_epochs * NUM_TRAIN / (time.perf_counter() - t0)
 

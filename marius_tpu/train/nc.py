@@ -329,14 +329,27 @@ class NodeClassificationTrainer:
                           jax.jit(self._build_epoch_fn(), donate_argnums=(0,)))
 
     # ------------------------------------------------------------------
+    def _data_args(self):
+        """The sampled path's large read-only arrays (graph CSR, features,
+        labels) as ONE pytree passed as a jit ARGUMENT. Closing over them
+        would embed them as constants in the compiled module — the remote
+        compiler serializes closure constants (a 224 MB feature table
+        exceeds its request limit outright), and even locally constants
+        bloat every executable. Same lesson as the full-graph path's phi
+        (ROUND3_NOTES #1)."""
+        return {"graph": self.graph, "feats": self.features,
+                "labels": self.labels}
+
     def _encode_batch(self, params, table_values, key, seeds, seed_mask,
-                      train: bool, hop_caps=None):
-        nb = sample_neighbor_batch(key, self.graph, seeds, seed_mask,
+                      train: bool, hop_caps=None, data=None):
+        graph = data["graph"] if data is not None else self.graph
+        features = data["feats"] if data is not None else self.features
+        nb = sample_neighbor_batch(key, graph, seeds, seed_mask,
                                    self.nbr_configs, hop_caps or self.hop_caps)
         outer_ids = nb.node_ids[0]
         feats = None
-        if self.features is not None:
-            feats = self.features[jnp.minimum(outer_ids, self.graph.num_nodes)]
+        if features is not None:
+            feats = features[jnp.minimum(outer_ids, graph.num_nodes)]
         emb = outer_uniq = None
         if table_values is not None:
             outer_uniq = outer_ids  # hop sets are already unique & padded with N
@@ -344,15 +357,15 @@ class NodeClassificationTrainer:
         return nb, feats, emb, outer_uniq
 
     def _batch_step(self, state: TrainState, seeds: Array, mask_b: Array,
-                    fg=None):
+                    fg=None, data=None):
         """Returns (state, (loss, overflow)); overflow counts frontier ids
         dropped by tight hop caps this batch (always 0 in full-graph mode)."""
         if self.full_graph is not None:
             s, loss = self._batch_step_full_graph(state, seeds, mask_b, fg=fg)
             return s, (loss, jnp.zeros((), jnp.int32))
         if self.mesh is None:
-            return self._batch_step_local(state, seeds, mask_b, None)
-        return self._sharded_batch_step(state, seeds, mask_b)
+            return self._batch_step_local(state, seeds, mask_b, None, data)
+        return self._sharded_batch_step(state, seeds, mask_b, data)
 
     def _fg_prepare(self, fg):
         """(feats, adj, ops) for one full-graph forward. ``fg`` (the
@@ -451,7 +464,7 @@ class NodeClassificationTrainer:
                           opt_state=new_opt, key=key, epoch=state.epoch), loss
 
     def _batch_step_local(self, state: TrainState, seeds: Array, mask_b: Array,
-                          data_axis: Optional[str]):
+                          data_axis: Optional[str], data=None):
         """One train batch. With ``data_axis`` set this runs as a shard_map
         body: seeds/mask are the shard's sub-batch, dense grads and the
         embedding-grad accumulator psum over the axis, and MEAN losses are
@@ -462,10 +475,12 @@ class NodeClassificationTrainer:
         if data_axis is not None:
             k_s = jax.random.fold_in(k_s, jax.lax.axis_index(data_axis))
 
+        graph = data["graph"] if data is not None else self.graph
+        labels_arr = data["labels"] if data is not None else self.labels
         table_values = state.table.values if state.table is not None else None
         nb, feats, emb0, outer_ids = self._encode_batch(
-            state.params, table_values, k_s, seeds, mask_b, True)
-        labels_b = self.labels[jnp.minimum(seeds, self.graph.num_nodes)]
+            state.params, table_values, k_s, seeds, mask_b, True, data=data)
+        labels_b = labels_arr[jnp.minimum(seeds, graph.num_nodes)]
         loss_mask = mask_b & nb.seed_mask
 
         w = 1.0
@@ -477,7 +492,7 @@ class NodeClassificationTrainer:
         def loss_fn(emb, dense_params):
             logits = encoder_forward(
                 model.encoder, dense_params["encoder"], emb, feats, nb,
-                degrees=self.graph.degrees, train=True,
+                degrees=graph.degrees, train=True,
                 dropout_key=jax.random.fold_in(k_s, 99))
             return nc_batch_loss(model, logits, labels_b, loss_mask) * w
 
@@ -496,7 +511,7 @@ class NodeClassificationTrainer:
                     EmbeddingTable,
                 )
                 n_data = int(self.mesh.shape[data_axis])
-                if n_data * outer_ids.shape[0] < self.graph.num_nodes:
+                if n_data * outer_ids.shape[0] < graph.num_nodes:
                     ids_all = jax.lax.all_gather(outer_ids, data_axis)
                     g_all = jax.lax.all_gather(g_emb, data_axis)
                     G = jnp.zeros_like(state.table.values).at[
@@ -528,17 +543,18 @@ class NodeClassificationTrainer:
         return TrainState(table=new_table, params=new_params, opt_state=new_opt,
                           key=key, epoch=state.epoch), (loss, overflow)
 
-    def _sharded_batch_step(self, state: TrainState, seeds: Array, mask_b: Array):
+    def _sharded_batch_step(self, state: TrainState, seeds: Array,
+                            mask_b: Array, data=None):
         from jax.sharding import PartitionSpec as P
 
         from marius_tpu.parallel.mesh import DATA_AXIS
 
         fn = jax.shard_map(
-            lambda s, sd, m: self._batch_step_local(s, sd, m, DATA_AXIS),
+            lambda s, sd, m, d: self._batch_step_local(s, sd, m, DATA_AXIS, d),
             mesh=self.mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=(P(), (P(), P())), check_vma=False)
-        return fn(state, seeds, mask_b)
+        return fn(state, seeds, mask_b, data)
 
     def _build_epoch_fn(self):
         nb, b = self.num_batches, self.batch_size
@@ -561,7 +577,8 @@ class NodeClassificationTrainer:
             csr_dev = self._fg_csr_dev
             rel_csr_dev = self._fg_rel_csr_dev
 
-            def epoch_fn_fg(state: TrainState, train_nodes: Array, fg=None):
+            def epoch_fn_fg(state: TrainState, train_nodes: Array, fg=None,
+                            data=None):
                 k_perm = jax.random.fold_in(jax.random.key(54321),
                                             state.epoch // self.epochs_per_shuffle)
                 perm = jax.random.permutation(k_perm, nb * b)
@@ -583,7 +600,8 @@ class NodeClassificationTrainer:
 
             return epoch_fn_fg
 
-        def epoch_fn(state: TrainState, train_nodes: Array, fg=None):
+        def epoch_fn(state: TrainState, train_nodes: Array, fg=None,
+                     data=None):
             k_perm = jax.random.fold_in(jax.random.key(54321),
                                             state.epoch // self.epochs_per_shuffle)
             perm = jax.random.permutation(k_perm, nb * b)
@@ -591,7 +609,7 @@ class NodeClassificationTrainer:
             masks = perm < num_train
 
             def body(carry, xs):
-                return self._batch_step(carry, xs[0], xs[1], fg)
+                return self._batch_step(carry, xs[0], xs[1], fg, data)
 
             state, (losses, ovs) = jax.lax.scan(
                 body, state, (shuffled.reshape(nb, b), masks.reshape(nb, b)))
@@ -683,7 +701,8 @@ class NodeClassificationTrainer:
             epoch = int(jax.device_get(self.state.epoch))
             self._fg_ensure_budget(epoch)
         self.state, (total_loss, overflow) = self._epoch_fn(
-            self.state, self.train_nodes, self._fg_struct)
+            self.state, self.train_nodes, self._fg_struct,
+            None if self.full_graph is not None else self._data_args())
         if epoch is not None:
             # size the NEXT epoch's budget while the chip runs this one
             self._fg_epoch_need(epoch + 1)
@@ -743,7 +762,8 @@ class NodeClassificationEvaluator:
         nb_, b = self.num_batches, self.batch_size
 
         if tr.full_graph is not None:
-            def eval_fn_fg(table_values, params, eval_nodes, fg=None):
+            def eval_fn_fg(table_values, params, eval_nodes, fg=None,
+                           data=None):
                 logits = self._full_graph_logits(table_values, params,
                                                  eval_nodes, fg=fg)
                 labels = tr.labels[jnp.minimum(eval_nodes, tr.graph.num_nodes)]
@@ -751,17 +771,19 @@ class NodeClassificationEvaluator:
                 return categorical_accuracy_statistics(logits, labels, mask)
             return eval_fn_fg
 
-        def eval_fn(table_values, params, eval_nodes, fg=None):
+        def eval_fn(table_values, params, eval_nodes, fg=None, data=None):
             def body(acc, xs):
                 seeds, mask_b, idx = xs
                 k = jax.random.fold_in(jax.random.key(self.seed), idx)
+                graph = data["graph"] if data is not None else tr.graph
+                labels_arr = data["labels"] if data is not None else tr.labels
                 nbatch, feats, emb, _ = tr._encode_batch(
                     params, table_values, k, seeds, mask_b, False,
-                    hop_caps=self.hop_caps)
+                    hop_caps=self.hop_caps, data=data)
                 logits = encoder_forward(
                     model.encoder, params["encoder"], emb, feats, nbatch,
-                    degrees=tr.graph.degrees, train=False)
-                labels_b = tr.labels[jnp.minimum(seeds, tr.graph.num_nodes)]
+                    degrees=graph.degrees, train=False)
+                labels_b = labels_arr[jnp.minimum(seeds, graph.num_nodes)]
                 stats = categorical_accuracy_statistics(
                     logits, labels_b, mask_b & nbatch.seed_mask)
                 return {k2: acc[k2] + v for k2, v in stats.items()}, None
@@ -779,9 +801,11 @@ class NodeClassificationEvaluator:
 
     def evaluate(self, state: TrainState) -> Dict[str, float]:
         table_values = state.table.values if state.table is not None else None
+        tr = self.trainer
+        data = None if tr.full_graph is not None else tr._data_args()
         stats = jax.device_get(self._eval_fn(
             table_values, state.params, self.eval_nodes,
-            getattr(self.trainer, "_fg_struct", None)))
+            getattr(tr, "_fg_struct", None), data))
         reporter = NodeClassificationReporter()
         reporter.add_statistics(stats)
         res = reporter.results()
@@ -809,16 +833,17 @@ class NodeClassificationEvaluator:
             return preds[:self.num_eval]
 
         @jax.jit
-        def labels_fn(table_values, params, eval_nodes):
+        def labels_fn(table_values, params, eval_nodes, data=None):
             def body(_, xs):
                 seeds, mask_b, idx = xs
                 k = jax.random.fold_in(jax.random.key(self.seed), idx)
+                graph = data["graph"] if data is not None else tr.graph
                 nbatch, feats, emb, _ = tr._encode_batch(
                     params, table_values, k, seeds, mask_b, False,
-                    hop_caps=self.hop_caps)
+                    hop_caps=self.hop_caps, data=data)
                 logits = encoder_forward(
                     model.encoder, params["encoder"], emb, feats, nbatch,
-                    degrees=tr.graph.degrees, train=False)
+                    degrees=graph.degrees, train=False)
                 return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             _, preds = jax.lax.scan(
@@ -829,5 +854,6 @@ class NodeClassificationEvaluator:
             return preds.reshape(-1)
 
         table_values = state.table.values if state.table is not None else None
-        preds = np.asarray(labels_fn(table_values, state.params, self.eval_nodes))
+        preds = np.asarray(labels_fn(table_values, state.params,
+                                     self.eval_nodes, tr._data_args()))
         return preds[:self.num_eval]
