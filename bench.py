@@ -58,8 +58,10 @@ def main():
     import jax as _jax
     n_epochs = 4
     t0 = _time.perf_counter()
+    data = trainer._data_args()
     for _ in range(n_epochs):
-        trainer.state, loss = trainer._epoch_fn(trainer.state, trainer.edges)
+        trainer.state, loss = trainer._epoch_fn(trainer.state, trainer.edges,
+                                                data)
     _jax.block_until_ready(loss)
     eps = n_epochs * trainer.num_edges / (_time.perf_counter() - t0)
 

@@ -77,24 +77,28 @@ def encode_all_nodes(
                            jnp.full((nb * batch_size - num_nodes,), num_nodes, jnp.int32)])
 
     @jax.jit
-    def encode(table_values, params, ids):
+    def encode(table_values, params, ids, graph_a, features_a):
+        # graph/features ride as ARGUMENTS — closure constants get
+        # serialized into the compiled module (multi-hundred-MB feature
+        # tables exceed remote-compile request limits)
         def body(_, xs):
             seeds, idx = xs
             mask = seeds < num_nodes
             k = jax.random.fold_in(jax.random.key(seed), idx)
-            batch = sample_neighbor_batch(k, graph, seeds, mask, nbr_configs, caps)
+            batch = sample_neighbor_batch(k, graph_a, seeds, mask, nbr_configs, caps)
             outer = batch.node_ids[0]
             emb = None if table_values is None else gather_rows(table_values, outer)
-            feats = None if features is None else features[jnp.minimum(outer, num_nodes)]
+            feats = None if features_a is None else \
+                features_a[jnp.minimum(outer, num_nodes)]
             out = encoder_forward(model.encoder, params["encoder"], emb, feats,
-                                  batch, degrees=graph.degrees, train=False)
+                                  batch, degrees=graph_a.degrees, train=False)
             return None, out
 
         _, outs = jax.lax.scan(body, None,
                                (ids.reshape(nb, batch_size), jnp.arange(nb)))
         return outs.reshape(nb * batch_size, -1)[:num_nodes]
 
-    return encode(table_values, params, ids)
+    return encode(table_values, params, ids, graph, features)
 
 
 def encode_all_nodes_host(

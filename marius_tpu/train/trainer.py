@@ -297,7 +297,17 @@ class LinkPredictionTrainer:
             self._chunk_fn = jax.jit(self._build_chunk_fn(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
-    def _batch_step(self, state: TrainState, edges_b: Array, mask_b: Array):
+    def _data_args(self):
+        """Large read-only arrays (graph CSR, features) as one jit-argument
+        pytree — closing over them embeds them as compiled-module constants
+        (remote compilers serialize those; a products-scale feature table
+        412s the compile request). Same lesson as the NC path / phi."""
+        return {"graph": self.graph, "feats": self.features}
+
+    def _batch_step(self, state: TrainState, edges_b: Array, mask_b: Array,
+                    data=None):
+        graph = data["graph"] if data is not None else self.graph
+        features = data["feats"] if data is not None else self.features
         model = self.model
         cfg = self.neg_config
         num_nodes = self.num_nodes
@@ -374,8 +384,8 @@ class LinkPredictionTrainer:
                 batch["k_drop"] = jax.random.key_data(k_drop)
                 values, acc, new_params, new_opt, loss = self._explicit_update(
                     state.table.values, state.table.state, state.params,
-                    state.opt_state, batch, self.graph, self.features,
-                    self.graph.degrees if self.graph is not None else None)
+                    state.opt_state, batch, graph, features,
+                    graph.degrees if graph is not None else None)
             else:
                 values, acc, new_params, new_opt, loss = self._explicit_update(
                     state.table.values, state.table.state, state.params,
@@ -412,22 +422,22 @@ class LinkPredictionTrainer:
             k_nb, key = jax.random.split(key)
             from marius_tpu.data.samplers.neighbor import sample_neighbor_batch
             nbr_batch = sample_neighbor_batch(
-                k_nb, self.graph, gather_ids, gather_ids < num_nodes,
+                k_nb, graph, gather_ids, gather_ids < num_nodes,
                 self.nbr_configs, self.hop_caps)
             outer = nbr_batch.node_ids[0]
             update_ids = outer
-            if self.features is not None:
-                feats = self.features[jnp.minimum(outer, num_nodes)]
+            if features is not None:
+                feats = features[jnp.minimum(outer, num_nodes)]
             x0 = gather_rows(state.table.values, outer) if model.has_embeddings else None
         else:
             x0 = gather_rows(state.table.values, gather_ids) \
                 if model.has_embeddings else None
-            if self.features is not None:
+            if features is not None:
                 # shallow FEATURE stages (the reference's distmult_feat
                 # family): gather rows for the batch's ids directly
-                feats = self.features[jnp.minimum(gather_ids, num_nodes)]
+                feats = features[jnp.minimum(gather_ids, num_nodes)]
 
-        degrees = self.graph.degrees if self.graph is not None else None
+        degrees = graph.degrees if graph is not None else None
 
         use_direct = self.dense_accum and not self.nbr_configs
         k_drop, key = jax.random.split(key)
@@ -476,7 +486,7 @@ class LinkPredictionTrainer:
         nb, b = self.num_batches, self.batch_size
         num_edges = self.num_edges
 
-        def epoch_fn(state: TrainState, edges: Array):
+        def epoch_fn(state: TrainState, edges: Array, data=None):
             # the permutation key advances every epochs_per_shuffle epochs
             # (training.epochs_per_shuffle — shuffle cadence is free here,
             # but the trajectory should honor the configured cadence)
@@ -488,7 +498,7 @@ class LinkPredictionTrainer:
 
             def body(carry, xs):
                 edges_b, mask_b = xs
-                return self._batch_step(carry, edges_b, mask_b)
+                return self._batch_step(carry, edges_b, mask_b, data)
 
             state, losses = jax.lax.scan(
                 body, state,
@@ -504,10 +514,11 @@ class LinkPredictionTrainer:
         half: every chunk reuses this one compiled function."""
         cb, b = self.chunk_batches, self.batch_size
 
-        def chunk_fn(state: TrainState, edges_chunk: Array, masks: Array):
+        def chunk_fn(state: TrainState, edges_chunk: Array, masks: Array,
+                     data=None):
             def body(carry, xs):
                 edges_b, mask_b = xs
-                return self._batch_step(carry, edges_b, mask_b)
+                return self._batch_step(carry, edges_b, mask_b, data)
 
             state, losses = jax.lax.scan(
                 body, state,
@@ -563,7 +574,7 @@ class LinkPredictionTrainer:
             # a multi-controller mesh (replicated at the jit boundary).
             self.state, loss = self._chunk_fn(
                 self.state, put_arg(np.ascontiguousarray(rows)),
-                put_arg(masks))
+                put_arg(masks), self._data_args())
             losses.append(loss)
         self.state = dataclasses.replace(self.state, epoch=self.state.epoch + 1)
         self._host_epoch += 1
@@ -573,7 +584,8 @@ class LinkPredictionTrainer:
     def train_epoch(self) -> Dict[str, float]:
         t0 = time.perf_counter()
         if self.edges_backend == "DEVICE_MEMORY":
-            self.state, total_loss = self._epoch_fn(self.state, self.edges)
+            self.state, total_loss = self._epoch_fn(self.state, self.edges,
+                                                    self._data_args())
             total_loss = float(total_loss)  # blocks until done
         else:
             total_loss = self._train_epoch_host()
