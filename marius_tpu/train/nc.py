@@ -706,6 +706,9 @@ class NodeClassificationTrainer:
         if epoch is not None:
             # size the NEXT epoch's budget while the chip runs this one
             self._fg_epoch_need(epoch + 1)
+        # ONE host round-trip for both scalars (a second device_get costs a
+        # full dispatch latency per epoch on remote-attached runtimes)
+        total_loss, overflow = jax.device_get((total_loss, overflow))
         total_loss = float(total_loss)
         overflow = int(overflow)
         if overflow:
