@@ -61,13 +61,17 @@ def encode_all_nodes(
             full_graph, fg_ops = prepare_full_graph(
                 full_graph, model.encoder, feats)
 
+        # feats/adjacency ride as ARGUMENTS (closure constants get
+        # serialized into the compiled module by remote compilers); fg_ops
+        # holds callables and stays a closure — its large const arrays are
+        # device-resident jax.Arrays the callables reference at trace time
         @jax.jit
-        def enc_fg(table_values, params):
+        def enc_fg(table_values, params, feats_a, fg_a):
             return full_graph_encoder_forward(
-                model.encoder, params["encoder"], table_values, feats,
-                full_graph, ops=fg_ops, train=False)
+                model.encoder, params["encoder"], table_values, feats_a,
+                fg_a, ops=fg_ops, train=False)
 
-        return enc_fg(table_values, params)
+        return enc_fg(table_values, params, feats, full_graph)
 
     assert graph is not None
     num_nodes = graph.num_nodes
@@ -163,28 +167,30 @@ def encode_all_nodes_host(
     caps = tuple(hop_caps or estimate_hop_caps(batch_size, nbr_configs, num_nodes))
 
     @jax.jit
-    def sample_tile(idx, seeds):
+    def sample_tile(idx, seeds, graph_a):
+        # graph rides as an ARGUMENT: a freebase86m-scale CSR (~2.7 GB) as a
+        # closure constant would exceed remote-compile request limits
         mask = seeds < num_nodes
         k = jax.random.fold_in(jax.random.key(seed), idx)
-        return sample_neighbor_batch(k, graph, seeds, mask, nbr_configs, caps)
+        return sample_neighbor_batch(k, graph_a, seeds, mask, nbr_configs, caps)
 
     @jax.jit
-    def encode_tile(batch, emb, feats):
+    def encode_tile(batch, emb, feats, degrees_a):
         return encoder_forward(model.encoder, params["encoder"], emb, feats,
-                               batch, degrees=graph.degrees, train=False)
+                               batch, degrees=degrees_a, train=False)
 
     for i in range(nb):
         lo, hi = i * batch_size, min((i + 1) * batch_size, num_nodes)
         seeds = np.full((batch_size,), num_nodes, np.int32)
         seeds[:hi - lo] = np.arange(lo, hi, dtype=np.int32)
-        batch = sample_tile(jnp.asarray(i, jnp.int32), jnp.asarray(seeds))
+        batch = sample_tile(jnp.asarray(i, jnp.int32), jnp.asarray(seeds), graph)
         # host-side gather of the outermost hop's rows (the only table access)
         outer = np.asarray(batch.node_ids[0])
         emb = (None if host_values is None
                else jnp.asarray(host_values[np.minimum(outer, num_nodes - 1)]))
         feats = (None if feats_padded is None
                  else jnp.asarray(feats_padded[np.minimum(outer, num_nodes)]))
-        out = np.asarray(encode_tile(batch, emb, feats))
+        out = np.asarray(encode_tile(batch, emb, feats, graph.degrees))
         if out_host is None:
             out_host = np.empty((num_nodes, out.shape[1]), out.dtype)
         out_host[lo:hi] = out[:hi - lo]

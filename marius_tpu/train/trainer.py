@@ -301,7 +301,7 @@ class LinkPredictionTrainer:
         """Large read-only arrays (graph CSR, features) as one jit-argument
         pytree — closing over them embeds them as compiled-module constants
         (remote compilers serialize those; a products-scale feature table
-        412s the compile request). Same lesson as the NC path / phi."""
+        413s the compile request). Same lesson as the NC path / phi."""
         return {"graph": self.graph, "feats": self.features}
 
     def _batch_step(self, state: TrainState, edges_b: Array, mask_b: Array,
