@@ -327,12 +327,17 @@ def load_config(path_or_dict, model_dir: Optional[str] = None,
     dec_opts = dec_raw.get("options") or {}
     decoder = None
     if learning_task == "LINK_PREDICTION":
+        from marius_tpu.nn.decoders.edge import normalize_decoder_method
         decoder = EdgeDecoder(
             decoder_type=dec_type,
             num_relations=num_relations,
             embedding_dim=int(dec_opts.get(
                 "input_dim", encoder.output_dim if stages else -1)),
             use_inverse_relations=bool(dec_opts.get("inverse_edges", True)),
+            # EdgeDecoderMethod (options.h:64, parsed options.cpp:199-218
+            # incl. TRAIN/INFER aliases; config key datatypes.py:152)
+            decoder_method=normalize_decoder_method(
+                dec_opts.get("edge_decoder_method", "CORRUPT_NODE")),
         )
 
     loss_raw = m.get("loss") or {}

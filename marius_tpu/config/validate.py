@@ -89,7 +89,9 @@ SCHEMA: Dict[str, Any] = {
             "eval_neighbor_sampling[]": _NBR,
         },
         "decoder": {**_scalars("type"),
-                    "options": _scalars("input_dim", "inverse_edges"),
+                    "options": _scalars("input_dim", "inverse_edges",
+                                        "edge_decoder_method",
+                                        "use_relation_features"),
                     "optimizer": _OPTIMIZER},
         "loss": {"type": None, "options": _scalars("reduction", "margin")},
         "dense_optimizer": _OPTIMIZER,
@@ -144,6 +146,8 @@ _PIPELINE_NOTE = ("host thread-pool tuning (PipelineConfig, marius_config.py:"
 
 COMPAT_NOTES: Dict[str, str] = {
     "model.encoder.embedding_dim": "derived from the layer dims; ignored",
+    "model.decoder.options.use_relation_features": (
+        "relation features are not supported"),
     "model.encoder.*.use_hashmap_sets": (
         "CPU-sampler implementation detail (NeighborSamplingConfig); the "
         "device sampler has one dedup path"),
@@ -225,6 +229,9 @@ def check_compat_keys(raw: Dict[str, Any]) -> List[str]:
     enc = m.get("encoder") or {}
     if "embedding_dim" in enc:
         note("model.encoder.embedding_dim", "model.encoder.embedding_dim")
+    if "use_relation_features" in ((m.get("decoder") or {}).get("options") or {}):
+        note("model.decoder.options.use_relation_features",
+             "model.decoder.options.use_relation_features")
     for field in ("train_neighbor_sampling", "eval_neighbor_sampling"):
         for i, entry in enumerate(enc.get(field) or []):
             if isinstance(entry, dict) and "use_hashmap_sets" in entry:
@@ -263,6 +270,11 @@ _ENUMS = {
     "aggregator": {"GCN", "MEAN"},
     "activation": {"NONE", "RELU", "SIGMOID"},
     "decoder_type": {"DISTMULT", "COMPLEX", "TRANSE", "NODE"},
+    # normalized EdgeDecoderMethod values (options.cpp:199-218; TRAIN/INFER
+    # aliases normalize to CORRUPT_NODE/ONLY_POS at parse). POS_AND_NEG is
+    # rejected with its own message (unsupported in the reference too,
+    # model.cpp:266).
+    "edge_decoder_method": {"CORRUPT_NODE", "CORRUPT_REL", "ONLY_POS"},
     "loss_type": {"SOFTMAX_CE", "RANKING", "CROSS_ENTROPY",
                   "BCE_AFTER_SIGMOID", "BCE_WITH_LOGITS", "MSE", "SOFTPLUS"},
     "loss_reduction": {"SUM", "MEAN"},
@@ -331,6 +343,15 @@ def check_config_values(cfg) -> List[str]:
         if m.decoder is not None:
             _enum(e, "decoder_type", m.decoder.decoder_type,
                   "model.decoder.type")
+            from marius_tpu.nn.decoders.edge import normalize_decoder_method
+            method = normalize_decoder_method(m.decoder.decoder_method)
+            if method == "POS_AND_NEG":
+                e.append("model.decoder.options.edge_decoder_method: "
+                         "POS_AND_NEG is unsupported (the reference throws "
+                         "at runtime too, model.cpp:266)")
+            else:
+                _enum(e, "edge_decoder_method", method,
+                      "model.decoder.options.edge_decoder_method")
         for i, stage in enumerate(m.encoder.stages):
             for j, layer in enumerate(stage):
                 p = f"model.encoder.layers[{i}][{j}]"

@@ -158,6 +158,14 @@ def _lookup_relation_op(name: str):
     return custom
 
 
+def normalize_decoder_method(name: str) -> str:
+    """EdgeDecoderMethod parse with the reference's aliases
+    (getEdgeDecoderMethod, options.cpp:199-218: TRAIN -> CORRUPT_NODE,
+    INFER -> ONLY_POS)."""
+    up = str(name).upper()
+    return {"TRAIN": "CORRUPT_NODE", "INFER": "ONLY_POS"}.get(up, up)
+
+
 @dataclasses.dataclass(frozen=True)
 class EdgeDecoder:
     """A comparator ∘ relation-operator edge decoder (edge_decoder.cpp:7-21)."""
@@ -166,6 +174,11 @@ class EdgeDecoder:
     num_relations: int
     embedding_dim: int
     use_inverse_relations: bool = True  # DecoderOptions.inverse_edges default (datatypes.py:150)
+    # EdgeDecoderMethod (options.h:64; dispatched in forward_lp,
+    # model.cpp:252-288): CORRUPT_NODE | CORRUPT_REL | ONLY_POS. The
+    # reference's CORRUPT_REL branch throws "currently unsupported" at
+    # runtime (model.cpp:271-273); here it trains and evaluates.
+    decoder_method: str = "CORRUPT_NODE"
 
     @property
     def _spec(self):
@@ -256,32 +269,58 @@ class EdgeDecoder:
         neg_rel_ids: Array,    # (C, N) corrupting relation ids
     ):
         """Corrupt-relation scoring (rel_corrupt_forward,
-        decoder_methods.cpp:119+): positives score (src, r, dst); negatives
-        re-score each chunk's positives under sampled relations.
+        decoder_methods.cpp:119-146): positives score (src, r, dst); negatives
+        re-score each chunk's positives under sampled relations; the inverse
+        direction re-scores (dst, r'⁻¹, src) under the inverse relation table
+        when use_inverse_relations (decoder_methods.cpp:137-142).
 
-        Returns (pos (B,), neg (B, N)).
+        Returns (pos (B,), neg (B, N), inv_pos, inv_neg) — inv_* None
+        without inverse relations, matching node_corrupt_forward's shape.
         """
         c, n = neg_rel_ids.shape
         b, d = src.shape
         rels = self.select_relations(params, rel_ids)
         pos = self.pos_scores(self.apply_relation(src, rels), dst)
+        pos_fn, _ = _lookup_comparator(self._spec[0])
 
-        # (C, N, d) relation embeddings; chunked like node corruption: chunk i's
-        # positives pair with chunk i's sampled relations
-        neg_rels = self.select_relations(params, neg_rel_ids.reshape(-1))
-        neg_rels = (None if neg_rels is None
-                    else neg_rels.reshape(c, n, d))
-        per = b // c
-        src_c = src.reshape(c, per, d)
-        dst_c = dst.reshape(c, per, d)
-        # adjusted (C, per, N, d) = relation applied to every (pos, neg-rel) pair
-        adj = self.apply_relation(src_c[:, :, None, :],
-                                  None if neg_rels is None else neg_rels[:, None, :, :])
-        pos_fn, _ = _COMPARATORS[self._spec[0]]
-        neg = pos_fn(adj.reshape(-1, d),
-                     jnp.broadcast_to(dst_c[:, :, None, :], adj.shape)
-                     .reshape(-1, d)).reshape(b, n)
-        return pos, neg
+        def corrupt(anchor, other, inverse):
+            # (C, N, d) relation embeddings; chunked like node corruption:
+            # chunk i's positives pair with chunk i's sampled relations
+            neg_rels = self.select_relations(params, neg_rel_ids.reshape(-1),
+                                             inverse=inverse)
+            neg_rels = None if neg_rels is None else neg_rels.reshape(c, n, d)
+            a_c = anchor.reshape(c, b // c, d)
+            o_c = other.reshape(c, b // c, d)
+            # adjusted (C, per, N, d): relation applied to every (pos, neg-rel)
+            adj = self.apply_relation(
+                a_c[:, :, None, :],
+                None if neg_rels is None else neg_rels[:, None, :, :])
+            return pos_fn(adj.reshape(-1, d),
+                          jnp.broadcast_to(o_c[:, :, None, :], adj.shape)
+                          .reshape(-1, d)).reshape(b, n)
+
+        neg = corrupt(src, dst, inverse=False)
+        inv_pos = inv_neg = None
+        if self.use_inverse_relations:
+            inv_rels = self.select_relations(params, rel_ids, inverse=True)
+            inv_pos = self.pos_scores(self.apply_relation(dst, inv_rels), src)
+            inv_neg = corrupt(dst, src, inverse=True)
+        return pos, neg, inv_pos, inv_neg
+
+    def rel_all_scores(self, params: Dict[str, Array], src: Array, dst: Array,
+                       inverse: bool = False):
+        """Score every relation for each (src, dst) pair: (B, R) — the
+        rel-corrupt evaluation analogue of filtered all-node ranking. Used by
+        the evaluator to rank the true relation against ALL relations (the
+        relation table is small, so exhaustive beats sampled)."""
+        b, d = src.shape
+        table = params["inverse_relations" if inverse else "relations"]  # (R, d)
+        r = table.shape[0]
+        adj = self.apply_relation(src[:, None, :], table[None, :, :])  # (B, R, d)
+        pos_fn, _ = _lookup_comparator(self._spec[0])
+        return pos_fn(adj.reshape(-1, d),
+                      jnp.broadcast_to(dst[:, None, :], adj.shape)
+                      .reshape(-1, d)).reshape(b, r)
 
     def only_pos_forward(self, params, src: Array, dst: Array, rel_ids: Optional[Array]):
         """Positive-edge scoring only (decoder_methods.cpp:7-42)."""

@@ -134,6 +134,32 @@ def lp_batch_loss_direct(
     return loss, aux
 
 
+def lp_batch_loss_rel(
+    model: Model,
+    params: Dict[str, Any],
+    src: Array,              # (B, d) source embeddings
+    dst: Array,              # (B, d)
+    rel_ids: Array,          # (B,) true relation ids
+    neg_rel_ids: Array,      # (C, N) corrupting relation ids
+    edge_mask: Array,
+) -> Tuple[Array, Dict[str, Array]]:
+    """CORRUPT_REL LP loss (EdgeDecoderMethod::CORRUPT_REL dispatch,
+    model.cpp:271-273 — the reference declares the branch but throws
+    'currently unsupported' at runtime; here it trains): negatives re-score
+    each chunk's positives under sampled relations, both directions when
+    inverse relations are on (decoder_methods.cpp:119-146)."""
+    decoder = model.decoder
+    assert decoder is not None
+    pos, neg, inv_pos, inv_neg = decoder.rel_corrupt_forward(
+        params["decoder"], src, dst, rel_ids, neg_rel_ids)
+    loss_fn = model.loss_fn()
+    loss = loss_fn(pos, neg, mask=edge_mask)
+    if inv_neg is not None:
+        loss = loss + loss_fn(inv_pos, inv_neg, mask=edge_mask)
+    aux = {"pos": pos, "neg": neg, "inv_pos": inv_pos, "inv_neg": inv_neg}
+    return loss, aux
+
+
 def nc_batch_loss(model: Model, logits: Array, labels: Array, mask: Array) -> Array:
     """Node-classification CE over seed logits (model.cpp:318-320)."""
     loss = classification_cross_entropy(

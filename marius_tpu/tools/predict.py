@@ -30,6 +30,26 @@ def run_predict(
     input_file: Optional[str] = None,
 ) -> Dict[str, float]:
     cfg = config if isinstance(config, MariusConfig) else load_config(config)
+
+    # ONLY_POS (alias INFER) is the inference decoder method (options.cpp:
+    # 212-213, EdgeDecoderMethod::ONLY_POS dispatch model.cpp:263-264): score
+    # the input edges, no corruption, no rank metrics. The runtime is built
+    # with CORRUPT_NODE (training semantics are untouched by inference); the
+    # scoring below switches on the configured method.
+    only_pos = False
+    if (cfg.learning_task == "LINK_PREDICTION" and cfg.model is not None
+            and cfg.model.decoder is not None):
+        import dataclasses
+
+        from marius_tpu.nn.decoders.edge import normalize_decoder_method
+        only_pos = normalize_decoder_method(
+            cfg.model.decoder.decoder_method) == "ONLY_POS"
+        if only_pos:
+            cfg.model = dataclasses.replace(
+                cfg.model, decoder=dataclasses.replace(
+                    cfg.model.decoder, decoder_method="CORRUPT_NODE"))
+            save_scores = True
+
     rt = marius_init(cfg, train=False)
     os.makedirs(output_dir, exist_ok=True)
 
@@ -61,15 +81,22 @@ def run_predict(
             evaluator = rt.test_evaluator if split == "test" else rt.valid_evaluator
             assert evaluator is not None, f"no {split} edges in the dataset"
 
-        results = evaluator.evaluate(rt.trainer.state)
-        if save_ranks or save_scores:
-            ranks, scores = evaluator.compute_all_ranks(rt.trainer.state)
-            if save_ranks:
-                np.savetxt(os.path.join(output_dir, "ranks.csv"),
-                           ranks.T, fmt="%d", delimiter=",")
-            if save_scores:
-                np.savetxt(os.path.join(output_dir, "scores.csv"),
-                           scores.T, fmt="%.6f", delimiter=",")
+        if only_pos:
+            scores = evaluator.compute_pos_scores(rt.trainer.state)
+            results = {"num_edges": float(scores.shape[1]),
+                       "mean_score": float(scores.mean())}
+            np.savetxt(os.path.join(output_dir, "scores.csv"),
+                       scores.T, fmt="%.6f", delimiter=",")
+        else:
+            results = evaluator.evaluate(rt.trainer.state)
+            if save_ranks or save_scores:
+                ranks, scores = evaluator.compute_all_ranks(rt.trainer.state)
+                if save_ranks:
+                    np.savetxt(os.path.join(output_dir, "ranks.csv"),
+                               ranks.T, fmt="%d", delimiter=",")
+                if save_scores:
+                    np.savetxt(os.path.join(output_dir, "scores.csv"),
+                               scores.T, fmt="%.6f", delimiter=",")
     else:
         evaluator = rt.test_evaluator if split == "test" else rt.valid_evaluator
         assert evaluator is not None, f"no {split} nodes in the dataset"

@@ -41,6 +41,7 @@ from marius_tpu.nn.model import (
     init_model_params,
     lp_batch_loss,
     lp_batch_loss_direct,
+    lp_batch_loss_rel,
 )
 from marius_tpu.nn.optimizers import apply_optimizer, init_optimizer
 from marius_tpu.ops.pallas import gather_rows_auto
@@ -176,6 +177,13 @@ class PartitionBufferLPTrainer:
         # bucket-grouped edges: one stable sort, then per-bucket slices
         edges = np.asarray(train_edges, np.int32)
         self.has_rels = edges.shape[1] == 3
+        from marius_tpu.nn.decoders.edge import normalize_decoder_method
+        self.decoder_method = (normalize_decoder_method(model.decoder.decoder_method)
+                               if model.decoder is not None else "CORRUPT_NODE")
+        assert self.decoder_method in ("CORRUPT_NODE", "CORRUPT_REL"), \
+            f"training supports CORRUPT_NODE/CORRUPT_REL, got {self.decoder_method}"
+        if self.decoder_method == "CORRUPT_REL":
+            assert self.has_rels, "CORRUPT_REL needs a 3-column (typed) edge list"
         reordered, sizes = partition_edges(edges, num_nodes, num_partitions)
         self.edges_by_bucket = reordered
         self.bucket_offsets = np.concatenate([[0], np.cumsum(sizes)])
@@ -292,6 +300,17 @@ class PartitionBufferLPTrainer:
                 dst = jnp.where(mask_b, edges_b[:, -1], buffer_rows)
                 rel = edges_b[:, 1] if self.has_rels else None
 
+                # CORRUPT_REL (model.cpp:271-273): negatives are sampled
+                # relation ids; the node-negative machinery above still runs
+                # (rows gathered, zero grads) to keep one compiled layout
+                corrupt_rel = self.decoder_method == "CORRUPT_REL"
+                neg_rel_ids = None
+                if corrupt_rel:
+                    key, k_relneg = jax.random.split(key)
+                    neg_rel_ids = jax.random.randint(
+                        k_relneg, (c, nneg), 0, max(self.num_relations, 1),
+                        dtype=jnp.int32)
+
                 dst_filter = src_filter = None
                 if self.train_filter_keys is not None:
                     # train-time false-negative filtering over the resident
@@ -372,12 +391,17 @@ class PartitionBufferLPTrainer:
                             model.encoder, dense_params["encoder"], x, feats,
                             nbr_batch, degrees=graph.degrees, train=True,
                             dropout_key=k_drop)
-                        loss, _ = lp_batch_loss(
-                            model, dense_params, encoded, inv_src, inv_dst, rel,
-                            inv_dst_negs,
-                            inv_src_negs if inv_rel_on else None,
-                            mask_b, dst_filter,
-                            src_filter if inv_rel_on else None)
+                        if corrupt_rel:
+                            loss, _ = lp_batch_loss_rel(
+                                model, dense_params, encoded[inv_src],
+                                encoded[inv_dst], rel, neg_rel_ids, mask_b)
+                        else:
+                            loss, _ = lp_batch_loss(
+                                model, dense_params, encoded, inv_src, inv_dst, rel,
+                                inv_dst_negs,
+                                inv_src_negs if inv_rel_on else None,
+                                mask_b, dst_filter,
+                                src_filter if inv_rel_on else None)
                         return loss
                 elif self.dense_accum:
                     update_ids = all_ids
@@ -388,13 +412,18 @@ class PartitionBufferLPTrainer:
                     def loss_fn(x, dense_params):
                         enc = _shallow_encode(x, feats, dense_params)
                         d = enc.shape[-1]
-                        loss, _ = lp_batch_loss_direct(
-                            model, dense_params, enc[:b], enc[b:2 * b], rel,
-                            enc[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
-                            enc[2 * b + c * nneg:].reshape(c, nneg, d)
-                            if inv_rel_on else None,
-                            mask_b, dst_filter,
-                            src_filter if inv_rel_on else None)
+                        if corrupt_rel:
+                            loss, _ = lp_batch_loss_rel(
+                                model, dense_params, enc[:b], enc[b:2 * b],
+                                rel, neg_rel_ids, mask_b)
+                        else:
+                            loss, _ = lp_batch_loss_direct(
+                                model, dense_params, enc[:b], enc[b:2 * b], rel,
+                                enc[2 * b:2 * b + c * nneg].reshape(c, nneg, d),
+                                enc[2 * b + c * nneg:].reshape(c, nneg, d)
+                                if inv_rel_on else None,
+                                mask_b, dst_filter,
+                                src_filter if inv_rel_on else None)
                         return loss
                 else:
                     uniq = unique_padded(all_ids, size=self.unique_cap,
@@ -410,12 +439,17 @@ class PartitionBufferLPTrainer:
 
                     def loss_fn(x, dense_params):
                         enc = _shallow_encode(x, feats, dense_params)
-                        loss, _ = lp_batch_loss(
-                            model, dense_params, enc, inv_src, inv_dst, rel,
-                            inv_dst_negs,
-                            inv_src_negs if inv_rel_on else None,
-                            mask_b, dst_filter,
-                            src_filter if inv_rel_on else None)
+                        if corrupt_rel:
+                            loss, _ = lp_batch_loss_rel(
+                                model, dense_params, enc[inv_src],
+                                enc[inv_dst], rel, neg_rel_ids, mask_b)
+                        else:
+                            loss, _ = lp_batch_loss(
+                                model, dense_params, enc, inv_src, inv_dst, rel,
+                                inv_dst_negs,
+                                inv_src_negs if inv_rel_on else None,
+                                mask_b, dst_filter,
+                                src_filter if inv_rel_on else None)
                         return loss
 
                 loss, (gx, gdense) = jax.value_and_grad(

@@ -80,6 +80,16 @@ class LinkPredictionEvaluator:
         self.num_relations = num_relations
         self.batch_size = batch_size
         self.filtered = filtered
+        # EdgeDecoderMethod (options.h:64): CORRUPT_NODE ranks against node
+        # corruptions; CORRUPT_REL ranks the true relation against ALL
+        # relations (exhaustive — the relation table is small). ONLY_POS is
+        # inference-only (alias INFER) and has no rank semantics.
+        from marius_tpu.nn.decoders.edge import normalize_decoder_method
+        self.decoder_method = (normalize_decoder_method(model.decoder.decoder_method)
+                               if model.decoder is not None else "CORRUPT_NODE")
+        assert self.decoder_method in ("CORRUPT_NODE", "CORRUPT_REL"), \
+            (f"evaluation supports CORRUPT_NODE/CORRUPT_REL; {self.decoder_method} "
+             f"is inference-only (marius_predict --save_scores)")
         self.neg_config = neg_config or NegativeSamplingConfig()
         self.seed = seed
         self.graph = graph
@@ -100,6 +110,8 @@ class LinkPredictionEvaluator:
         padded, self.num_edges, self.num_batches = pad_edges(eval_edges, batch_size)
         self.edges = put_arg(padded)
         self.has_rels = padded.shape[1] == 3
+        if self.decoder_method == "CORRUPT_REL":
+            assert self.has_rels, "CORRUPT_REL needs a 3-column (typed) edge list"
 
         self.dst_keys = self.src_keys = None
         if filtered:
@@ -191,9 +203,40 @@ class LinkPredictionEvaluator:
         counts, _ = jax.lax.scan(body, jnp.zeros((b,), jnp.int32), starts)
         return counts + 1
 
+    def _rel_directions(self, encoded: Array, params, edges_b: Array):
+        """CORRUPT_REL ranking: the true relation vs ALL relations for each
+        (src, dst) pair. Filtered mode masks every relation forming a known
+        true triple (src, r', dst) — including the positive's own column,
+        matching apply_score_filter semantics (negative.cpp:306-311);
+        unfiltered masks only the positive's own column (self-corruption)."""
+        decoder = self.model.decoder
+        src = edges_b[:, 0]
+        dst = edges_b[:, -1]
+        rel = edges_b[:, 1]
+        src_e = encoded[src]
+        dst_e = encoded[dst]
+        cand = jnp.arange(self.num_relations, dtype=jnp.int32)
+        if self.filtered:
+            mask = isin_triples(self.dst_keys, src[:, None], cand[None, :],
+                                dst[:, None])
+        else:
+            mask = cand[None, :] == rel[:, None]
+        directions = []
+        use_inv = decoder.use_inverse_relations
+        for inverse in ((False, True) if use_inv else (False,)):
+            a_e, o_e = (dst_e, src_e) if inverse else (src_e, dst_e)
+            scores = decoder.rel_all_scores(params["decoder"], a_e, o_e,
+                                            inverse=inverse)
+            pos = jnp.take_along_axis(scores, rel[:, None], axis=1)[:, 0]
+            neg = jnp.where(mask, -1e9, scores)
+            directions.append((compute_ranks(pos, neg), pos))
+        return directions
+
     def _batch_directions(self, encoded: Array, params, edges_b: Array, idx):
         """Per-direction (ranks, pos_scores) for one batch; shared by the
         stats scan and the rank-export scan."""
+        if self.decoder_method == "CORRUPT_REL":
+            return self._rel_directions(encoded, params, edges_b)
         decoder = self.model.decoder
         num_nodes = self.num_nodes
         cfg = self.neg_config
@@ -362,6 +405,9 @@ class LinkPredictionEvaluator:
         InMemory mirror; here nothing is mirrored).
         """
         assert self.filtered, "host-tiled evaluation is for filtered mode"
+        assert self.decoder_method == "CORRUPT_NODE", \
+            "host-tiled evaluation streams node corruption; CORRUPT_REL " \
+            "ranks relations and never needs host streaming"
         from marius_tpu.train.graph_encoder import encode_all_nodes_host
 
         decoder = self.model.decoder
@@ -512,6 +558,32 @@ class LinkPredictionEvaluator:
         ranks = np.asarray(ranks).transpose(1, 0, 2).reshape(d, -1)
         scores = np.asarray(scores).transpose(1, 0, 2).reshape(d, -1)
         return ranks[:, :self.num_edges], scores[:, :self.num_edges]
+
+    def compute_pos_scores(self, state: TrainState,
+                           encoded: Optional[Array] = None) -> np.ndarray:
+        """Positive-edge scores per direction, no corruption — the
+        ONLY_POS / INFER decoder method (only_pos_forward,
+        decoder_methods.cpp:7-42; EdgeDecoderMethod::ONLY_POS dispatch,
+        model.cpp:263-264). Backs marius_predict's score export when the
+        config sets ``edge_decoder_method: ONLY_POS``.
+
+        Returns (num_directions, E) float scores."""
+        if encoded is None:
+            encoded = self._encode(state)
+
+        @jax.jit
+        def fn(encoded, params, edges):
+            src = encoded[edges[:, 0]]
+            dst = encoded[edges[:, -1]]
+            rel = edges[:, 1] if self.has_rels else None
+            return self.model.decoder.only_pos_forward(
+                params["decoder"], src, dst, rel)
+
+        pos, inv_pos = fn(encoded, state.params, self.edges)
+        outs = [np.asarray(pos)[:self.num_edges]]
+        if inv_pos is not None:
+            outs.append(np.asarray(inv_pos)[:self.num_edges])
+        return np.stack(outs)
 
     # ------------------------------------------------------------------
     def evaluate(self, state: TrainState, encoded: Optional[Array] = None) -> Dict[str, float]:

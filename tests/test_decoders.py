@@ -109,14 +109,42 @@ def test_rel_corrupt_forward():
     rel = jnp.asarray(rng.integers(0, r, b).astype(np.int32))
     neg_rel = jnp.asarray(rng.integers(0, r, (c, n)).astype(np.int32))
 
-    pos, neg = dec.rel_corrupt_forward(params, src, dst, rel, neg_rel)
+    pos, neg, inv_pos, inv_neg = dec.rel_corrupt_forward(params, src, dst, rel, neg_rel)
     assert pos.shape == (b,) and neg.shape == (b, n)
+    assert inv_pos.shape == (b,) and inv_neg.shape == (b, n)
     # manual check: batch row i in chunk i//(b//c) scored against that chunk's
     # sampled relations
     R = np.asarray(params["relations"])
+    IR = np.asarray(params["inverse_relations"])
     s, t = np.asarray(src), np.asarray(dst)
     for i in [0, 5]:
         chunk = i // (b // c)
         for j in range(n):
             expected = np.sum(s[i] * R[int(neg_rel[chunk, j])] * t[i])
             np.testing.assert_allclose(float(neg[i, j]), expected, rtol=1e-5)
+            inv_expected = np.sum(t[i] * IR[int(neg_rel[chunk, j])] * s[i])
+            np.testing.assert_allclose(float(inv_neg[i, j]), inv_expected,
+                                       rtol=1e-5)
+
+
+def test_rel_all_scores():
+    """Exhaustive per-relation scoring used by rel-corrupt evaluation."""
+    import jax.numpy as jnp
+    import numpy as np
+    from marius_tpu.nn.decoders.edge import EdgeDecoder
+
+    rng = np.random.default_rng(3)
+    b, d, r = 4, 6, 7
+    dec = EdgeDecoder("DISTMULT", r, d)
+    params = dec.init_params()
+    params["relations"] = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    src = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    scores = dec.rel_all_scores(params, src, dst)
+    assert scores.shape == (b, r)
+    R = np.asarray(params["relations"])
+    s, t = np.asarray(src), np.asarray(dst)
+    for i in range(b):
+        for j in range(r):
+            np.testing.assert_allclose(float(scores[i, j]),
+                                       np.sum(s[i] * R[j] * t[i]), rtol=1e-4)
