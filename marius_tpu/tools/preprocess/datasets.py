@@ -293,15 +293,21 @@ class _OGBNDataset(NodeClassificationDataset):
                   *self.split_files.values()]
         if all(p.exists() for p in needed) and not overwrite:
             return
-        archive = download_url(self.dataset_url, self.output_directory, overwrite)
-        extract_file(archive, remove_input=False)
         sub = self.output_directory / self.archive_subdir
+        # zero-egress path: a pre-placed OGB raw layout (<subdir>/raw/*.csv
+        # or *.csv.gz + <subdir>/split/...) skips the download entirely;
+        # download_url itself short-circuits on a pre-placed archive file
+        if not (sub / "raw").exists():
+            archive = download_url(self.dataset_url, self.output_directory,
+                                    overwrite)
+            extract_file(archive, remove_input=False)
         for name, dest in [("edge.csv", self.input_edges),
                            ("node-feat.csv", self.input_features),
                            ("node-label.csv", self.input_labels)]:
-            gz = sub / "raw" / (name + ".gz")
-            extract_file(gz, remove_input=False)
-            (sub / "raw" / name).rename(dest)
+            src = sub / "raw" / name
+            if not src.exists():
+                extract_file(sub / "raw" / (name + ".gz"), remove_input=False)
+            src.rename(dest)
         split_dir = next((sub / "split").iterdir())
         for s, dest in self.split_files.items():
             gz = split_dir / f"{s}.csv.gz"

