@@ -65,8 +65,12 @@ class NeighborBatch:
                                    # prefix of the next; sorted in the fallback path)
     node_masks: Tuple[Array, ...]  # per-hop validity
     layers: Tuple[LayerAdjacency, ...]  # len == num GNN layers
-    # distinct neighbor ids dropped by tight hop caps across all hops (0 under
-    # worst-case caps; >0 means uniform frontier truncation — trainers log it)
+    # distinct NEW neighbor ids dropped by tight hop caps across all hops (0
+    # under worst-case caps). The drop is id-ordered, not uniform: overflow
+    # slots go to ascending ids (prefix_unique_padded), so it discards the
+    # HIGHEST-id new neighbors first — under --sequential_deg_nodes /
+    # sequential_train_nodes remaps (low ids = hubs/train nodes) the bias is
+    # toward dropping low-degree nodes. Trainers log it.
     overflow: Optional[Array] = None
 
     @property

@@ -74,8 +74,8 @@ def estimate_hop_caps_empirical(
     num_nodes, so sampled-fanout batches pay padded compute for frontier
     nodes that never materialize — on ogbn-arxiv shapes the observed unique
     counts are 2-4x smaller than worst case per hop. Tight caps are SAFE
-    with the frontier-prefix sampler: an overflow degrades to uniform
-    neighbor truncation (masked + counted), never to aliased reads.
+    with the frontier-prefix sampler: an overflow degrades to counted
+    highest-id-first neighbor truncation (masked), never to aliased reads.
     """
     import numpy as np
 
@@ -112,12 +112,21 @@ def estimate_hop_caps_empirical(
             for offs, cols in dirs:
                 deg = offs[cur + 1] - offs[cur]
                 take = np.minimum(deg, fan)
-                # uniform-with-replacement like the device sampler; for
-                # cap-sizing the union of draws is what matters
                 rows = np.repeat(cur, take)
                 base = np.repeat(offs[cur], take)
-                within = rng.integers(0, 1 << 30, len(rows)) % np.maximum(
-                    np.repeat(deg, take), 1)
+                rep_deg = np.repeat(deg, take)
+                # mirror the device sampler (_sample_direction) EXACTLY:
+                # deg <= fanout takes each true neighbor once; only
+                # deg > fanout draws uniform-with-replacement. Simulating
+                # the small-degree case with replacement undercounts each
+                # node's unique contribution (~63% of its neighbors), so
+                # auto caps on low-degree graphs would routinely overflow
+                # into (warned, accuracy-degrading) frontier truncation.
+                slot = (np.arange(len(rows), dtype=np.int64)
+                        - np.repeat(np.cumsum(take) - take, take))
+                draw = rng.integers(0, 1 << 30, len(rows)) % np.maximum(
+                    rep_deg, 1)
+                within = np.where(rep_deg <= fan, slot, draw)
                 cand.append(cols[base + within])
             cur = np.unique(np.concatenate(cand))
             maxes[depth + 1] = max(maxes[depth + 1], len(cur))
@@ -191,9 +200,11 @@ def sample_neighbor_batch(
     neighbor ids — those drops are masked exactly (the aggregation treats
     them as absent neighbors) and counted in ``NeighborBatch.overflow``.
     This makes empirically-sized caps (estimate_hop_caps_empirical) safe:
-    worst-case caps guarantee overflow == 0; tighter caps degrade to
-    uniform neighbor truncation, never to aliased reads. Graphs beyond the
-    bitmap limit keep the sorted-unique path and must use worst-case caps.
+    worst-case caps guarantee overflow == 0; tighter caps degrade to counted
+    neighbor truncation (dropping the HIGHEST-id new neighbors — id-ordered,
+    so id-correlated under sequential remaps), never to aliased reads.
+    Graphs beyond the bitmap limit keep the sorted-unique path and must use
+    worst-case caps.
     """
     num_layers = len(configs)
     assert len(hop_caps) == num_layers + 1
@@ -322,7 +333,8 @@ def sample_neighbor_batch(
 
 
 def _warn_all_truncation(degs_in, degs_out, configs, cap_limit: int) -> None:
-    """ALL semantics silently degrade to uniform truncation when a hub's
+    """ALL semantics silently degrade to adjacency-prefix truncation (the
+    hub's first ``cap`` CSR neighbors) when a hub's
     degree exceeds ``cap_limit`` (the reference's ALL is unbounded,
     neighbor.cpp:9). Make the degradation loud: log the truncated-node count
     and the fraction of neighbor mass dropped so it can never pass unnoticed
@@ -387,7 +399,7 @@ def resolve_all_caps(configs: Sequence[NeighborSamplingConfig],
     The reference's ALL sampler is unbounded (sample_all_gpu, neighbor.cpp:9);
     static TPU shapes emulate it with a cap + mask, which is EXACT iff the cap
     covers the max degree (SURVEY §7 hard parts). Caps are clamped to
-    ``cap_limit`` — graphs with larger hubs degrade to uniform truncation.
+    ``cap_limit`` — larger hubs degrade to adjacency-prefix truncation.
     """
     import numpy as np
 

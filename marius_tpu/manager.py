@@ -383,7 +383,8 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
                 # `hop_caps: auto`: size caps from the graph's observed
                 # frontier growth instead of the geometric worst case; safe
                 # ONLY below the prefix-bitmap limit, where the sampler
-                # degrades overflow to counted uniform truncation (beyond
+                # degrades overflow to counted (highest-id-first) neighbor
+                # truncation (beyond
                 # it the sorted dedup path would alias dropped ids, so we
                 # keep worst-case caps there)
                 from marius_tpu.data.samplers.neighbor import (
@@ -450,15 +451,22 @@ def marius_init(cfg: MariusConfig, train: bool = True) -> MariusRuntime:
             base = os.path.dirname(model_dir)
             tail = os.path.basename(model_dir)
             if tail.startswith("model_") and tail[6:].isdigit():
+                # highest-index sibling holding a trained model — the most
+                # recently ALLOCATED by _next_model_dir, deterministic under
+                # mtime perturbation (copies/restores/touch), unlike raw
+                # mtime ordering
                 best = None
                 for i in range(11):
-                    meta = os.path.join(base, f"model_{i}", "meta.yaml")
-                    if os.path.exists(meta):
-                        mt = os.path.getmtime(meta)
-                        if best is None or mt > best[0]:
-                            best = (mt, os.path.join(base, f"model_{i}"))
+                    cand = os.path.join(base, f"model_{i}")
+                    if os.path.exists(os.path.join(cand, "meta.yaml")):
+                        best = cand
                 if best is not None:
-                    model_dir = best[1]
+                    log.info(
+                        "storage.model_dir %s holds no trained model; "
+                        "evaluating the latest sibling %s instead (set "
+                        "evaluation.checkpoint_dir to pin an exact model)",
+                        model_dir, best)
+                    model_dir = best
         if model_dir and os.path.exists(os.path.join(model_dir, "meta.yaml")):
             state, meta = ckpt.load_state(model_dir, runtime.trainer.state)
             runtime.trainer.state = state

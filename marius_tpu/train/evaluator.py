@@ -50,6 +50,13 @@ HITS_KS = (1, 3, 5, 10, 50, 100)
 # ((B, tail_cap) blocks at 1M-tail hubs would be multi-GB)
 TAIL_CAP_LIMIT = 32_768
 
+# host-tiled eval pre-stages one (edge_slice, tail_cap) candidate block PER
+# EDGE SLICE on device (reused across every node tile); the total footprint
+# is E x tail_cap x 5 bytes, which at large eval splits can exceed device
+# memory — beyond this budget the per-chunk membership test runs instead
+# (slower, memory-bounded)
+HOST_EVAL_CAND_BUDGET_BYTES = 2 << 30
+
 
 class LinkPredictionEvaluator:
     """Filtered (all-node) or unfiltered (sampled) ranking evaluation."""
@@ -466,8 +473,13 @@ class LinkPredictionEvaluator:
                 ))
             # per-slice true-candidate lists (contiguous runs of the
             # sorted key set; two binary searches per edge); hub-heavy sets
-            # fall back to the per-chunk membership test (use_tail=False)
-            use_tail = tail_cap <= TAIL_CAP_LIMIT
+            # AND splits whose total E x tail_cap candidate footprint would
+            # blow device memory fall back to the per-chunk membership test
+            # (use_tail=False) — the whole point of this path is to stay
+            # memory-bounded
+            use_tail = (tail_cap <= TAIL_CAP_LIMIT
+                        and n_slices * edge_slice * tail_cap * 5
+                        <= HOST_EVAL_CAND_BUDGET_BYTES)
             slice_cands = []
             dummy = (put_arg(np.full((edge_slice, 1), -1, np.int32)),
                      put_arg(np.zeros((edge_slice, 1), bool)))

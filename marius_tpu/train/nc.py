@@ -714,9 +714,10 @@ class NodeClassificationTrainer:
         if overflow:
             import logging
             logging.getLogger("marius_tpu").warning(
-                "hop caps truncated %d frontier ids this epoch (uniform "
-                "neighbor truncation; raise hop_caps or the empirical "
-                "margin for exact frontiers)", overflow)
+                "hop caps truncated %d frontier ids this epoch (drops the "
+                "highest-id NEW neighbors — id-correlated, not uniform, "
+                "under sequential id remaps; raise hop_caps or the "
+                "empirical margin for exact frontiers)", overflow)
         dt = time.perf_counter() - t0
         return {"loss": total_loss, "epoch_time_s": dt,
                 "nodes_per_sec": self.num_train / dt,

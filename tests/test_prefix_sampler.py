@@ -152,3 +152,31 @@ def test_empirical_caps_train_without_overflow_blowup():
         min(c, NUM_NODES) for c in caps[1:])
     # truncation, if any, is a tiny fraction of the frontier mass
     assert sum(x["truncated_frontier_ids"] for x in m) < 0.02 * total_seen
+
+
+def test_empirical_caps_exact_for_low_degree_nodes():
+    """ADVICE r4: the host simulation must mirror the device sampler's
+    deg <= fanout semantics (take each true neighbor exactly once), not
+    with-replacement draws — otherwise low-degree nodes contribute only
+    ~63% of their neighbors and auto caps routinely overflow. Construction:
+    every seed has exactly `fan` DISTINCT neighbors, all disjoint across
+    seeds, so the true hop-1 unique count is b + b*fan; the cap must cover
+    it even with margin 1.0."""
+    import numpy as np
+
+    from marius_tpu.data.samplers.neighbor import (
+        NeighborSamplingConfig,
+        estimate_hop_caps_empirical,
+    )
+
+    b, fan = 64, 8
+    num_nodes = b + b * fan
+    src = np.repeat(np.arange(b), fan)
+    dst = b + np.arange(b * fan)
+    edges = np.stack([src, dst], 1).astype(np.int32)
+    cfgs = [NeighborSamplingConfig("UNIFORM", max_neighbors=fan,
+                                   use_incoming=False, use_outgoing=True)]
+    caps = estimate_hop_caps_empirical(
+        edges, num_nodes, cfgs, b, seed=0, margin=1.0,
+        seed_pool=np.arange(b))
+    assert caps[1] >= b + b * fan, caps
