@@ -255,7 +255,12 @@ class PartitionBufferLPTrainer:
         capacity = self.capacity
 
         def state_fn(values, state, params, opt_state, key, dirty, edges, masks,
-                     slot_valid, slot_parts, graph, feats_buf):
+                     slot_valid, slot_parts, graph, feats_buf,
+                     filter_keys=(None, None)):
+            # filter key sets arrive as ARGUMENTS: captured device arrays
+            # (jaxpr consts) break donation of the buffer pair on this
+            # runtime — every batch would copy values+state in full
+            # (tests/test_no_jit_captures.py pins this)
             def batch_step(carry, xs):
                 values, state, params, opt_state, key, dirty = carry
                 edges_b, mask_b = xs
@@ -322,7 +327,7 @@ class PartitionBufferLPTrainer:
                         slots = jnp.minimum(lids // psize, capacity - 1)
                         return slot_parts[slots] * psize + lids % psize
 
-                    dst_keys, src_keys = self.train_filter_keys
+                    dst_keys, src_keys = filter_keys
                     dst_filter = filter_mask_sampled(
                         dst_keys, to_global(src), rel, to_global(dst_negs))
                     src_filter = filter_mask_sampled(
@@ -636,7 +641,8 @@ class PartitionBufferLPTrainer:
                     _arg(self.buffer.slot_valid_counts()),
                     _arg(np.asarray(self.buffer.resident, np.int32)), graph,
                     self.feature_cache.device
-                    if self.feature_cache is not None else None)
+                    if self.feature_cache is not None else None,
+                    self.train_filter_keys or (None, None))
                 losses.append(loss)  # lazy: don't block the dispatch queue
                 edges_trained += len(local)
                 states_run += 1

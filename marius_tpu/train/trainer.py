@@ -319,11 +319,19 @@ class LinkPredictionTrainer:
 
     # ------------------------------------------------------------------
     def _data_args(self):
-        """Large read-only arrays (graph CSR, features) as one jit-argument
-        pytree — closing over them embeds them as compiled-module constants
-        (remote compilers serialize those; a products-scale feature table
-        413s the compile request). Same lesson as the NC path / phi."""
-        return {"graph": self.graph, "feats": self.features}
+        """Large read-only arrays (graph CSR, features, filter key sets) as
+        one jit-argument pytree. Closing over them has TWO costs: they embed
+        as compiled-module constants (remote compilers serialize those; a
+        products-scale feature table 413s the compile request), and — far
+        worse — captured device arrays (jaxpr consts) BREAK DONATION of the
+        big table buffers on this runtime: a donating jit with any captured
+        array falls back to copying every donated buffer per call (measured
+        ~1000x on a 2x4.3 GB buffer pair; see tests/test_no_jit_captures.py).
+        """
+        fk = self.train_filter_keys
+        return {"graph": self.graph, "feats": self.features,
+                "dst_keys": fk[0] if fk is not None else None,
+                "src_keys": fk[1] if fk is not None else None}
 
     def _batch_step(self, state: TrainState, edges_b: Array, mask_b: Array,
                     data=None):
@@ -369,7 +377,9 @@ class LinkPredictionTrainer:
 
         dst_filter = src_filter = None
         if self.train_filter_keys is not None:
-            dst_keys, src_keys = self.train_filter_keys
+            # keys ride the data pytree, never the closure (donation break)
+            dst_keys = data["dst_keys"] if data is not None else self.train_filter_keys[0]
+            src_keys = data["src_keys"] if data is not None else self.train_filter_keys[1]
             dst_filter = filter_mask_sampled(dst_keys, src, rel, dst_negs)
             if inv_rel_on:
                 src_filter = filter_mask_sampled(src_keys, dst, rel, src_negs)
