@@ -406,44 +406,102 @@ def _full_graph_gat(layer: LayerConfig, p, x, adj, ops,
                                     1.0 - layer.input_dropout, x.shape)
         x = jnp.where(keep, x / (1.0 - layer.input_dropout), 0.0)
 
-    w = p["w"].reshape(x.shape[-1], h, head_dim)
-    blocks = ops["gather_blocks"](x)       # per bucket (n_b, cap_b, d_in)
-    x_sorted = ops["to_sorted"](x)         # (N, d_in) bucket-major
+    # Round-5 perf restructure (same exact math, see gat_layer in
+    # layers.py): never project per slot occurrence. Either project each
+    # node ONCE and gather projected rows (h*k <= d_in), or softmax on
+    # scalar logits gathered from x @ (w a_r) and project the per-head
+    # weighted aggregate (h*k > d_in). The old per-bucket
+    # (n, S, d_in) x (d_in, h, k) einsum made full-graph GAT the slowest
+    # model family (PERF_RECORDS round 4: 2.47k nodes/s).
+    d_in = x.shape[-1]
+    w = p["w"].reshape(d_in, h, head_dim)
+    project_first = h * head_dim <= d_in
 
-    outs = []
-    row0 = 0
-    for b, blk in enumerate(blocks):
-        n_b, cap = adj.nbrs[b].shape
-        x_b = jax.lax.dynamic_slice_in_dim(x_sorted, row0, n_b, 0)
-        row0 += n_b
-        t = jnp.einsum("nsd,dhk->nshk", blk, w)       # neighbor slots
-        t_self = jnp.einsum("nd,dhk->nhk", x_b, w)
-        logit_l = jnp.einsum("nhk,hk->nh", t_self, p["a_l"])   # (n, h)
-        logit_r = jnp.einsum("nshk,hk->nsh", t, p["a_r"])      # (n, S, h)
-        self_r = jnp.einsum("nhk,hk->nh", t_self, p["a_r"])
-        logits = jnp.concatenate(
-            [logit_l[:, None, :] + logit_r,
-             (logit_l + self_r)[:, None, :]], axis=1)          # (n, S+1, h)
-        logits = jax.nn.leaky_relu(logits, layer.negative_slope)
-        mask = jnp.concatenate(
-            [adj.nbrs[b] != adj.num_nodes, jnp.ones((n_b, 1), bool)], axis=1)
-        alpha = masked_softmax(
-            logits, mask[:, :, None] & jnp.ones((1, 1, h), bool), axis=1)
-        if train and layer.attention_dropout > 0 and dropout_key is not None:
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(dropout_key, 1000 + b),
-                1.0 - layer.attention_dropout, alpha.shape)
-            alpha = jnp.where(keep, alpha / (1.0 - layer.attention_dropout), 0.0)
-        out = jnp.einsum("nsh,nshk->nhk", alpha[:, :cap], t) + \
-            alpha[:, cap][:, :, None] * t_self                 # (n, h, k)
-        outs.append(out)
+    if project_first:
+        t_flat = jnp.einsum("nd,dhk->nhk", x, w).reshape(x.shape[0], -1)
+        blocks = ops["gather_blocks"](t_flat)  # per bucket (n_b, cap, h*k)
+        t_sorted = ops["to_sorted"](t_flat)
+        outs = []
+        row0 = 0
+        for b, blk in enumerate(blocks):
+            n_b, cap = adj.nbrs[b].shape
+            t = blk.reshape(n_b, cap, h, head_dim)
+            t_self = jax.lax.dynamic_slice_in_dim(
+                t_sorted, row0, n_b, 0).reshape(n_b, h, head_dim)
+            row0 += n_b
+            logit_l = jnp.einsum("nhk,hk->nh", t_self, p["a_l"])
+            logit_r = jnp.einsum("nshk,hk->nsh", t, p["a_r"])
+            self_r = jnp.einsum("nhk,hk->nh", t_self, p["a_r"])
+            logits = jnp.concatenate(
+                [logit_l[:, None, :] + logit_r,
+                 (logit_l + self_r)[:, None, :]], axis=1)      # (n, S+1, h)
+            logits = jax.nn.leaky_relu(logits, layer.negative_slope)
+            mask = jnp.concatenate(
+                [adj.nbrs[b] != adj.num_nodes, jnp.ones((n_b, 1), bool)],
+                axis=1)
+            alpha = masked_softmax(
+                logits, mask[:, :, None] & jnp.ones((1, 1, h), bool), axis=1)
+            if train and layer.attention_dropout > 0 and dropout_key is not None:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_key, 1000 + b),
+                    1.0 - layer.attention_dropout, alpha.shape)
+                alpha = jnp.where(keep,
+                                  alpha / (1.0 - layer.attention_dropout), 0.0)
+            out = jnp.einsum("nsh,nshk->nhk", alpha[:, :cap], t) + \
+                alpha[:, cap][:, :, None] * t_self             # (n, h, k)
+            out = (jnp.mean(out, axis=1) if layer.average_heads
+                   else out.reshape(out.shape[0], h * head_dim))
+            outs.append(out)
+    else:
+        # softmax on per-slot SCALAR logits gathered from the precomputed
+        # (N, h) right-logit array (a_r . xW = x . (W a_r)); aggregate raw
+        # features per head and project the (n, h, d) aggregate — the old
+        # per-slot (n, S, d) x (d, h, k) projection einsum disappears.
+        # (A transposed "fused" weighted-aggregation operator was tried and
+        # reverted: its n8-batched (h, cap) x (cap, d) matmuls blew the
+        # remote compile past 29 minutes at arxiv scale.)
+        wal = jnp.einsum("dhk,hk->dh", w, p["a_l"])   # (d_in, h)
+        war = jnp.einsum("dhk,hk->dh", w, p["a_r"])
+        lr_all = x @ war                               # (N, h)
+        blocks = ops["gather_blocks"](x)               # raw (n_b, cap, d_in)
+        lr_blocks = ops["gather_blocks"](lr_all)       # (n_b, cap, h)
+        x_sorted = ops["to_sorted"](x)
+        ll_sorted = ops["to_sorted"](x @ wal)
+        lr_sorted = ops["to_sorted"](lr_all)
+
+        outs = []
+        row0 = 0
+        for b, blk in enumerate(blocks):
+            n_b, cap = adj.nbrs[b].shape
+            x_b = jax.lax.dynamic_slice_in_dim(x_sorted, row0, n_b, 0)
+            logit_l = jax.lax.dynamic_slice_in_dim(ll_sorted, row0, n_b, 0)
+            logit_r = lr_blocks[b]
+            self_r = jax.lax.dynamic_slice_in_dim(lr_sorted, row0, n_b, 0)
+            row0 += n_b
+            logits = jnp.concatenate(
+                [logit_l[:, None, :] + logit_r,
+                 (logit_l + self_r)[:, None, :]], axis=1)      # (n, S+1, h)
+            logits = jax.nn.leaky_relu(logits, layer.negative_slope)
+            mask = jnp.concatenate(
+                [adj.nbrs[b] != adj.num_nodes, jnp.ones((n_b, 1), bool)],
+                axis=1)
+            alpha = masked_softmax(
+                logits, mask[:, :, None] & jnp.ones((1, 1, h), bool), axis=1)
+            if train and layer.attention_dropout > 0 and dropout_key is not None:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_key, 1000 + b),
+                    1.0 - layer.attention_dropout, alpha.shape)
+                alpha = jnp.where(keep,
+                                  alpha / (1.0 - layer.attention_dropout), 0.0)
+            agg = jnp.einsum("nsh,nsd->nhd", alpha[:, :cap], blk) + \
+                alpha[:, cap][:, :, None] * x_b[:, None, :]    # (n, h, d)
+            out = jnp.einsum("nhd,dhk->nhk", agg, w)
+            out = (jnp.mean(out, axis=1) if layer.average_heads
+                   else out.reshape(out.shape[0], h * head_dim))
+            outs.append(out)
 
     y_sorted = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
     y = ops["to_orig"](y_sorted)
-    if layer.average_heads:
-        y = jnp.mean(y, axis=1)
-    else:
-        y = y.reshape(y.shape[0], h * head_dim)
     return post_hook(layer, p, y)
 
 

@@ -213,28 +213,64 @@ def gat_layer(config: LayerConfig, params, inputs: Array, adj: LayerAdjacency,
                                     1.0 - config.input_dropout, inputs.shape)
         inputs = jnp.where(keep, inputs / (1.0 - config.input_dropout), 0.0)
 
-    self_embs, in_embs, out_embs = _gather_neighbors(inputs, adj)
-    n = self_embs.shape[0]
-    # (n, F_in + F_out + 1, d); self is the last slot
-    slots = jnp.concatenate([in_embs, out_embs, self_embs[:, None, :]], axis=1)
-    slot_mask = jnp.concatenate(
-        [adj.in_mask, adj.out_mask, jnp.ones((n, 1), bool) & adj.node_mask[:, None]], axis=1)
+    # Two exact formulations, chosen by projected-row width (round-5 perf
+    # rewrite — the old code gathered RAW d-dim slots then projected each
+    # occurrence, an (n, S, h, k) einsum that made GAT the slowest family):
+    #   B (h*k <= d): project each input row ONCE, gather projected rows —
+    #     the per-slot projection einsum (S x the flops) disappears.
+    #   A (h*k > d, e.g. average_heads where head_dim == output_dim):
+    #     gather raw slots, softmax on per-slot SCALAR logits gathered from
+    #     precomputed x @ (w a_r), aggregate raw features per head, and
+    #     project the (n, h, d) aggregate — k x fewer flops and no
+    #     (n, S, h, k) tensor. Linearity makes both identical to the
+    #     reference math (gat_layer.cpp:49-142).
+    d_in = inputs.shape[-1]
+    w = params["w"].reshape(d_in, h, head_dim)
+    n = adj.self_idx.shape[0]
+    ones_h = jnp.ones((1, 1, h), bool)
 
-    w = params["w"].reshape(inputs.shape[-1], h, head_dim)
-    t = jnp.einsum("nsd,dhk->nshk", slots, w)          # transformed slots
-    self_t = t[:, -1]                                   # (n, h, k)
-
-    logits = jnp.einsum("nhk,hk->nh", self_t, params["a_l"])[:, None, :] + \
-        jnp.einsum("nshk,hk->nsh", t, params["a_r"])    # (n, S, h)
-    logits = jax.nn.leaky_relu(logits, config.negative_slope)
-    alpha = masked_softmax(logits, slot_mask[:, :, None] & jnp.ones((1, 1, h), bool), axis=1)
-
-    if train and config.attention_dropout > 0 and dropout_key is not None:
-        keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 1),
-                                    1.0 - config.attention_dropout, alpha.shape)
-        alpha = jnp.where(keep, alpha / (1.0 - config.attention_dropout), 0.0)
-
-    out = jnp.einsum("nsh,nshk->nhk", alpha, t)         # (n, h, k)
+    if h * head_dim <= d_in:
+        t_all = jnp.einsum("nd,dhk->nhk", inputs, w)
+        t_flat = t_all.reshape(inputs.shape[0], h * head_dim)
+        self_t, in_t, out_t = _gather_neighbors(t_flat, adj)
+        t = jnp.concatenate([in_t, out_t, self_t[:, None, :]], axis=1) \
+            .reshape(n, -1, h, head_dim)                # (n, S+1, h, k)
+        slot_mask = jnp.concatenate(
+            [adj.in_mask, adj.out_mask,
+             jnp.ones((n, 1), bool) & adj.node_mask[:, None]], axis=1)
+        self_t = self_t.reshape(n, h, head_dim)
+        logits = jnp.einsum("nhk,hk->nh", self_t, params["a_l"])[:, None, :] + \
+            jnp.einsum("nshk,hk->nsh", t, params["a_r"])
+        logits = jax.nn.leaky_relu(logits, config.negative_slope)
+        alpha = masked_softmax(logits, slot_mask[:, :, None] & ones_h, axis=1)
+        if train and config.attention_dropout > 0 and dropout_key is not None:
+            keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 1),
+                                        1.0 - config.attention_dropout, alpha.shape)
+            alpha = jnp.where(keep, alpha / (1.0 - config.attention_dropout), 0.0)
+        out = jnp.einsum("nsh,nshk->nhk", alpha, t)     # (n, h, k)
+    else:
+        # per-slot logits are scalars of precomputed projections:
+        # a_r . (x W) = x . (W a_r)
+        wal = jnp.einsum("dhk,hk->dh", w, params["a_l"])    # (d, h)
+        war = jnp.einsum("dhk,hk->dh", w, params["a_r"])
+        lr_all = inputs @ war                                # (n_prev, h)
+        self_embs, in_embs, out_embs = _gather_neighbors(inputs, adj)
+        self_lr, in_lr, out_lr = _gather_neighbors(lr_all, adj)
+        slots = jnp.concatenate([in_embs, out_embs, self_embs[:, None, :]], axis=1)
+        slot_mask = jnp.concatenate(
+            [adj.in_mask, adj.out_mask,
+             jnp.ones((n, 1), bool) & adj.node_mask[:, None]], axis=1)
+        logit_l = self_embs @ wal                            # (n, h)
+        logit_r = jnp.concatenate([in_lr, out_lr, self_lr[:, None, :]], axis=1)
+        logits = jax.nn.leaky_relu(logit_l[:, None, :] + logit_r,
+                                   config.negative_slope)
+        alpha = masked_softmax(logits, slot_mask[:, :, None] & ones_h, axis=1)
+        if train and config.attention_dropout > 0 and dropout_key is not None:
+            keep = jax.random.bernoulli(jax.random.fold_in(dropout_key, 1),
+                                        1.0 - config.attention_dropout, alpha.shape)
+            alpha = jnp.where(keep, alpha / (1.0 - config.attention_dropout), 0.0)
+        agg = jnp.einsum("nsh,nsd->nhd", alpha, slots)       # (n, h, d)
+        out = jnp.einsum("nhd,dhk->nhk", agg, w)             # (n, h, k)
     if config.average_heads:
         out = jnp.mean(out, axis=1)
     else:
