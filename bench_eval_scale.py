@@ -105,12 +105,24 @@ def measure_host_tiled(num_nodes):
     for lo in range(0, num_nodes, step):
         host_values[lo:lo + step] = 0.1 * rng.standard_normal(
             (min(step, num_nodes - lo), DIM)).astype(np.float32)
+    ev.profile_host_eval = True   # per-tile (transfer, compute) accounting
     t0 = time.perf_counter()
     res = ev.evaluate_from_host_table(host_values, params)
     dt = time.perf_counter() - t0
     eps = NUM_EVAL_EDGES / dt
-    log(f"host_tiled N={num_nodes}: {dt:.1f}s, mrr={res['mrr']:.4f}")
-    return eps, dt
+    tm = getattr(ev, "last_host_eval_timings", {})
+    # PCIe projection: on a 16 GB/s host link the exposed transfer time
+    # becomes table_bytes / 16e9; compute is what it is
+    proj = None
+    if tm:
+        pcie_s = tm["table_bytes"] / 16e9
+        hidden = max(0.0, dt - tm["transfer_s"] - tm["compute_s"])
+        # transfers overlap compute (double-buffered): projected wall =
+        # prep/overhead + max(compute, pcie transfer time)
+        proj = NUM_EVAL_EDGES / (hidden + max(tm["compute_s"], pcie_s))
+    log(f"host_tiled N={num_nodes}: {dt:.1f}s, mrr={res['mrr']:.4f}, "
+        f"timings={tm}")
+    return eps, dt, tm, proj
 
 
 def main():
@@ -124,11 +136,17 @@ def main():
                 "metric": f"filtered_eval_in_hbm_edges_ranked_per_sec",
                 "num_nodes": n, "node_chunk": c,
                 "value": round(eps, 2), "unit": "edges/s"}), flush=True)
-    eps, dt = measure_host_tiled(10_000_000)
-    print(json.dumps({
-        "metric": "filtered_eval_host_tiled_edges_ranked_per_sec",
-        "num_nodes": 10_000_000, "value": round(eps, 2),
-        "unit": "edges/s"}), flush=True)
+    for n in (10_000_000, 30_000_000):
+        eps, dt, tm, proj = measure_host_tiled(n)
+        print(json.dumps({
+            "metric": "filtered_eval_host_tiled_edges_ranked_per_sec",
+            "num_nodes": n, "value": round(eps, 2), "unit": "edges/s",
+            "wall_s": round(dt, 1),
+            "split": {k: round(v, 2) for k, v in tm.items()
+                      if isinstance(v, float)},
+            "table_gb": round(tm.get("table_bytes", 0) / 1e9, 2),
+            "projected_pcie16GBps_edges_per_sec":
+                None if proj is None else round(proj, 2)}), flush=True)
 
 
 if __name__ == "__main__":

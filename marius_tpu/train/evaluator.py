@@ -450,11 +450,11 @@ class LinkPredictionEvaluator:
         e = len(edges)
         n_slices = -(-e // edge_slice)
 
-        all_ranks = []
+        # per-direction edge-slice blocks, pre-padded ONCE (device arrays
+        # reused across all node tiles — re-converting per tile would
+        # re-transfer the whole E x d anchor block thousands of times)
+        dir_state = []
         for adj, pos, anchors, keys, tail_cap in directions:
-            # pre-pad every edge slice ONCE (devices arrays; reused across all
-            # node tiles — re-converting per tile would re-transfer the whole
-            # E x d anchor block thousands of times)
             adj_np = np.asarray(adj)
             pos_np = np.asarray(pos)
             anchors_np = np.asarray(anchors)
@@ -479,7 +479,7 @@ class LinkPredictionEvaluator:
             # memory-bounded
             use_tail = (tail_cap <= TAIL_CAP_LIMIT
                         and n_slices * edge_slice * tail_cap * 5
-                        <= HOST_EVAL_CAND_BUDGET_BYTES)
+                        * len(directions) <= HOST_EVAL_CAND_BUDGET_BYTES)
             slice_cands = []
             dummy = (put_arg(np.full((edge_slice, 1), -1, np.int32)),
                      put_arg(np.zeros((edge_slice, 1), bool)))
@@ -498,20 +498,51 @@ class LinkPredictionEvaluator:
                 cand = np.where(tvalid, cand, -1)
                 slice_cands.append((put_arg(cand.astype(np.int32)),
                                     put_arg(tvalid)))
-            counts = np.zeros(e, np.int64)
-            for start in range(0, num_nodes, node_tile):
-                block = host[start:start + node_tile]
-                if len(block) < node_tile:
-                    block = np.concatenate(
-                        [block, np.zeros((node_tile - len(block),
-                                          block.shape[1]), block.dtype)])
-                tile = put_arg(block)
+            dir_state.append((slices, slice_cands, keys, use_tail,
+                              np.zeros(e, np.int64)))
+
+        # Node tiles stream OUTERMOST so the encoded host table crosses the
+        # link ONCE for all directions (the round-4 layout streamed it per
+        # direction — 2x the transfer on typed graphs), and the next tile's
+        # host->device put is issued BEFORE this tile's scoring so transfer
+        # and compute overlap (async dispatch double-buffering). Optional
+        # per-phase accounting (self.last_host_eval_timings) serializes one
+        # sync per tile and is off unless profile_host_eval is set.
+        profile = bool(getattr(self, "profile_host_eval", False))
+        t_transfer = t_compute = 0.0
+
+        def fetch(start):
+            block = host[start:start + node_tile]
+            if len(block) < node_tile:
+                block = np.concatenate(
+                    [block, np.zeros((node_tile - len(block),
+                                      block.shape[1]), block.dtype)])
+            return put_arg(block)
+
+        starts = list(range(0, num_nodes, node_tile))
+        tile = fetch(starts[0])
+        for i, start in enumerate(starts):
+            if profile:
+                t0 = time.perf_counter()
+                jax.block_until_ready(tile)
+                t_transfer += time.perf_counter() - t0
+            nxt = fetch(starts[i + 1]) if i + 1 < len(starts) else None
+            t0 = time.perf_counter()
+            for slices, slice_cands, keys, use_tail, counts in dir_state:
                 for (sl, a, p, an, r), (cd, tv) in zip(slices, slice_cands):
                     c = np.asarray(tile_counts(a, p, tile, start, cd, tv,
                                                an, r, keys,
                                                use_tail=use_tail))
                     counts[sl] += c[:sl.stop - sl.start]
-            all_ranks.append(counts + 1)
+            if profile:
+                t_compute += time.perf_counter() - t0
+            tile = nxt
+        if profile:
+            self.last_host_eval_timings = {
+                "transfer_s": t_transfer, "compute_s": t_compute,
+                "table_bytes": int(host.nbytes), "tiles": len(starts)}
+
+        all_ranks = [counts + 1 for _, _, _, _, counts in dir_state]
 
         reporter = LinkPredictionReporter(HITS_KS)
         stats = {k2: 0.0 for k2 in ["count", "rr_sum", "rank_sum"]

@@ -134,10 +134,15 @@ def test_host_tiled_eval_matches_device_eval():
                                  filtered=True)
     res_dev = ev.evaluate(trainer.state)
     host = np.asarray(trainer.state.table.values)
+    ev.profile_host_eval = True   # per-phase accounting (bench_eval_scale)
     res_host = ev.evaluate_from_host_table(
         host, trainer.state.params, edge_slice=32, node_tile=16)
     assert abs(res_dev["mrr"] - res_host["mrr"]) < 1e-5
     assert abs(res_dev["mean_rank"] - res_host["mean_rank"]) < 1e-3
+    tm = ev.last_host_eval_timings
+    assert tm["tiles"] == -(-NUM_NODES // 16)
+    assert tm["transfer_s"] >= 0 and tm["compute_s"] > 0
+    assert tm["table_bytes"] == host.size * host.itemsize
 
 
 def test_training_is_exactly_reproducible():
