@@ -210,7 +210,17 @@ class LinkPredictionEvaluator:
         counts, _ = jax.lax.scan(body, jnp.zeros((b,), jnp.int32), starts)
         return counts + 1
 
-    def _rel_directions(self, encoded: Array, params, edges_b: Array):
+    def _key_args(self):
+        """Filter key sets as one jit-argument pytree. Closing over them
+        would embed the full sorted edge set as compiled-module constants —
+        at freebase86m scale that is gigabytes in the remote compile
+        request (the same 413-class failure the trainers fixed in round 4)
+        — and captured arrays break donation elsewhere (see
+        tests/test_no_jit_captures.py)."""
+        return {"dst": self.dst_keys, "src": self.src_keys}
+
+    def _rel_directions(self, encoded: Array, params, edges_b: Array,
+                        keys=None):
         """CORRUPT_REL ranking: the true relation vs ALL relations for each
         (src, dst) pair. Filtered mode masks every relation forming a known
         true triple (src, r', dst) — including the positive's own column,
@@ -224,7 +234,8 @@ class LinkPredictionEvaluator:
         dst_e = encoded[dst]
         cand = jnp.arange(self.num_relations, dtype=jnp.int32)
         if self.filtered:
-            mask = isin_triples(self.dst_keys, src[:, None], cand[None, :],
+            dst_keys = (keys or self._key_args())["dst"]
+            mask = isin_triples(dst_keys, src[:, None], cand[None, :],
                                 dst[:, None])
         else:
             mask = cand[None, :] == rel[:, None]
@@ -239,11 +250,16 @@ class LinkPredictionEvaluator:
             directions.append((compute_ranks(pos, neg), pos))
         return directions
 
-    def _batch_directions(self, encoded: Array, params, edges_b: Array, idx):
+    def _batch_directions(self, encoded: Array, params, edges_b: Array,
+                          idx, keys=None):
         """Per-direction (ranks, pos_scores) for one batch; shared by the
-        stats scan and the rank-export scan."""
+        stats scan and the rank-export scan. ``keys`` carries the filter
+        key sets as jit arguments (see _key_args); None falls back to the
+        attribute lookup for non-jit callers."""
+        if keys is None:
+            keys = self._key_args()
         if self.decoder_method == "CORRUPT_REL":
-            return self._rel_directions(encoded, params, edges_b)
+            return self._rel_directions(encoded, params, edges_b, keys)
         decoder = self.model.decoder
         num_nodes = self.num_nodes
         cfg = self.neg_config
@@ -261,7 +277,7 @@ class LinkPredictionEvaluator:
         pos = decoder.pos_scores(adj_src, dst_e)
         if self.filtered:
             ranks = self._streamed_filtered_ranks(
-                encoded, adj_src, pos, src, rel, self.dst_keys,
+                encoded, adj_src, pos, src, rel, keys["dst"],
                 self.dst_tail_cap)
             directions.append((ranks, pos))
         else:
@@ -290,7 +306,7 @@ class LinkPredictionEvaluator:
             inv_pos = decoder.pos_scores(adj_dst, src_e)
             if self.filtered:
                 inv_ranks = self._streamed_filtered_ranks(
-                    encoded, adj_dst, inv_pos, dst, rel, self.src_keys,
+                    encoded, adj_dst, inv_pos, dst, rel, keys["src"],
                     self.src_tail_cap)
                 directions.append((inv_ranks, inv_pos))
             else:
@@ -314,11 +330,11 @@ class LinkPredictionEvaluator:
     def _build_eval_fn(self):
         nb, b = self.num_batches, self.batch_size
 
-        def eval_fn(encoded: Array, params, edges: Array):
+        def eval_fn(encoded: Array, params, edges: Array, keys=None):
             def body(stats, xs):
                 edges_b, mask_b, idx = xs
                 for ranks, _ in self._batch_directions(
-                        encoded, params, edges_b, idx):
+                        encoded, params, edges_b, idx, keys):
                     s = rank_statistics(ranks, mask_b, HITS_KS)
                     stats = {k: stats[k] + v for k, v in s.items()}
                 return stats, None
@@ -583,10 +599,11 @@ class LinkPredictionEvaluator:
         nb, b = self.num_batches, self.batch_size
 
         @jax.jit
-        def ranks_fn(encoded, params, edges):
+        def ranks_fn(encoded, params, edges, keys=None):
             def body(_, xs):
                 edges_b, idx = xs
-                outs = self._batch_directions(encoded, params, edges_b, idx)
+                outs = self._batch_directions(encoded, params, edges_b, idx,
+                                              keys)
                 return None, (jnp.stack([o[0] for o in outs]),
                               jnp.stack([o[1] for o in outs]))
 
@@ -595,7 +612,8 @@ class LinkPredictionEvaluator:
                 (edges.reshape(nb, b, edges.shape[1]), jnp.arange(nb)))
             return ranks, scores
 
-        ranks, scores = jax.device_get(ranks_fn(encoded, state.params, self.edges))
+        ranks, scores = jax.device_get(
+            ranks_fn(encoded, state.params, self.edges, self._key_args()))
         # (nb, D, b) -> (D, nb*b) -> trim padding
         d = ranks.shape[1]
         ranks = np.asarray(ranks).transpose(1, 0, 2).reshape(d, -1)
@@ -633,7 +651,8 @@ class LinkPredictionEvaluator:
         t0 = time.perf_counter()
         if encoded is None:
             encoded = self._encode(state)
-        stats = self._eval_fn(encoded, state.params, self.edges)
+        stats = self._eval_fn(encoded, state.params, self.edges,
+                              self._key_args())
         stats = jax.device_get(stats)
         dt = time.perf_counter() - t0
         reporter = LinkPredictionReporter(HITS_KS)

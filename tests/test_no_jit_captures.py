@@ -127,6 +127,27 @@ def test_buffer_state_fn_no_captures(filtered):
     _assert_no_consts(traced, f"buffer state fn (filtered={filtered})")
 
 
+def test_lp_eval_fn_no_captures():
+    """The filtered evaluator's compiled scan must take the key sets as
+    arguments — closing over them embeds the FULL sorted edge set as
+    compiled-module constants (gigabytes in the remote compile request at
+    freebase86m scale)."""
+    from marius_tpu.train.evaluator import LinkPredictionEvaluator
+    from marius_tpu.train.trainer import LinkPredictionTrainer
+
+    n, r = 200, 4
+    edges = _lp_edges(n, r)
+    tr = LinkPredictionTrainer(_lp_model(r), n, r, edges,
+                               NegativeSamplingConfig(2, 8), batch_size=100)
+    ev = LinkPredictionEvaluator(_lp_model(r), n, r, edges[:100],
+                                 all_edges=edges, batch_size=50,
+                                 filtered=True)
+    encoded = tr.state.table.values
+    traced = ev._eval_fn.trace(encoded, tr.state.params, ev.edges,
+                               ev._key_args())
+    _assert_no_consts(traced, "LP filtered eval fn")
+
+
 def test_nc_epoch_fn_no_captures():
     from marius_tpu.train.nc import NodeClassificationTrainer
     from marius_tpu.data.samplers.neighbor import NeighborSamplingConfig
