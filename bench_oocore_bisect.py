@@ -1,5 +1,11 @@
 """Out-of-core while-loop ping-pong bisection (ROUND5_NOTES continuation).
 
+RETROSPECTIVE NOTE: the original run of this script reported fast
+(0.03-0.10 ms/iter) numbers for every variant; those were measurement
+artifacts (block_until_ready returning before donated computations
+execute on this runtime). The timing below now forces a host fetch of
+the final loss; see bench_oocore_bisect3.py for the corrected story.
+
 The replica of the buffer batch step (gather + full softmax-CE loss +
 fused Adagrad + both row scatters on a 2 x 2 GB donated buffer pair)
 runs at 0.02 ms/iter inside lax.scan; the REAL state_fn measures ~16
@@ -114,9 +120,13 @@ fn = jax.jit(f, donate_argnums=(0, 1, 2))
 v = jnp.full((R, D), 1e-10, jnp.float32)
 s = jnp.full((R, D), 1e-10, jnp.float32)
 out = fn(v, s, params0, edges, masks_all)
-jax.block_until_ready(out[:2])
+_ = float(out[3])  # warm the reverse channel + force the first chain
+REPS = 12
 t0 = time.perf_counter()
-for _ in range(3):
+for _ in range(REPS):
     out = fn(*out[:3], edges, masks_all)
-jax.block_until_ready(out[:2])
-print(f"morph6 {V}: {(time.perf_counter()-t0)/3/NB*1e3:.2f} ms/iter", flush=True)
+# block_until_ready can return before execution under this runtime's deep
+# async dispatch (invalidated the first round of morph results); fetching
+# the final loss forces the whole donated chain
+_ = float(out[3])
+print(f"morph6 {V}: {(time.perf_counter()-t0)/REPS/NB*1e3:.3f} ms/iter", flush=True)

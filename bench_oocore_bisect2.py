@@ -1,8 +1,10 @@
 """Out-of-core ping-pong bisection, stage 2 (morph7).
 
-Stage 1 (bench_oocore_bisect.py) proved the loss/encoder are NOT the
-trigger: base 0.10, realloss 0.03, realenc 0.03 ms/iter — all fast, all
-aliasing-clean. The remaining structural deltas between the fast replica
+RETROSPECTIVE NOTE: the stage-1 numbers this header originally quoted
+(base 0.10 / realloss 0.03 ms/iter, "all aliasing-clean") were taken
+with block_until_ready-based timing, which this runtime's async dispatch
+defeats — see bench_oocore_bisect3.py's docstring. With sound timing the
+`all` variant here measures ~15.8 ms/iter, matching the real state_fn. The remaining structural deltas between the fast replica
 and the REAL buffer state_fn (train/buffer_trainer.py:257-486) are
 bisected here, each added alone on top of the fast `realloss` math:
 
@@ -135,9 +137,12 @@ v = jnp.full((R, D), 1e-10, jnp.float32)
 s = jnp.full((R, D), 1e-10, jnp.float32)
 dirty = jnp.zeros((R,), bool)
 out = fn(v, s, params0, opt_state0, dirty, slot_valid, edges, masks_all)
-jax.block_until_ready(out[0][:2])
+_ = float(out[1])  # warm the reverse channel + force the first chain
+REPS = 12
 t0 = time.perf_counter()
-for _ in range(3):
+for _ in range(REPS):
     out = fn(*out[0][:5], slot_valid, edges, masks_all)
-jax.block_until_ready(out[0][:2])
-print(f"morph7 {V}: {(time.perf_counter()-t0)/3/NB*1e3:.2f} ms/iter", flush=True)
+# fetching the final loss forces the whole donated chain; bare
+# block_until_ready returns early under this runtime's async dispatch
+_ = float(out[1])
+print(f"morph7 {V}: {(time.perf_counter()-t0)/REPS/NB*1e3:.3f} ms/iter", flush=True)

@@ -4,9 +4,10 @@ morph7 cleared every suspected structural delta (negs/dirty/opt/degf all
 fast together: 0.02 ms/iter), so this measures the genuine compiled
 function from train/buffer_trainer.py:_build_state_fn — same code object
 the out-of-core bench runs — against synthetic device buffers, no host
-transfers. If THIS is fast, the round-5 "~16 ms/batch isolated" number
-was an artifact of the degrading TPU attachment, and bench_oocore's
-compute side is already bandwidth-bound.
+transfers. OUTCOME: with the forced host round-trip below, this measures
+~22.7 ms/batch at the freebase86m buffer shape — confirming the round-4
+scatter-floor profile; the transient "fast" readings were artifacts of
+block_until_ready returning before donated computations execute.
 
     python bench_oocore_statefn.py [R] [NB]
 """
@@ -18,6 +19,8 @@ import jax.numpy as jnp
 
 R = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 NB = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+NRELS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 D = 50
 B = 10_000
 CAPACITY = 8
@@ -33,7 +36,7 @@ from marius_tpu.train.buffer_trainer import PartitionBufferLPTrainer as BufferTr
 
 enc = EncoderConfig(stages=((LayerConfig(layer_type="EMBEDDING", output_dim=D),),))
 model = Model(LINK_PREDICTION, enc,
-              EdgeDecoder("COMPLEX", 8, D, use_inverse_relations=True))
+              EdgeDecoder("COMPLEX", NRELS, D, use_inverse_relations=True))
 cfg = NegativeSamplingConfig(num_chunks=10, negatives_per_positive=500,
                              degree_fraction=0.5)
 
@@ -52,7 +55,7 @@ t.capacity = CAPACITY
 t.mesh = None
 t.has_rels = True
 t.decoder_method = "CORRUPT_NODE"
-t.num_relations = 8
+t.num_relations = NRELS
 t.train_filter_keys = None
 t.nbr_configs = ()
 t.hop_caps = ()
@@ -64,7 +67,7 @@ state_fn = t._build_state_fn(NB)
 rng = np.random.default_rng(0)
 rows = _Buf.buffer_rows
 edges = jnp.asarray(np.stack([rng.integers(0, rows, NB * B),
-                              rng.integers(0, 8, NB * B),
+                              rng.integers(0, NRELS, NB * B),
                               rng.integers(0, rows, NB * B)], 1).astype(np.int32))
 masks = jnp.asarray(np.ones((NB * B,), bool))
 slot_valid = jnp.full((CAPACITY,), PSIZE, jnp.int32)
@@ -83,12 +86,18 @@ jax.block_until_ready(out[0][:2])
 print(f"morph8 compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 carry = out[0]
 t0 = time.perf_counter()
-REPS = 3
+losses = []
 for _ in range(REPS):
-    (carry, _) = state_fn(carry[0], carry[1], carry[2], carry[3], carry[4],
-                          carry[5], edges, masks, slot_valid, slot_parts,
-                          None, None, (None, None))
+    (carry, lo) = state_fn(carry[0], carry[1], carry[2], carry[3], carry[4],
+                           carry[5], edges, masks, slot_valid, slot_parts,
+                           None, None, (None, None))
+    losses.append(lo)
+# force a real host round-trip on a value that depends on every batch —
+# block_until_ready alone can return early under this runtime's deep
+# async dispatch (morph8 first measured a physically impossible
+# 0.00 ms/batch at NB=1254 without this)
+_ = float(sum(jnp.asarray(l) for l in losses))
 jax.block_until_ready(carry[:2])
 dt = (time.perf_counter() - t0) / REPS / NB
-print(f"morph8 REAL state_fn: {dt*1e3:.2f} ms/batch "
+print(f"morph8 REAL state_fn: {dt*1e3:.3f} ms/batch "
       f"({B/dt/1e6:.2f}M edges/s compute-side)", flush=True)
