@@ -180,6 +180,8 @@ def main():
         "link_MBps": {"h2d": round(h2d_bw / 1e6), "d2h": round(d2h_bw / 1e6, 1)},
         "loss": m["loss"],
         "edges_per_sec_wall": round(eps, 1),
+        "edges_per_sec_compute_side": round(edges_steady / comp, 1)
+        if comp > 0 else None,
         "edges_per_sec_projected_pcie16GBps": round(eps_proj, 1),
         "note": "swap_s is dominated by this environment's ~15 MB/s tunnel "
                 "device->host path; dirty-row writeback already cuts eviction "

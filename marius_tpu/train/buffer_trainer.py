@@ -620,6 +620,14 @@ class PartitionBufferLPTrainer:
                     # mirror the embedding buffer's slots: local ids must
                     # index both tiers identically
                     self.feature_cache.mirror_layout(self.buffer.resident)
+                if self.profile_states:
+                    # the admit writes are dispatched async; without a
+                    # barrier their device-side completion serializes ahead
+                    # of the state_fn and lands in the compute bucket
+                    # (costs nothing real: the state_fn's first gather
+                    # data-depends on the admitted rows either way)
+                    jax.block_until_ready((self.buffer.device_values,
+                                           self.buffer.device_state))
                 t_s2 = time.perf_counter()
                 local = edges_global
                 for col in (0, cols - 1):
